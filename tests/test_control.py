@@ -1,0 +1,106 @@
+"""Pipeline control parity: manual start, interrupt, timeout, status,
+futures (pipeline/pipeline.go:58-97, types/future.go:27-105,
+pippin_test.go:126-690)."""
+
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from pippin_spark import (
+    ManualStartError,
+    Pipeline,
+    PipelineConfig,
+    PipelineInterruptedError,
+    PipelineTimeoutError,
+    Status,
+)
+
+VALS = [1, 2, -3, 4, 5]
+
+
+def test_manual_start_sync_raises(spark):
+    # aggregate/aggregate.go:574-579: sync agg on manual-start panics
+    s = Pipeline.from_slice(spark, VALS, config=PipelineConfig(manual_start=True))
+    assert s.pipeline.status is Status.PENDING
+    with pytest.raises(ManualStartError):
+        s.sum()
+
+
+def test_manual_start_async(spark):
+    # pippin_test.go:126-240: async agg queues until Start releases it
+    s = Pipeline.from_slice(spark, VALS, config=PipelineConfig(manual_start=True))
+    fut = s.map(lambda x: x * 2).sum_async()
+    assert not fut.is_done()
+    assert s.pipeline.status is Status.PENDING
+    s.pipeline.start()
+    assert fut.get_with_timeout(120.0) == 18
+    assert s.pipeline.status is Status.DONE
+
+
+def test_interrupt_before_start(spark):
+    # pippin_test.go:242-355: interrupt → 'context canceled'
+    s = Pipeline.from_slice(spark, VALS, config=PipelineConfig(manual_start=True))
+    fut = s.sum_async()
+    s.pipeline.interrupt()
+    assert s.pipeline.status is Status.INTERRUPTED
+    with pytest.raises(PipelineInterruptedError, match="context canceled"):
+        fut.get()
+
+
+def test_interrupt_then_submit(spark):
+    s = Pipeline.from_slice(spark, VALS)
+    s.pipeline.interrupt()
+    fut = s.sum_async()
+    with pytest.raises(PipelineInterruptedError):
+        fut.get_with_timeout(10.0)
+    with pytest.raises(PipelineInterruptedError):
+        s.sum()
+
+
+def test_pipeline_timeout_status(spark):
+    # pippin_test.go:490-: timeout → status TimedOut
+    cfg = PipelineConfig(timeout=0.05)
+    s = Pipeline.from_slice(spark, VALS, config=cfg)
+    time.sleep(0.3)
+    assert s.pipeline.status is Status.TIMED_OUT
+
+
+def test_future_timeout(spark):
+    # types/future.go:73-84: GetWithTimeout returns "timeout" error
+    s = Pipeline.from_slice(spark, VALS, config=PipelineConfig(manual_start=True))
+    fut = s.sum_async()  # never started
+    with pytest.raises(PipelineTimeoutError, match="timeout"):
+        fut.get_with_timeout(0.1)
+    assert not fut.is_done()
+    # then complete normally (future_test.go:48 timeout-then-complete)
+    s.pipeline.start()
+    assert fut.get_with_timeout(120.0) == 9
+
+
+def test_async_all_aggregations(spark):
+    assert Pipeline.from_slice(spark, VALS).avg_async().get() == pytest.approx(1.8)
+    assert Pipeline.from_slice(spark, VALS).max_async().get() == 5
+    assert Pipeline.from_slice(spark, VALS).min_async().get() == -3
+    assert Pipeline.from_slice(spark, VALS).count_async().get() == 5
+    assert Pipeline.from_slice(spark, VALS).sort_async().get() == [-3, 1, 2, 4, 5]
+    assert Pipeline.from_slice(spark, VALS).sort_desc_async().get() == [5, 4, 2, 1, -3]
+    assert sorted(Pipeline.from_slice(spark, VALS).as_slice_async().get()) == sorted(VALS)
+    assert sorted(Pipeline.from_slice(spark, [1, 1, 2]).distinct_async().get()) == [1, 2]
+    assert Pipeline.from_slice(spark, [1, 1, 2]).distinct_count_async().get() == 2
+    assert Pipeline.from_slice(spark, VALS).reduce_async(lambda a, b: a + b).get() == 9
+
+
+def test_context_manager_close(spark):
+    with Pipeline.from_slice(spark, VALS).pipeline as p:
+        assert p.status is Status.RUNNING
+
+
+def test_per_stage_parallelism_cap(spark):
+    from pippin_spark import StageConfig
+
+    s = Pipeline.from_slice(spark, VALS).map(
+        lambda x: x * 2, config=StageConfig(max_parallelism=2)
+    )
+    assert s.df.rdd.getNumPartitions() <= 2
+    assert s.sum() == 18
