@@ -490,3 +490,467 @@ def q_source_from_map(spark, sf_dir):
     return Pipeline.from_map(spark, mapping).df.select(
         F.col("key").cast("int").alias("key"), "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# relational extensions (SURVEY.md §2.5 gap fills)
+# ---------------------------------------------------------------------------
+
+from pippin_spark.operators import relational as REL  # noqa: E402
+from pippin_spark.operators import dedup as DEDUP  # noqa: E402
+from pippin_spark.operators import similarity as SIM  # noqa: E402
+from pippin_spark.operators import text as TXT  # noqa: E402
+from pippin_spark.operators import multimodal as MM  # noqa: E402
+
+
+@_q(
+    "join_broadcast",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    # broadcast-hash join: dimension side explicitly broadcast — at
+    # 100 TB the fact side never shuffles for this join
+    cust = _t(spark, sf_dir, "customer").df
+    return (
+        _t(spark, sf_dir, "orders")
+        .join(cust, on=F.col("o_custkey") == F.col("c_custkey"), broadcast=True)
+        .df.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           ROW_NUMBER() OVER (
+             ORDER BY CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) DESC,
+                      o.o_orderkey
+           ) AS rank
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    QUALIFY rank <= 10
+    """,
+)
+def q_q3_shipping(spark, sf_dir):
+    # TPC-H Q3 shape: broadcast the filtered customer dim, shuffle join
+    # lineitem↔orders on orderkey, aggregate, global top-10
+    c = _t(spark, sf_dir, "customer").df.filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").df
+    l = _t(spark, sf_dir, "lineitem").df
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return REL.top_k(joined, 10, [F.col("revenue").desc(), F.col("o_orderkey").asc()])
+
+
+@_q(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    # per-group window top-1 (SURVEY §2.5: window functions)
+    df = _t(spark, sf_dir, "orders").df
+    top = REL.top_k(
+        df.select("o_custkey", "o_orderkey", "o_totalprice"),
+        1,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        partition_by=[F.col("o_custkey")],
+        rank_col="rn",
+    )
+    return top.drop("rn")
+
+
+@_q(
+    "window_running_sum",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .df.select(
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running"),
+        )
+    )
+
+
+@_q(
+    "set_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.df.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.df.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return Pipeline.from_dataframe(f).intersect(op).df
+
+
+@_q(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def q_set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").df.select(F.col("c_custkey").alias("custkey")).distinct()
+    o = _t(spark, sf_dir, "orders").df.select(F.col("o_custkey").alias("custkey")).distinct()
+    return Pipeline.from_dataframe(c).df.exceptAll(o)
+
+
+@_q(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS grouping_id,
+           COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_pricing(spark, sf_dir):
+    # grouping sets (SURVEY §2.5: none in reference) — partial aggs
+    # push map-side; one shuffle total
+    return REL.rollup_agg(
+        _t(spark, sf_dir, "lineitem").df,
+        ["l_returnflag", "l_linestatus"],
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"),
+    ).select("l_returnflag", "l_linestatus", "grouping_id", "n", "qty")
+
+
+@_q(
+    "asof_join_events",
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, v.value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_join_events(spark, sf_dir):
+    # as-of join (custom operator — Spark lacks it natively): for each
+    # purchase, the most recent at-or-before view of the same user
+    ev = _t(spark, sf_dir, "events").df
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = REL.asof_join(purchases, views, on="user_id", left_ts="ts", right_ts="ts", right_cols=["value"])
+    # DuckDB reads the nanos parquet at microsecond precision → compare
+    # in epoch-micros (integer div, not double division)
+    return out.select("event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "value")
+
+
+@_q(
+    "sessionize_events",
+    """
+    WITH flags AS (
+      SELECT user_id,
+             CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 1800000000000
+                    OR LAG(epoch_ns(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+    FROM flags GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark, sf_dir):
+    # sessionization: 30-min gap over nano timestamps (single shuffle
+    # on user_id; batch analog of a session window)
+    ev = _t(spark, sf_dir, "events").df
+    s = REL.sessionize(ev, "user_id", F.col("ts"), gap=1_800_000_000_000)
+    return s.groupBy("user_id").agg(
+        F.max("session_seq").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
+    "time_bucket_events",
+    """
+    SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_time_bucket_events(spark, sf_dir):
+    # tumbling event-time window, batch form (streaming twin lives in
+    # pippin_spark.streaming with watermarks)
+    ev = _t(spark, sf_dir, "events").df
+    return (
+        ev.select(
+            F.floor(F.col("ts") / 3_600_000_000_000).cast("bigint").alias("hour_bucket"),
+            "value",
+        )
+        .groupBy("hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+    )
+
+
+@_q(
+    "range_join_price",
+    """
+    SELECT o.o_orderkey, p.p_partkey AS iid
+    FROM (SELECT * FROM orders WHERE o_orderkey < 1000) o
+    JOIN part p
+      ON o.o_totalprice >= p.p_retailprice * 300
+     AND o.o_totalprice <= p.p_retailprice * 300 + 20000
+    """,
+)
+def q_range_join_price(spark, sf_dir):
+    # range join via bucketized candidates (no O(n·m) nested loop)
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    p = _t(spark, sf_dir, "part").df.select(
+        F.col("p_partkey").alias("iid"),
+        (F.col("p_retailprice") * 300).alias("lo"),
+        (F.col("p_retailprice") * 300 + 20000).alias("hi"),
+    )
+    out = REL.range_join(o, p, F.col("o_totalprice"), F.col("lo"), F.col("hi"), bucket_width=20000.0)
+    return out.select("o_orderkey", "iid")
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (north star, BASELINE.json)
+# ---------------------------------------------------------------------------
+
+_NORM24 = "trim(regexp_replace(lower(substr(text, 1, 24)), '\\s+', ' ', 'g'))"
+
+
+@_q(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM24}) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    # exact dedup groups on a normalized digest (prefix used so the
+    # synthetic corpus actually contains collisions); shuffles digests,
+    # never documents
+    docs = _t(spark, sf_dir, "documents").df.select(
+        "doc_id", F.substring("text", 1, 24).alias("text")
+    )
+    return DEDUP.dedup_exact_groups(docs, "text", "doc_id")
+
+
+_DDB_SHINGLES = """
+  WITH d AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+  ), sh AS (
+    SELECT doc_id,
+           struct_pack(tok0 := toks[1], lenb := CAST(FLOOR(length(norm) / 32) AS BIGINT)) AS blk,
+           list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                        i -> array_to_string(toks[i:i+2], ' '))) AS sh
+    FROM d
+  )
+"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    _DDB_SHINGLES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+          len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    # exact 3-gram Jaccard with deterministic blocking — the fully
+    # SQL-checkable ground truth for the sketch-based dedups
+    docs = _t(spark, sf_dir, "documents").df
+    return DEDUP.dedup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@_q("dedup_minhash")  # xxhash64 sketch — not DuckDB-expressible; rows-only
+def q_dedup_minhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return DEDUP.dedup_minhash_lsh(docs, "text", "doc_id", n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+@_q("dedup_simhash")  # xxhash64 sketch — rows-only
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return DEDUP.dedup_simhash(docs, "text", "doc_id", max_hamming=3)
+
+
+@_q(
+    "dedup_embedding",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.99
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    # embedding near-dup within label blocks (the block key bounds the
+    # quadratic term; cosine is native zip_with/aggregate)
+    emb = _t(spark, sf_dir, "embeddings").df
+    return DEDUP.dedup_embedding_cosine(emb, "embedding", "vec_id", "label", threshold=0.99)
+
+
+@_q(
+    "ann_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+           FROM q JOIN c ON q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def q_ann_topk_bruteforce(spark, sf_dir):
+    # exact cosine top-k: broadcast 5 query vectors against the corpus
+    emb = _t(spark, sf_dir, "embeddings").df
+    return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5)
+
+
+@_q("ann_topk_ivf")  # approximate — rows-only
+def q_ann_topk_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5, num_cells=16, nprobe=4)
+
+
+@_q(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '{TXT.BPE_PATTERN}')) AS n_bpe
+    FROM documents
+    """,
+)
+def q_text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return docs.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        TXT.bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return docs.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
+
+
+def _quality_oracle() -> str:
+    toks = "len(string_split_regex(lower(text), '\\s+'))"
+    punct = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    stop_list = "[" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS["en"]) + "]"
+    toks_list = "list_distinct(string_split_regex(lower(text), '\\s+'))"
+    hits = f"len(list_intersect({toks_list}, {stop_list}))"
+    n_chars = "length(text)::DOUBLE"
+    n_tok = f"{toks}::DOUBLE"
+    avg_tok = f"({n_chars} / greatest({n_tok}, 1.0))"
+    punct_ratio = f"({punct}::DOUBLE / greatest({n_chars}, 1.0))"
+    return f"""
+    SELECT doc_id,
+           ROUND(0.4 * least({n_tok} / 50.0, 1.0)
+               + 0.2 * (CASE WHEN {avg_tok} >= 3 AND {avg_tok} <= 10 THEN 1.0 ELSE 0.5 END)
+               + 0.2 * (CASE WHEN {punct_ratio} <= 0.2 THEN 1.0 ELSE 0.5 END)
+               + 0.2 * ({hits}::DOUBLE / 10.0), 6) AS quality
+    FROM documents
+    """
+
+
+@_q("text_quality", None)
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return docs.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+
+
+ENTRY_ORACLES["text_quality"] = _quality_oracle()
+
+
+@_q("text_lang_id", None)
+def q_text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return docs.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
+
+
+ENTRY_ORACLES["text_lang_id"] = (
+    "SELECT doc_id, " + TXT.lang_id_oracle_sql("text") + " AS lang_pred FROM documents"
+)
+
+
+@_q("multimodal_decode")  # stubbed decode — rows-only plumbing check
+def q_multimodal_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    media = MM.attach_fake_media(docs, "text", "doc_id", kind="image")
+    return MM.decode_media(media).select("media_id", "kind", "width", "height")

@@ -1,0 +1,131 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (north-star extension).
+
+The container has no image/audio libraries, so the *decode* step is
+stubbed: ``FAKE_DECODERS`` produce deterministic pseudo-features from
+the bytes (so plumbing is fully testable), and ``decode_media`` raises
+NotImplementedError for real codecs. Everything Spark-side — schema,
+partition-preserving mapInPandas, Arrow batch shapes, metadata
+projection — is real and tested.
+
+Scale notes: media bytes ride as BinaryType columns; decode runs as
+mapInPandas so each Arrow batch amortizes Python crossing; byte-heavy
+stages should repartition by size (``target_rows_per_batch``) before
+the UDF, and metadata-only queries never touch the binary column
+(column pruning keeps it out of the scan).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, text_col: str, id_col: str, kind: str = "image") -> DataFrame:
+    """Derive a deterministic binary media column from text (test/bench
+    stand-in for reading real blobs): content = utf-8 bytes; metadata
+    filled from the bytes."""
+    content = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.lit(f"{kind}/fake").alias("mime"),
+            F.octet_length(content).cast("long").alias("n_bytes"),
+            F.lit("synthetic").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode/feature-extract media via mapInPandas (Arrow-batched).
+
+    fake=False is the real-codec path — STUBBED: raises
+    NotImplementedError on the executors (no PIL/ffmpeg in this
+    container). fake=True runs the deterministic stand-in with the
+    exact same plumbing, schema and batch shape."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NB: self-contained closure (no pippin_spark imports) so the
+        # pickled UDF runs on executors that don't have the package
+        # on their PYTHONPATH
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def _decode(media_id, kind, content):
+            digest = _hl.md5(content or b"").digest()
+            width = 64 + digest[0] % 192
+            height = 64 + digest[1] % 192
+            duration = (digest[2] << 8 | digest[3]) if kind in ("audio", "video") else 0
+            feature = [round(b / 255.0, 6) for b in digest[:8]]
+            return media_id, kind, width, height, duration, feature
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg — not available; "
+                    "use fake=True for the deterministic stand-in"
+                )
+            rows = [
+                _decode(m, k, c)
+                for m, k, c in zip(pdf["media_id"], pdf["kind"], pdf["content"])
+            ]
+            yield _pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "width", "height", "duration_ms", "feature"],
+            )
+
+    return df.select("media_id", "kind", "content").mapInPandas(
+        decode_batches, FEATURE_SCHEMA
+    )
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plan: expand each video into frame
+    timestamps (native sequence/explode — the decode of each frame is
+    the stubbed step, the *plumbing* is the real distributed op)."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .join(decode_media(df.filter(F.col("kind") == "video")).select("media_id", "duration_ms"), "media_id")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

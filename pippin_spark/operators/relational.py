@@ -1,0 +1,178 @@
+"""Relational operators absent from the reference (SURVEY.md §2.5:
+joins, windows, grouping sets, limits/top-k, set ops) — engine
+extensions expressed with native Spark primitives only; every shape
+here is shuffle-minimal and AQE-friendly at 100 TB.
+
+Scale notes per operator are inline; nothing in this module uses a
+Python UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(
+    df: DataFrame,
+    k: int,
+    order_by: Sequence[Column],
+    partition_by: Optional[Sequence[Column]] = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows (global or per group) with a deterministic rank.
+
+    Scale: global top-k lowers to Spark's TakeOrderedAndProject (no full
+    sort — per-partition heap + driver merge of k·P rows) when followed
+    by limit; per-group uses a window with partial aggregation pushed
+    map-side. Pass fully deterministic order_by (include a tie-break
+    key) or ranks are unstable.
+    """
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    else:
+        w = Window.orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def rollup_agg(df: DataFrame, group_cols: Sequence[str], *aggs: Column) -> DataFrame:
+    """GROUP BY ROLLUP with grouping-id to disambiguate NULL group rows
+    (the reference has no grouping sets at all — SURVEY §2.5)."""
+    return (
+        df.rollup(*group_cols)
+        .agg(F.grouping_id().alias("grouping_id"), *aggs)
+    )
+
+
+def cube_agg(df: DataFrame, group_cols: Sequence[str], *aggs: Column) -> DataFrame:
+    return df.cube(*group_cols).agg(F.grouping_id().alias("grouping_id"), *aggs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join (most-recent right row at or before each left row) —
+    an operator Spark lacks natively; reference lacks joins entirely.
+
+    Spark-first implementation (no UDF, single shuffle): tag and union
+    both sides, hash-partition by key, sort by time within partition,
+    then carry the latest right values forward with last_value(...,
+    ignoreNulls) over an unbounded-preceding window. Scale: one shuffle
+    on the key, window runs within partitions; skewed keys split by AQE.
+    direction='forward' mirrors with first_value over the following
+    frame.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    lcols = [c for c in left.columns]
+
+    tagged_left = left.select(
+        F.col(on).alias("__k__"),
+        F.col(left_ts).alias("__t__"),
+        F.lit(1).alias("__is_left__"),
+        *[F.col(c) for c in lcols if c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k__"),
+        F.col(right_ts).alias("__t__"),
+        F.lit(0).alias("__is_left__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → "at or before"
+        w = (
+            Window.partitionBy("__k__")
+            .orderBy(F.col("__t__").asc(), F.col("__is_left__").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ]
+    else:
+        w = (
+            Window.partitionBy("__k__")
+            .orderBy(F.col("__t__").asc(), F.col("__is_left__").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = [
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ]
+    out = unioned.select("*", *carried).filter(F.col("__is_left__") == 1)
+    return out.select(
+        F.col("__k__").alias(on),
+        F.col("__t__").alias(left_ts),
+        *[F.col(c) for c in lcols if c not in (on, left_ts)],
+        *[F.col(f"__c_{c}").alias(c) for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: Column,
+    right_start: Column,
+    right_end: Column,
+    bucket_width: float,
+    extra_on: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Point-in-interval range join without the O(n·m) nested loop.
+
+    Bucketize: each left point maps to floor(p/w); each right interval
+    explodes to every bucket it overlaps (sequence()), then an equi-join
+    on bucket (+ optional keys) prunes candidates before the exact
+    interval filter. Scale: shuffle is on (bucket, keys) — pick
+    bucket_width near the median interval length so explode fan-out
+    stays O(1) per interval.
+    """
+    lb = left.withColumn("__b__", F.floor(left_point / bucket_width))
+    rb = right.withColumn(
+        "__bs__",
+        F.sequence(
+            F.floor(right_start / bucket_width),
+            F.floor(right_end / bucket_width),
+        ),
+    ).withColumn("__b__", F.explode("__bs__")).drop("__bs__")
+    on = ["__b__"] + list(extra_on or [])
+    joined = lb.join(rb, on=on, how="inner").drop("__b__")
+    return joined.filter((left_point >= right_start) & (left_point <= right_end))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: Column,
+    gap: float,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap`` (seconds-compatible
+    numeric ts). Classic lag + cumulative-sum over one keyed window —
+    single shuffle on user, no state kept on the driver."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    is_new = (
+        (ts_col - F.lag(ts_col, 1).over(w) > gap)
+        | F.lag(ts_col, 1).over(w).isNull()
+    ).cast("long")
+    return df.withColumn("session_seq", F.sum(is_new).over(w))
+
+
+def time_bucket(ts_col: Column, width_seconds: int) -> Column:
+    """Tumbling-window bucket start (epoch seconds) — batch analog of a
+    Structured Streaming window(); works on numeric epoch columns so it
+    is exact and oracle-friendly."""
+    return (F.floor(ts_col / width_seconds) * width_seconds).cast("long")

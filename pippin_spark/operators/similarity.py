@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (north-star extension).
+
+- brute-force cosine top-k: exact baseline; broadcast the (small) query
+  set against the corpus, per-query window top-k. Scale: corpus-side is
+  embarrassingly parallel, no corpus shuffle at all — the only shuffle
+  is the final per-query top-k (k·Q rows).
+- IVF (inverted-file) top-k: the scale path — assign every vector to
+  its nearest of C centroids once, then search only the ``nprobe``
+  closest cells per query. Candidate set shrinks by ~C/nprobe.
+
+All vector math is native (zip_with/aggregate) — JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pippin_spark.operators.dedup import cosine_similarity
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k,
+    deterministic tie-break on neighbor id. ``queries`` must be small
+    (it is broadcast); the corpus is streamed once per partition."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_cells: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: deterministic centroid seed (the num_cells
+    lowest-id vectors — cheap, reproducible; swap in KMeans offline for
+    quality), then assign every vector to its nearest centroid.
+
+    Returns (centroids, assigned) where assigned = corpus + cell id.
+    Scale: assignment is one broadcast of C centroids + a single
+    corpus pass; the index adds one small int column to shuffle by."""
+    centroids = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(num_cells)
+        .select(
+            F.row_number().over(Window.orderBy(F.col(id_col).asc())).alias("cell"),
+            _as_double(F.col(vec_col)).alias("centroid"),
+        )
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv"))
+        .join(F.broadcast(centroids), how="cross")
+        .select(
+            "id",
+            "cv",
+            "cell",
+            cosine_similarity(F.col("cv"), F.col("centroid")).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", "cv", "cell")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: probe only the ``nprobe``
+    nearest cells per query. Same output shape as brute_force_topk."""
+    centroids, assigned = ivf_build(corpus, vec_col, id_col, num_cells)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probes = (
+        q.join(F.broadcast(centroids), how="cross")
+        .select(
+            "query_id",
+            "qv",
+            "cell",
+            cosine_similarity(F.col("qv"), F.col("centroid")).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,110 @@
+"""Streaming layer — FromChannel parity on Structured Streaming.
+
+Reference FromChannel (pipeline/pipeline.go:131-149) is an unbounded
+arrival-order feed with no time semantics; the pipeline ends when the
+channel closes, Interrupt stops it, Status tracks lifecycle. Mapping
+(SURVEY.md §3.3):
+
+- the feed      → spark.readStream source (rate/socket/kafka/file)
+- Start         → StreamingQuery via writeStream.start() (manual start
+                  is inherent: nothing flows until start())
+- Interrupt     → query.stop()
+- Status        → Pending (not started) / Running / Done (availableNow
+                  drained) / Interrupted
+- channel close → Trigger.AvailableNow for bounded feeds
+
+Beyond-reference capability exposed natively: watermarks + tumbling /
+sliding / session event-time windows with late-data handling — at
+100 TB stream scale these are the operators that matter, and they come
+from Structured Streaming for free (stateful agg with RocksDB-style
+state store on real clusters).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pippin_spark.errors import PippinError
+from pippin_spark.statuses import Status
+
+
+class StreamingPipeline:
+    """Driver-side handle mirroring Pipeline control for streams."""
+
+    def __init__(self, df: DataFrame) -> None:
+        if not df.isStreaming:
+            raise PippinError("StreamingPipeline needs a streaming DataFrame")
+        self.df = df
+        self.query: Optional[StreamingQuery] = None
+        self._interrupted = False
+
+    # -- transformations are plain DataFrame ops on .df ----------------
+    def with_watermark(self, ts_col: str, delay: str) -> "StreamingPipeline":
+        return StreamingPipeline(self.df.withWatermark(ts_col, delay))
+
+    def tumbling_window(
+        self, ts_col: str, width: str, *aggs: Column, keys: tuple = ()
+    ) -> "StreamingPipeline":
+        g = self.df.groupBy(F.window(ts_col, width), *keys)
+        return StreamingPipeline(g.agg(*aggs))
+
+    def sliding_window(
+        self, ts_col: str, width: str, slide: str, *aggs: Column, keys: tuple = ()
+    ) -> "StreamingPipeline":
+        g = self.df.groupBy(F.window(ts_col, width, slide), *keys)
+        return StreamingPipeline(g.agg(*aggs))
+
+    def session_window(
+        self, ts_col: str, gap: str, *aggs: Column, keys: tuple = ()
+    ) -> "StreamingPipeline":
+        g = self.df.groupBy(F.session_window(ts_col, gap), *keys)
+        return StreamingPipeline(g.agg(*aggs))
+
+    # -- control (Start/Interrupt/Status parity) -----------------------
+    def start(
+        self,
+        sink_format: str = "memory",
+        query_name: str = "pippin_stream",
+        output_mode: str = "update",
+        available_now: bool = False,
+        **options,
+    ) -> StreamingQuery:
+        """Pipeline.Start analog — nothing flows before this (the
+        reference needed ManualStart machinery; streaming is lazy by
+        construction). available_now=True gives bounded 'channel
+        closed' semantics."""
+        writer = (
+            self.df.writeStream.format(sink_format)
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .options(**options)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        self.query = writer.start()
+        return self.query
+
+    def interrupt(self) -> None:
+        """Pipeline.Interrupt analog (graceful stop)."""
+        self._interrupted = True
+        if self.query is not None:
+            self.query.stop()
+
+    def await_termination(self, timeout: Optional[float] = None) -> bool:
+        if self.query is None:
+            raise PippinError("stream not started")
+        return self.query.awaitTermination(timeout)
+
+    @property
+    def status(self) -> Status:
+        if self.query is None:
+            return Status.PENDING
+        if self._interrupted:
+            return Status.INTERRUPTED
+        if self.query.isActive:
+            return Status.RUNNING
+        return Status.DONE

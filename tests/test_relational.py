@@ -1,0 +1,75 @@
+"""Relational extension operators (SURVEY §2.5 gap fills)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pippin_spark.operators import relational as R
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 25, 2), ("B", 5, 3), ("A", 4, 4)],
+        ["sym", "ts", "trade_id"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 100.0), ("A", 20, 101.0), ("B", 1, 50.0), ("B", 9, 51.0)],
+        ["sym", "ts", "px"],
+    )
+    out = R.asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts")
+    got = {(r["sym"], r["ts"]): r["px"] for r in out.collect()}
+    assert got == {("A", 10): 100.0, ("A", 25): 101.0, ("B", 5): 50.0, ("A", 4): None}
+
+
+def test_asof_join_equal_ts_matches(spark):
+    left = spark.createDataFrame([("A", 10, 1)], ["k", "ts", "lid"])
+    right = spark.createDataFrame([("A", 10, 7.0)], ["k", "ts", "v"])
+    out = R.asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    assert out.collect()[0]["v"] == 7.0  # at-or-before includes equal ts
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 42.0)], ["pid", "p"])
+    ivals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 12.0, 20.0), (30, 0.0, 100.0)], ["iid", "lo", "hi"]
+    )
+    out = R.range_join(
+        points, ivals, F.col("p"), F.col("lo"), F.col("hi"), bucket_width=8.0
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 10), (1, 30), (2, 20), (2, 30), (3, 30)]
+
+
+def test_top_k_global_and_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 3), ("b", 9), ("b", 2)], ["g", "v"]
+    )
+    top = R.top_k(df, 1, [F.col("v").desc(), F.col("g")])
+    assert [(r["g"], r["v"]) for r in top.collect()] == [("b", 9)]
+    per = R.top_k(df, 1, [F.col("v").desc()], partition_by=[F.col("g")])
+    assert sorted((r["g"], r["v"]) for r in per.collect()) == [("a", 5), ("b", 9)]
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (1, 10.0), (1, 100.0), (2, 0.0)], ["uid", "t"]
+    )
+    out = R.sessionize(df, "uid", F.col("t"), gap=30.0)
+    got = {(r["uid"], r["t"]): r["session_seq"] for r in out.collect()}
+    assert got == {(1, 0.0): 1, (1, 10.0): 1, (1, 100.0): 2, (2, 0.0): 1}
+
+
+def test_rollup_cube(spark):
+    df = spark.createDataFrame([("x", "p", 1), ("x", "q", 2), ("y", "p", 4)], ["a", "b", "v"])
+    roll = R.rollup_agg(df, ["a", "b"], F.sum("v").alias("s"))
+    rows = {(r["a"], r["b"], r["grouping_id"]): r["s"] for r in roll.collect()}
+    assert rows[(None, None, 3)] == 7  # grand total
+    assert rows[("x", None, 1)] == 3
+    cube = R.cube_agg(df, ["a", "b"], F.sum("v").alias("s"))
+    crows = {(r["a"], r["b"], r["grouping_id"]): r["s"] for r in cube.collect()}
+    assert crows[(None, "p", 2)] == 5  # cube-only slice
+
+
+def test_time_bucket(spark):
+    df = spark.createDataFrame([(0,), (59,), (60,), (3600,)], ["t"])
+    out = df.select(R.time_bucket(F.col("t"), 60).alias("b"))
+    assert [r["b"] for r in out.collect()] == [0, 0, 60, 3600]

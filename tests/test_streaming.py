@@ -1,0 +1,72 @@
+"""Streaming parity: FromChannel → Structured Streaming
+(pipeline/pipeline.go:131-149 mapping; SURVEY.md §3.3)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pippin_spark.statuses import Status
+from pippin_spark.streaming import StreamingPipeline
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def feed_dir(spark):
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            (1, "2024-01-01 00:00:05", 1.0),
+            (1, "2024-01-01 00:00:30", 2.0),
+            (2, "2024-01-01 00:01:10", 4.0),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).select(
+            "user_id", F.col("ts").cast("timestamp"), "value"
+        )
+        df.write.mode("overwrite").parquet(d)
+        yield d
+
+
+def test_bounded_stream_windowed_agg(spark, feed_dir):
+    # bounded feed: channel-closed semantics via availableNow
+    stream = spark.readStream.schema(SCHEMA).parquet(feed_dir)
+    sp = (
+        StreamingPipeline(stream)
+        .with_watermark("ts", "10 seconds")
+        .tumbling_window("ts", "1 minute", F.sum("value").alias("total"))
+    )
+    assert sp.status is Status.PENDING  # nothing flows before start()
+    # complete mode: append would hold back the last window (its end is
+    # above the final watermark) — correct late-data semantics
+    q = sp.start(query_name="t_win", output_mode="complete", available_now=True)
+    q.awaitTermination(60)
+    out = {
+        r["window"]["start"].second + r["window"]["start"].minute * 60: r["total"]
+        for r in spark.sql("SELECT * FROM t_win").collect()
+    }
+    assert out == {0: 3.0, 60: 4.0}
+    assert sp.status is Status.DONE
+
+
+def test_stream_interrupt(spark):
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+    sp = StreamingPipeline(stream.select(F.col("value")))
+    sp.start(query_name="t_rate", output_mode="append")
+    assert sp.status is Status.RUNNING
+    sp.interrupt()
+    assert sp.status is Status.INTERRUPTED
+    assert not sp.query.isActive
+
+
+def test_non_streaming_df_rejected(spark):
+    from pippin_spark.errors import PippinError
+
+    with pytest.raises(PippinError):
+        StreamingPipeline(spark.range(3))
