@@ -18,6 +18,7 @@ import sys
 import time
 
 HEADLINE = [
+    # reference-parity core
     "q1_pricing",
     "agg_sum",
     "agg_group_by",
@@ -26,6 +27,22 @@ HEADLINE = [
     "agg_distinct_count",
     "agg_sort",
     "agg_as_map",
+    # relational extensions
+    "q3_shipping",
+    "join_broadcast",
+    "window_running_sum",
+    "asof_join_events",
+    "sessionize_events",
+    "rollup_pricing",
+    # LLM-data operators
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "text_quality",
+    "text_lang_id",
+    "multimodal_decode",
 ]
 
 

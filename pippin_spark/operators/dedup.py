@@ -70,15 +70,29 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed j, min over shingles of
-    xxhash64(shingle, j). One nested higher-order expression — computed
-    entirely JVM-side in a single pass over each document."""
-    seeds = F.sequence(F.lit(1), F.lit(num_hashes))
-    return F.transform(
-        seeds,
-        lambda j: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, j))
+    """MinHash signature as a single fold: each shingle string is
+    xxhash64'd ONCE, then the ``num_hashes`` permutations are derived
+    from that 8-byte base hash (xxhash64(base, seed_j) — a 2-long hash,
+    orders of magnitude cheaper than re-hashing the string). The fold
+    keeps a running array of per-seed minima, so the shingle array —
+    and anything Catalyst inlines into it — is traversed exactly once.
+
+    (The naive form ``transform(seeds, j -> array_min(transform(sh,
+    s -> xxhash64(s, j))))`` re-evaluates the inlined shingle
+    expression per seed after projection collapsing: ~64× the work.)"""
+    seeds = F.array(*[F.lit(j) for j in range(1, num_hashes + 1)])
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    return F.aggregate(
+        base,
+        F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(seeds, lambda j: F.xxhash64(h, j)),
+            lambda a, b: F.least(a, b),
         ),
     )
 
@@ -209,29 +223,33 @@ def dedup_ngram_jaccard(
 
 def simhash(text_col: Column, bits: int = 64) -> Column:
     """SimHash signature as a long: per bit b, sum ±1 over token hashes;
-    bit set iff the sum is positive. Pure native expression
-    (aggregate() fold per bit — no UDF, no shuffle)."""
+    bit set iff the sum is positive. One fold over the token-hash array
+    carrying an array of ``bits`` vote counters (zip_with against a
+    literal bit-mask array), then one fold to assemble the signature —
+    the tokenize+hash expression is evaluated exactly once per row.
+
+    (Folding once PER BIT re-evaluates the inlined tokenization after
+    projection collapsing: ~64× the work.)"""
     toks = F.array_distinct(F.split(F.trim(F.regexp_replace(F.lower(text_col), "\\s+", " ")), " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # unrolled per-bit vote (shift amounts must be int literals): for
-    # each bit, fold ±1 votes over token hashes; set the bit iff > 0
-    sig = F.lit(0).cast("long")
-
-    def vote_fold(b: int):
-        # NB: HOF lambdas must have exactly the arity pyspark expects —
-        # capture b via closure, never a default arg
-        return lambda acc, h: acc + F.when(
-            F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    for b in range(bits):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), vote_fold(b))
-        sig = sig.bitwiseOR(
-            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+    # bit b ↦ mask 1<<b as a SIGNED long literal (bit 63 = Long.MIN)
+    masks = F.array(
+        *[F.lit((1 << b) if b < bits - 1 else -(1 << (bits - 1))).cast("long") for b in range(bits)]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, v: a + v.cast("long"),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, m: a.bitwiseOR(m),
+    )
 
 
 def dedup_simhash(
