@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 HEADLINE = [
     # reference-parity core
     "q1_pricing",
@@ -62,6 +64,22 @@ def main() -> None:
 
     # warm the JVM + parquet footer caches with one cheap pass
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    # warm the Python worker pool: without this, the first pandas-UDF
+    # query pays the one-time fork + numpy/pandas import of `cpus`
+    # worker processes inside its timing (long-running executors on a
+    # real cluster keep these warm)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        import numpy  # noqa: F401
+
+        return v
+
+    spark.range(0, cpus * 4, 1, cpus * 4).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

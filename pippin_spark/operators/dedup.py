@@ -24,10 +24,12 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pippin_spark.operators.text import fingerprint
+from pippin_spark.operators.util import ensure_parallelism
 
 
 # ---------------------------------------------------------------------------
@@ -73,17 +75,14 @@ def shingles(text_col: Column, n: int = 3) -> Column:
 _LONG_MAX = (1 << 63) - 1
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature as a single fold: each shingle string is
+def minhash_signature_hof(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as a single native fold: each shingle string is
     xxhash64'd ONCE, then the ``num_hashes`` permutations are derived
-    from that 8-byte base hash (xxhash64(base, seed_j) — a 2-long hash,
-    orders of magnitude cheaper than re-hashing the string). The fold
-    keeps a running array of per-seed minima, so the shingle array —
-    and anything Catalyst inlines into it — is traversed exactly once.
-
-    (The naive form ``transform(seeds, j -> array_min(transform(sh,
-    s -> xxhash64(s, j))))`` re-evaluates the inlined shingle
-    expression per seed after projection collapsing: ~64× the work.)"""
+    from that 8-byte base hash (xxhash64(base, seed_j)). Pure Column
+    expression — usable anywhere a Column is — but Spark evaluates
+    higher-order-function lambdas INTERPRETED (no codegen), ~40ms/doc
+    for 64 hashes: fine for ad-hoc use, wrong for a corpus pass. The
+    corpus path is :func:`minhash_signatures` (vectorized Arrow UDF)."""
     seeds = F.array(*[F.lit(j) for j in range(1, num_hashes + 1)])
     base = F.transform(shingle_col, lambda s: F.xxhash64(s))
     return F.aggregate(
@@ -97,20 +96,84 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over uint64 numpy arrays —
+    the permutation family for MinHash (public-domain constant mix,
+    same family used by java.util.SplittableRandom)."""
+    import numpy as np
+
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def minhash_signatures(
+    df: DataFrame, shingle_col: str, num_hashes: int = 64, out_col: str = "sig"
+) -> DataFrame:
+    """Corpus-scale MinHash: shingle strings are hashed JVM-side once
+    (one cheap ``transform``/xxhash64 pass), then the ``num_hashes``
+    permutation minima are computed in a vectorized Arrow pandas UDF
+    (numpy (n_shingles × num_hashes) matrix-min — µs per doc, vs ~40ms
+    for the interpreted-HOF fold). Arrow moves only 8-byte hashes, never
+    the shingle strings."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    smix = _splitmix64
+
+    @pandas_udf("array<long>")
+    def mh(base: pd.Series) -> pd.Series:
+        import numpy as np
+
+        seeds = smix(np.arange(1, num_hashes + 1, dtype=np.uint64))
+        out = []
+        for arr in base:
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                out.append(None)  # no shingles → no signature (caller filters)
+                continue
+            perms = smix(h[:, None] ^ seeds[None, :])
+            out.append(perms.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    # Nondeterministic marker = "do not collapse/duplicate": otherwise a
+    # filter on the output column makes Catalyst inline the UDF into
+    # both Filter and Project → the UDF AND the whole interpreted
+    # shingle expression under it run twice (measured 2.5×).
+    mh = mh.asNondeterministic()
+    # Project ONLY (other cols, base hashes) into the Arrow stage: if the
+    # (interpreted-HOF) shingle array rode along as a passthrough column
+    # it would be re-evaluated there — measured ~7× slower.
+    others = [c for c in df.columns if c != shingle_col]
+    base = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s)).alias("__base__")
+    return df.select(*others, base).select(*others, mh("__base__").alias(out_col))
+
+
 def lsh_candidates(
     df: DataFrame,
     id_col: str,
     sig_col: str = "sig",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` of
-    ``rows_per_band``, hash each band, equi-join docs sharing a
-    (band_idx, band_hash) bucket → candidate pairs (id_a < id_b).
+    ``rows_per_band``, hash each band, and emit candidate pairs
+    (id_a < id_b) of docs sharing a (band_idx, band_hash) bucket.
 
-    Scale: the band table is (bands × docs) rows of 3 small ints; the
-    self-join shuffles on the band hash — no quadratic blowup unless a
-    bucket is hot (cap with a salt or drop mega-buckets upstream)."""
+    Implemented as groupBy(bucket) + in-bucket pair expansion, NOT a
+    self-join — a self-join would execute the whole upstream
+    signature-computation subtree twice; the groupBy computes it once
+    and shuffles only (band, bh, id) triples of small ints.
+
+    Scale: pair expansion is quadratic per bucket; real corpora have a
+    boilerplate mega-bucket tail — cap it with ``max_bucket_size``
+    (dropped buckets are near-duplicate *cliques*; handle them as
+    groups, not pairs)."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = df.select(
         F.col(id_col).alias("id"),
@@ -132,14 +195,27 @@ def lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    left = banded.alias("a")
-    right = banded.alias("b")
-    return (
-        left.join(right, on=["band", "bh"], how="inner")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice("ids", i + F.lit(2), F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -162,17 +238,32 @@ def dedup_minhash_lsh(
     shingle → signature → banded candidates → verify. Returns
     (id_a, id_b, jaccard) with jaccard ≥ threshold."""
     rows = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sigs = docs.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    )
+    docs = base.select("id", shingles(F.col("__text__"), n).alias("sh"))
+    sigs = (
+        minhash_signatures(docs, "sh", num_hashes)
+        .select("id", "sig")
+        .filter(F.col("sig").isNotNull())
+    )
     cand = lsh_candidates(sigs, "id", "sig", bands, rows)
-    a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Verify by joining candidate ids back to the RAW text and shingling
+    # post-join: shingles are recomputed only for candidate rows (≪ the
+    # corpus), and AQE broadcast-joins the small candidate side — the
+    # corpus is never shuffled by id.
+    ta = base.select(F.col("id").alias("id_a"), F.col("__text__").alias("__ta__"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("__text__").alias("__tb__"))
     verified = (
-        cand.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                jaccard(shingles(F.col("__ta__"), n), shingles(F.col("__tb__"), n)), 6
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
@@ -201,17 +292,52 @@ def dedup_ngram_jaccard(
         )
     else:
         block = F.struct(*[F.col(c) for c in block_on])
-    docs = df.select(
+    needed = [id_col, text_col] + ([c for c in block_on if c not in (id_col, text_col)] if block_on else [])
+    # NB: no ``filter(size(sh) > 0)`` — a filter on an aliased HOF
+    # expression makes Catalyst inline it into Filter AND Project (the
+    # shingle pass would run twice); empty-shingle docs yield jaccard 0
+    # and drop out at the threshold anyway.
+    docs = ensure_parallelism(df.select(*[F.col(c) for c in needed])).select(
         F.col(id_col).alias("id"),
         block.alias("blk"),
         shingles(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    a = docs.select(F.col("blk"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = docs.select(F.col("blk"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    )
+    # groupBy-bucket, not a blocked self-join: the self-join would run
+    # the (interpreted-HOF) shingle pass twice; this shuffles each
+    # shingle array once and expands pairs in-bucket. array_sort on
+    # struct(id, sh) orders by id, so slice-expansion gives id_a < id_b.
+    buckets = (
+        docs.groupBy("blk")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    # pair structs carry array REFERENCES; jaccard itself is computed
+    # after the explode, in a codegen'd projection (inside the
+    # interpreted lambda it would run ~5-10× slower)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x, i: F.transform(
+                        F.slice("ms", i + F.lit(2), F.size("ms")),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            x["sh"].alias("sh_a"),
+                            y["sh"].alias("sh_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        pairs.select(
+            "p.id_a",
+            "p.id_b",
+            F.round(jaccard(F.col("p.sh_a"), F.col("p.sh_b")), 6).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -221,15 +347,45 @@ def dedup_ngram_jaccard(
 # ---------------------------------------------------------------------------
 
 
+def simhash_signatures(df: DataFrame, text_col: str, out_col: str = "sig") -> DataFrame:
+    """Corpus-scale SimHash: tokens are hashed JVM-side once, then the
+    per-bit ±1 votes are computed in a vectorized Arrow pandas UDF —
+    an (n_tokens × 64) sign matrix summed per column, µs per doc.
+    Arrow moves only the 8-byte token hashes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sh(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bits = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                continue
+            votes = (((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1).sum(axis=0)
+            out[i] = ((votes > 0).astype(np.uint64) << bits).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    sh = sh.asNondeterministic()  # see minhash_signatures: prevents double eval
+
+    toks = F.array_distinct(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")), " ")
+    )
+    hashed = F.transform(toks, lambda t: F.xxhash64(t)).alias("__th__")
+    return df.withColumn("__th__", hashed).withColumn(out_col, sh("__th__")).drop("__th__")
+
+
 def simhash(text_col: Column, bits: int = 64) -> Column:
     """SimHash signature as a long: per bit b, sum ±1 over token hashes;
     bit set iff the sum is positive. One fold over the token-hash array
     carrying an array of ``bits`` vote counters (zip_with against a
     literal bit-mask array), then one fold to assemble the signature —
     the tokenize+hash expression is evaluated exactly once per row.
-
-    (Folding once PER BIT re-evaluates the inlined tokenization after
-    projection collapsing: ~64× the work.)"""
+    Pure-Column variant; the corpus path is :func:`simhash_signatures`
+    (HOF lambdas are interpreted, not codegen'd — see minhash notes)."""
     toks = F.array_distinct(F.split(F.trim(F.regexp_replace(F.lower(text_col), "\\s+", " ")), " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # bit b ↦ mask 1<<b as a SIGNED long literal (bit 63 = Long.MIN)
@@ -259,9 +415,12 @@ def dedup_simhash(
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
-    chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk identical), equi-join
-    per chunk, verify bit_count(xor) ≤ max_hamming."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk identical), bucket per
+    chunk value (groupBy, not self-join — the signature subtree runs
+    once), verify bit_count(xor) ≤ max_hamming in-bucket."""
+    sigs = simhash_signatures(
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col))), text_col
+    ).select(F.col(id_col).alias("id"), "sig")
     chunks = sigs.select(
         "id",
         "sig",
@@ -279,19 +438,33 @@ def dedup_simhash(
             )
         ).alias("ck"),
     ).select("id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.ch").alias("ch"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    pairs = (
-        a.join(b, on=["chunk", "ch"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
-        )
+    buckets = (
+        chunks.groupBy("chunk", "ch")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x, i: F.transform(
+                        F.slice("ms", i + F.lit(2), F.size("ms")),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -323,15 +496,36 @@ def dedup_embedding_cosine(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    a = v.select("blk", F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    b = v.select("blk", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    # groupBy-bucket (see dedup_ngram_jaccard): one shuffle of each
+    # vector, pairs expanded in-bucket, id_a < id_b via array_sort.
+    buckets = (
+        v.groupBy("blk")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "vec"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x, i: F.transform(
+                        F.slice("ms", i + F.lit(2), F.size("ms")),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            x["vec"].alias("va"),
+                            y["vec"].alias("vb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        pairs.select(
+            "p.id_a",
+            "p.id_b",
+            F.round(cosine_similarity(F.col("p.va"), F.col("p.vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

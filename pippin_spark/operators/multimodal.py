@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pippin_spark.operators.util import ensure_parallelism
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -110,7 +112,7 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 columns=["media_id", "kind", "width", "height", "duration_ms", "feature"],
             )
 
-    return df.select("media_id", "kind", "content").mapInPandas(
+    return ensure_parallelism(df.select("media_id", "kind", "content")).mapInPandas(
         decode_batches, FEATURE_SCHEMA
     )
 
