@@ -36,6 +36,11 @@ HEADLINE = [
     "asof_join_events",
     "sessionize_events",
     "rollup_pricing",
+    "cube_pricing",
+    "join_semi",
+    "topk_per_group",
+    "agg_percentile",
+    "streaming_tumbling_window",
     # LLM-data operators
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -954,3 +954,195 @@ def q_multimodal_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df
     media = MM.attach_fake_media(docs, "text", "doc_id", kind="image")
     return MM.decode_media(media).select("media_id", "kind", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# relational coverage: join variants, set ops, grouping sets, windows
+# (SURVEY §2.5 — all absent from the reference; engine extensions)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_semi",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    # LEFT SEMI: existence probe — shuffles only the join keys of the
+    # right side; output carries no right columns (no row multiplication)
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df.select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@_q(
+    "join_anti",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    # LEFT ANTI: negative existence — the relational form of "customers
+    # with no orders"; same single-shuffle profile as semi
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df.select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@_q(
+    "set_union",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_union(spark, sf_dir):
+    # UNION ALL: no shuffle at all — partitions are concatenated
+    o = _t(spark, sf_dir, "orders")
+    f = o.df.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.df.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.unionByName(op)
+
+
+@_q(
+    "cube_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_pricing(spark, sf_dir):
+    # CUBE: all 2^k grouping sets in one pass — Spark expands to a
+    # single shuffle with a grouping-id column, no k-fold rescan
+    li = _t(spark, sf_dir, "lineitem").df
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "window_lag_lead",
+    """
+    SELECT o_orderkey,
+           COALESCE(LAG(o_totalprice)  OVER w, -1.0) AS prev_price,
+           COALESCE(LEAD(o_totalprice) OVER w, -1.0) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag_lead(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey",
+        F.coalesce(F.lag("o_totalprice").over(w), F.lit(-1.0)).alias("prev_price"),
+        F.coalesce(F.lead("o_totalprice").over(w), F.lit(-1.0)).alias("next_price"),
+    )
+
+
+@_q(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    # per-group top-k via the top_k operator (SURVEY §2.5: limits/top-k)
+    o = _t(spark, sf_dir, "orders").df.select("o_orderpriority", "o_orderkey", "o_totalprice")
+    return REL.top_k(
+        o, 3, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        partition_by=[F.col("o_orderpriority")],
+    )
+
+
+@_q(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark, sf_dir):
+    # exact interpolated percentile (scale note: prefer approx_percentile
+    # at 100 TB — exact percentile needs a per-group sort)
+    li = _t(spark, sf_dir, "lineitem").df
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.9).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming (FromChannel parity → Structured Streaming; SURVEY §3.3)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "streaming_tumbling_window",
+    """
+    SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000) * 3600 AS BIGINT) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_streaming_tumbling_window(spark, sf_dir):
+    # Real Structured Streaming run, bounded: file source over the
+    # events parquet, event-time watermark + 1h tumbling window,
+    # Trigger.AvailableNow ("channel closed" semantics,
+    # pipeline/pipeline.go:131-149), memory sink drained to a batch
+    # DataFrame — so the stream result is oracle-checkable like any
+    # batch query.
+    from pippin_spark.streaming import StreamingPipeline
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("tsc", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    sp = StreamingPipeline(stream).with_watermark("tsc", "1 hour").tumbling_window(
+        "tsc",
+        "1 hour",
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+    q = sp.start(
+        sink_format="memory",
+        query_name="pippin_stream_tumble",
+        output_mode="complete",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    return spark.table("pippin_stream_tumble").select(
+        F.unix_timestamp(F.col("window.start")).cast("bigint").alias("window_start"),
+        "n",
+        "total",
+    )
