@@ -26,6 +26,7 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from pippin_spark.errors import PippinError
@@ -108,3 +109,61 @@ class StreamingPipeline:
         if self.query.isActive:
             return Status.RUNNING
         return Status.DONE
+
+
+def stateful_running_agg(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    timeout_conf: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful per-key streaming aggregation via
+    applyInPandasWithState: maintains (count, sum, max) per key across
+    micro-batches and emits the updated state each batch — the escape
+    hatch for operators Structured Streaming's built-in aggs can't
+    express (reference parity: an async fold with mutable accumulator,
+    asyncaggregate/asyncaggregate.go:587-623, but keyed and distributed).
+
+    Scale: state lives in the executor state store (RocksDB on a real
+    cluster), partitioned by key — no driver state; each micro-batch
+    shuffles only that batch's rows."""
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("maxv", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("maxv", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        n, total, maxv = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf["__v__"]
+            n += int(vals.count())
+            total += float(vals.sum())
+            if len(vals):
+                maxv = max(maxv, float(vals.max()))
+        state.update((n, total, maxv))
+        yield _pd.DataFrame(
+            {"key": [key[0]], "n": [n], "total": [total], "maxv": [maxv]}
+        )
+
+    return (
+        stream_df.select(F.col(key_col).alias("__k__"), F.col(value_col).alias("__v__"))
+        .groupBy("__k__")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", timeout_conf
+        )
+    )

@@ -1,0 +1,100 @@
+"""Physical-plan quality gates: the properties that make these queries
+scale are asserted, not hoped for. Each test pins the plan shape that a
+100 TB run depends on (broadcast vs shuffle join, pushdown, pruning,
+single Python-UDF evaluation)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def count_nodes(p: str, name: str) -> int:
+    # formatted mode prints each node in the tree AND in the detail
+    # section; "(<id>) <Name>" detail headers count nodes exactly once
+    return len(re.findall(rf"\(\d+\) {name}\b", p))
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_broadcast_join_is_broadcast(spark, qs):
+    # small dim side must broadcast — a shuffle join here would move the
+    # fact table for nothing
+    p = plan(qs["join_broadcast"](spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_q3_broadcasts_filtered_dim(spark, qs):
+    p = plan(qs["q3_shipping"](spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_filter_pushdown_reaches_scan(spark, qs):
+    # filter on l_quantity must reach the parquet reader
+    p = plan(qs["filter"](spark, SF))
+    assert "PushedFilters: [" in p
+    assert "l_quantity" in p.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_q1(spark, qs):
+    # Q1 touches 7 lineitem columns; the scan must not read all 16
+    p = plan(qs["q1_pricing"](spark, SF))
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_union_all_has_no_shuffle(spark, qs):
+    p = plan(qs["set_union"](spark, SF))
+    assert "Exchange" not in p
+
+
+def test_semi_join_stays_semi(spark, qs):
+    # left-semi must not degrade into an inner join + distinct
+    p = plan(qs["join_semi"](spark, SF))
+    assert "LeftSemi" in p
+
+
+def test_minhash_single_udf_eval(spark, qs):
+    # regression: a filter on the UDF output column once made Catalyst
+    # inline the UDF into Filter AND Project → whole sketch computed
+    # twice; nondeterministic marker pins single evaluation
+    p = plan(qs["dedup_minhash"](spark, SF))
+    assert count_nodes(p, "ArrowEvalPython") == 1
+
+
+def test_simhash_single_udf_eval(spark, qs):
+    p = plan(qs["dedup_simhash"](spark, SF))
+    assert count_nodes(p, "ArrowEvalPython") == 1
+
+
+def test_asof_join_single_shuffle_per_side(spark, qs):
+    # union+window as-of join: one hash-partition exchange for the
+    # window (plus the two scans' repartitions at most); no join node,
+    # no O(n*m) nested loop
+    p = plan(qs["asof_join_events"](spark, SF))
+    assert "NestedLoop" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    # dedup_exact_groups aggregates on the md5 digest: the partial
+    # (map-side) aggregation must appear before the exchange, so only
+    # (digest, id) tuples cross the wire
+    from pippin_spark.operators.dedup import dedup_exact_groups
+
+    docs = entry.queries()["dedup_exact"](spark, SF)  # warms nothing; separate df below
+    df = docs.sparkSession.read.parquet(f"{SF}/documents.parquet")
+    p = plan(dedup_exact_groups(df, "text", "doc_id"))
+    before_exchange = p.split("Exchange hashpartitioning")[0]
+    assert "partial_count" in before_exchange or "HashAggregate" in before_exchange

@@ -70,3 +70,23 @@ def test_non_streaming_df_rejected(spark):
 
     with pytest.raises(PippinError):
         StreamingPipeline(spark.range(3))
+
+
+def test_stateful_running_agg(spark, feed_dir):
+    # custom stateful operator (applyInPandasWithState): per-key
+    # (count, sum, max) carried in the executor state store
+    from pippin_spark.streaming import stateful_running_agg
+
+    stream = spark.readStream.schema(SCHEMA).parquet(feed_dir)
+    out = stateful_running_agg(stream, "user_id", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["key"]: (r["n"], r["total"], r["maxv"])
+            for r in spark.sql("SELECT * FROM t_state").collect()}
+    assert rows == {1: (2, 3.0, 2.0), 2: (1, 4.0, 4.0)}
