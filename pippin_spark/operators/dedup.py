@@ -96,6 +96,50 @@ def minhash_signature_hof(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def shingle_hashes(df: DataFrame, text_col: str, n: int = 3, out_col: str = "hs") -> DataFrame:
+    """Distinct word n-gram shingles of lowercased text, as 64-bit
+    hashes (md5/8-byte, deterministic), computed in one Arrow pandas
+    UDF straight from the text.
+
+    Why not the Column-level ``shingles()``: Spark evaluates
+    sequence/slice/array_join HOF lambdas interpreted (no codegen),
+    ~0.5ms/doc; Python string slicing + an 8-byte md5 per shingle is
+    ~10× faster and Arrow moves only (text in, hashes out). Jaccard
+    over injectively-hashed shingles equals Jaccard over the strings
+    (64-bit collision odds ~1e-10 at corpus scale), so exact-verify
+    downstream is unaffected."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def sh(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) < n:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            out.append(
+                np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big", signed=True)
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+            )
+        return pd.Series(out)
+
+    sh = sh.asNondeterministic()  # collapse barrier (see minhash_signatures)
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others, sh(text_col).alias(out_col))
+
+
 def _splitmix64(x):
     """Vectorized splitmix64 finalizer over uint64 numpy arrays —
     the permutation family for MinHash (public-domain constant mix,
@@ -111,15 +155,14 @@ def _splitmix64(x):
     return x
 
 
-def minhash_signatures(
-    df: DataFrame, shingle_col: str, num_hashes: int = 64, out_col: str = "sig"
+def minhash_from_hashes(
+    df: DataFrame, hash_col: str, num_hashes: int = 64, out_col: str = "sig"
 ) -> DataFrame:
-    """Corpus-scale MinHash: shingle strings are hashed JVM-side once
-    (one cheap ``transform``/xxhash64 pass), then the ``num_hashes``
-    permutation minima are computed in a vectorized Arrow pandas UDF
-    (numpy (n_shingles × num_hashes) matrix-min — µs per doc, vs ~40ms
-    for the interpreted-HOF fold). Arrow moves only 8-byte hashes, never
-    the shingle strings."""
+    """MinHash signatures from pre-hashed shingles (array<long>): the
+    ``num_hashes`` permutation minima are computed in a vectorized
+    Arrow pandas UDF (numpy (n_shingles × num_hashes) matrix-min — µs
+    per doc, vs ~40ms for the interpreted-HOF fold). Null signature for
+    empty inputs (callers filter)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -145,12 +188,25 @@ def minhash_signatures(
     # both Filter and Project → the UDF AND the whole interpreted
     # shingle expression under it run twice (measured 2.5×).
     mh = mh.asNondeterministic()
-    # Project ONLY (other cols, base hashes) into the Arrow stage: if the
-    # (interpreted-HOF) shingle array rode along as a passthrough column
-    # it would be re-evaluated there — measured ~7× slower.
+    others = [c for c in df.columns if c != hash_col]
+    return df.select(*others, mh(hash_col).alias(out_col))
+
+
+def minhash_signatures(
+    df: DataFrame, shingle_col: str, num_hashes: int = 64, out_col: str = "sig"
+) -> DataFrame:
+    """Corpus-scale MinHash over a shingle-string array column: shingle
+    strings are hashed JVM-side once (one ``transform``/xxhash64 pass),
+    then :func:`minhash_from_hashes` computes the permutation minima.
+    Projects ONLY (other cols, base hashes) into the Arrow stage: if the
+    (interpreted-HOF) shingle array rode along as a passthrough column
+    it would be re-evaluated there — measured ~7× slower. The fastest
+    corpus path skips shingle strings entirely: :func:`shingle_hashes`
+    → :func:`minhash_from_hashes`."""
     others = [c for c in df.columns if c != shingle_col]
     base = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s)).alias("__base__")
-    return df.select(*others, base).select(*others, mh("__base__").alias(out_col))
+    hashed = df.select(*others, base)
+    return minhash_from_hashes(hashed, "__base__", num_hashes, out_col)
 
 
 def lsh_candidates(
@@ -241,9 +297,9 @@ def dedup_minhash_lsh(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     )
-    docs = base.select("id", shingles(F.col("__text__"), n).alias("sh"))
+    hashed = shingle_hashes(base.select("id", "__text__"), "__text__", n)
     sigs = (
-        minhash_signatures(docs, "sh", num_hashes)
+        minhash_from_hashes(hashed, "hs", num_hashes)
         .select("id", "sig")
         .filter(F.col("sig").isNotNull())
     )
@@ -293,15 +349,14 @@ def dedup_ngram_jaccard(
     else:
         block = F.struct(*[F.col(c) for c in block_on])
     needed = [id_col, text_col] + ([c for c in block_on if c not in (id_col, text_col)] if block_on else [])
-    # NB: no ``filter(size(sh) > 0)`` — a filter on an aliased HOF
-    # expression makes Catalyst inline it into Filter AND Project (the
-    # shingle pass would run twice); empty-shingle docs yield jaccard 0
-    # and drop out at the threshold anyway.
-    docs = ensure_parallelism(df.select(*[F.col(c) for c in needed])).select(
-        F.col(id_col).alias("id"),
-        block.alias("blk"),
-        shingles(F.col(text_col), n).alias("sh"),
+    # Shingles as 64-bit hashes straight from text (shingle_hashes):
+    # Jaccard over injectively-hashed shingles equals Jaccard over the
+    # strings, the interpreted shingle-HOF never runs, and the bucket
+    # shuffle moves long arrays instead of string arrays.
+    pre = ensure_parallelism(df.select(*[F.col(c) for c in needed])).select(
+        F.col(id_col).alias("id"), block.alias("blk"), F.col(text_col).alias("__text__")
     )
+    docs = shingle_hashes(pre, "__text__", n, out_col="sh")
     # groupBy-bucket, not a blocked self-join: the self-join would run
     # the (interpreted-HOF) shingle pass twice; this shuffles each
     # shingle array once and expands pairs in-bucket. array_sort on

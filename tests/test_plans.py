@@ -68,9 +68,10 @@ def test_semi_join_stays_semi(spark, qs):
 def test_minhash_single_udf_eval(spark, qs):
     # regression: a filter on the UDF output column once made Catalyst
     # inline the UDF into Filter AND Project → whole sketch computed
-    # twice; nondeterministic marker pins single evaluation
+    # twice; nondeterministic marker pins single evaluation. Exactly 2
+    # Arrow stages: shingle-hash UDF + permutation-min UDF, once each.
     p = plan(qs["dedup_minhash"](spark, SF))
-    assert count_nodes(p, "ArrowEvalPython") == 1
+    assert count_nodes(p, "ArrowEvalPython") == 2
 
 
 def test_simhash_single_udf_eval(spark, qs):
