@@ -821,6 +821,28 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return DEDUP.dedup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
+@_q(
+    "dedup_ngram_keep",
+    _DDB_SHINGLES
+    + """
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (
+      SELECT b.doc_id
+      FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    )
+    """,
+)
+def q_dedup_ngram_keep(spark, sf_dir):
+    # the cleaned corpus (greedy keep-lowest-id): what a training-data
+    # pipeline actually materializes; pairs are the diagnostic view
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = DEDUP.dedup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.5)
+    return DEDUP.dedup_filter(docs, pairs, "doc_id").select("doc_id")
+
+
 @_q("dedup_minhash")  # xxhash64 sketch — not DuckDB-expressible; rows-only
 def q_dedup_minhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df

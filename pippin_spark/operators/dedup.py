@@ -397,6 +397,22 @@ def dedup_ngram_jaccard(
     )
 
 
+def dedup_filter(
+    df: DataFrame, pairs: DataFrame, id_col: str, drop_col: str = "id_b"
+) -> DataFrame:
+    """Corpus minus near-duplicates: greedy keep-lowest-id policy —
+    drop every doc appearing as the HIGHER id of a qualifying pair
+    (pairs come from any of the pair generators here; they all emit
+    id_a < id_b). The actual operation a training-data pipeline runs:
+    pairs are diagnostics, this is the cleaned corpus.
+
+    Scale: a left-anti join against the distinct drop set — the drop
+    set is pair-count sized (≪ corpus), so AQE broadcasts it and the
+    corpus is never shuffled."""
+    drops = pairs.select(F.col(drop_col).alias("__drop__")).distinct()
+    return df.join(drops, df[id_col] == F.col("__drop__"), "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
