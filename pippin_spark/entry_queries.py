@@ -20,6 +20,8 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pippin_spark.functions import safe_cast
 from pyspark.sql import types as T
 
 from pippin_spark.pipeline import Pipeline
@@ -164,7 +166,7 @@ def q_map_with_error(spark, sf_dir):
     return (
         _t(spark, sf_dir, "lineitem")
         .select(mixed.alias("value"))
-        .map_with_error(lambda x: x.try_cast("bigint"))
+        .map_with_error(lambda x: safe_cast(x, "bigint"))
         .df
     )
 
@@ -183,7 +185,7 @@ def q_map_with_error_mapper(spark, sf_dir):
     return (
         _t(spark, sf_dir, "lineitem")
         .select(mixed.alias("value"))
-        .map_with_error_mapper(lambda x: x.try_cast("bigint"), F.lit(-1).cast("bigint"))
+        .map_with_error_mapper(lambda x: safe_cast(x, "bigint"), F.lit(-1).cast("bigint"))
         .df
     )
 
@@ -217,7 +219,7 @@ def q_flat_map_with_error(spark, sf_dir):
     return (
         _t(spark, sf_dir, "lineitem")
         .select(arr.alias("value"))
-        .flat_map_with_error(lambda x: x.try_cast("bigint"))
+        .flat_map_with_error(lambda x: safe_cast(x, "bigint"))
         .df
     )
 
@@ -236,7 +238,7 @@ def q_flat_map_with_error_mapper(spark, sf_dir):
     return (
         _t(spark, sf_dir, "lineitem")
         .select(arr.alias("value"))
-        .flat_map_with_error_mapper(lambda x: x.try_cast("bigint"), F.lit(0).cast("bigint"))
+        .flat_map_with_error_mapper(lambda x: safe_cast(x, "bigint"), F.lit(0).cast("bigint"))
         .df
     )
 

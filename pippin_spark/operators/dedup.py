@@ -98,16 +98,19 @@ def minhash_signature_hof(shingle_col: Column, num_hashes: int = 64) -> Column:
 
 def shingle_hashes(df: DataFrame, text_col: str, n: int = 3, out_col: str = "hs") -> DataFrame:
     """Distinct word n-gram shingles of lowercased text, as 64-bit
-    hashes (md5/8-byte, deterministic), computed in one Arrow pandas
-    UDF straight from the text.
+    hashes, computed in one Arrow pandas UDF straight from the text.
 
     Why not the Column-level ``shingles()``: Spark evaluates
     sequence/slice/array_join HOF lambdas interpreted (no codegen),
-    ~0.5ms/doc; Python string slicing + an 8-byte md5 per shingle is
-    ~10× faster and Arrow moves only (text in, hashes out). Jaccard
-    over injectively-hashed shingles equals Jaccard over the strings
-    (64-bit collision odds ~1e-10 at corpus scale), so exact-verify
-    downstream is unaffected."""
+    ~0.5ms/doc. Here only each *distinct token* is md5-hashed (with an
+    executor-lifetime cache — hot tokens hash once per executor, not
+    once per occurrence), and the n-gram combine is a vectorized
+    polynomial over the token-hash array (numpy sliding windows), so
+    per-shingle Python work is zero. The hash is globally deterministic
+    (md5 tokens + fixed odd multiplier), which cross-partition Jaccard
+    requires. Jaccard over injectively-hashed shingles equals Jaccard
+    over the strings (64-bit collision odds ~1e-10 at corpus scale),
+    so exact-verify downstream is unaffected."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
@@ -116,23 +119,30 @@ def shingle_hashes(df: DataFrame, text_col: str, n: int = 3, out_col: str = "hs"
 
         import numpy as np
 
+        cache = sh.__dict__.setdefault("_tok_cache", {})
+        P = np.uint64(0x9E3779B97F4A7C15)  # odd → injective per position
+
+        def tok_hash(tok):
+            h = cache.get(tok)
+            if h is None:
+                if len(cache) > 2_000_000:  # bound executor memory
+                    cache.clear()
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                cache[tok] = h
+            return h
+
         out = []
         for t in texts:
             toks = (t or "").lower().split()
-            if len(toks) < n:
+            m = len(toks) - n + 1
+            if m <= 0:
                 out.append(np.empty(0, dtype=np.int64))
                 continue
-            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            out.append(
-                np.fromiter(
-                    (
-                        int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big", signed=True)
-                        for g in grams
-                    ),
-                    dtype=np.int64,
-                    count=len(grams),
-                )
-            )
+            ids = np.fromiter((tok_hash(tok) for tok in toks), dtype=np.uint64, count=len(toks))
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                h = h * P + ids[j : j + m]
+            out.append(np.unique(h).view(np.int64))
         return pd.Series(out)
 
     sh = sh.asNondeterministic()  # collapse barrier (see minhash_signatures)
@@ -310,18 +320,17 @@ def dedup_minhash_lsh(
     # corpus is never shuffled by id.
     ta = base.select(F.col("id").alias("id_a"), F.col("__text__").alias("__ta__"))
     tb = base.select(F.col("id").alias("id_b"), F.col("__text__").alias("__tb__"))
-    verified = (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                jaccard(shingles(F.col("__ta__"), n), shingles(F.col("__tb__"), n)), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    joined = cand.join(ta, "id_a").join(tb, "id_b")
+    # Re-shingle ONLY candidate rows, via the vectorized hash path (the
+    # interpreted shingles() HOF here was the slowest stage); Jaccard
+    # over hashed shingles == Jaccard over shingle strings.
+    ha = shingle_hashes(joined, "__ta__", n, out_col="__sha__")
+    hb = shingle_hashes(ha, "__tb__", n, out_col="__shb__")
+    verified = hb.select(
+        "id_a",
+        "id_b",
+        F.round(jaccard(F.col("__sha__"), F.col("__shb__")), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
     return verified
 
 

@@ -1,0 +1,64 @@
+"""safe_cast must be result-identical to try_cast (NULL on conversion
+failure) for every input — it only changes the execution strategy
+(regexp-guarded plain cast instead of catch-per-row)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pippin_spark.functions import safe_cast
+
+EDGE_STRINGS = [
+    None,
+    "",
+    " ",
+    "0",
+    "42",
+    "-42",
+    "+7",
+    " 123 ",
+    "00123",
+    "9223372036854775807",  # Long.MAX
+    "-9223372036854775808",  # Long.MIN
+    "9223372036854775808",  # Long.MAX+1 → overflow → NULL
+    "99999999999999999999999",  # way out of range
+    "2147483648",  # Int.MAX+1
+    "3.14",
+    "-0.5",
+    ".5",
+    "5.",
+    "1e3",
+    "1.5E-2",
+    "inf",
+    "Infinity",
+    "-Infinity",
+    "NaN",
+    "abc",
+    "12abc",
+    "abc12",
+    "1 2",
+    "--5",
+    "+-5",
+    "true",
+    "FALSE",
+    "yes",
+    "N",
+    "1",
+    "0",
+    "maybe",
+    "١٢٣",  # non-ASCII digits: cast accepts? must match try_cast either way
+    "0x1F",
+]
+
+
+@pytest.mark.parametrize("dtype", ["bigint", "int", "smallint", "tinyint", "double", "float", "boolean", "decimal(10,2)", "date"])
+def test_safe_cast_matches_try_cast(spark, dtype):
+    df = spark.createDataFrame([(s,) for s in EDGE_STRINGS], "v string")
+    out = df.select(
+        "v",
+        safe_cast(F.col("v"), dtype).alias("safe"),
+        F.col("v").try_cast(dtype).alias("try"),
+    ).collect()
+    for r in out:
+        assert r["safe"] == r["try"] or (
+            r["safe"] != r["safe"] and r["try"] != r["try"]  # NaN == NaN
+        ), f"{dtype}: input {r['v']!r}: safe={r['safe']!r} try={r['try']!r}"

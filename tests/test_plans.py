@@ -68,10 +68,12 @@ def test_semi_join_stays_semi(spark, qs):
 def test_minhash_single_udf_eval(spark, qs):
     # regression: a filter on the UDF output column once made Catalyst
     # inline the UDF into Filter AND Project → whole sketch computed
-    # twice; nondeterministic marker pins single evaluation. Exactly 2
-    # Arrow stages: shingle-hash UDF + permutation-min UDF, once each.
+    # twice; nondeterministic marker pins single evaluation. Exactly 4
+    # Arrow stages: shingle-hash + permutation-min for the sketch, and
+    # one shingle-hash per side of the candidate-pair verify — each
+    # evaluated once.
     p = plan(qs["dedup_minhash"](spark, SF))
-    assert count_nodes(p, "ArrowEvalPython") == 2
+    assert count_nodes(p, "ArrowEvalPython") == 4
 
 
 def test_simhash_single_udf_eval(spark, qs):
