@@ -96,6 +96,45 @@ def minhash_signature_hof(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def _shingle_hash_fn(n: int):
+    """Build the per-text shingle hasher used inside the Arrow UDFs:
+    text → unique uint64 n-gram hashes. Token md5s are cached for the
+    executor lifetime (hot tokens hash once per executor, not once per
+    occurrence); the n-gram combine is a vectorized polynomial over the
+    token-hash array, so per-shingle Python work is zero. Globally
+    deterministic (md5 + fixed odd multiplier) — cross-partition
+    Jaccard requires that."""
+    import hashlib
+
+    import numpy as np
+
+    cache: dict = {}
+    P = np.uint64(0x9E3779B97F4A7C15)  # odd → injective per position
+    EMPTY = np.empty(0, dtype=np.uint64)
+
+    def tok_hash(tok):
+        h = cache.get(tok)
+        if h is None:
+            if len(cache) > 2_000_000:  # bound executor memory
+                cache.clear()
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            cache[tok] = h
+        return h
+
+    def shingles_of(t):
+        toks = (t or "").lower().split()
+        m = len(toks) - n + 1
+        if m <= 0:
+            return EMPTY
+        ids = np.fromiter((tok_hash(tok) for tok in toks), dtype=np.uint64, count=len(toks))
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            h = h * P + ids[j : j + m]
+        return np.unique(h)  # sorted — intersect1d(assume_unique) relies on it
+
+    return shingles_of
+
+
 def shingle_hashes(df: DataFrame, text_col: str, n: int = 3, out_col: str = "hs") -> DataFrame:
     """Distinct word n-gram shingles of lowercased text, as 64-bit
     hashes, computed in one Arrow pandas UDF straight from the text.
@@ -113,41 +152,82 @@ def shingle_hashes(df: DataFrame, text_col: str, n: int = 3, out_col: str = "hs"
     so exact-verify downstream is unaffected."""
     from pyspark.sql.functions import pandas_udf
 
+    mk = _shingle_hash_fn
+
     @pandas_udf("array<long>")
     def sh(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        import numpy as np
-
-        cache = sh.__dict__.setdefault("_tok_cache", {})
-        P = np.uint64(0x9E3779B97F4A7C15)  # odd → injective per position
-
-        def tok_hash(tok):
-            h = cache.get(tok)
-            if h is None:
-                if len(cache) > 2_000_000:  # bound executor memory
-                    cache.clear()
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                cache[tok] = h
-            return h
-
-        out = []
-        for t in texts:
-            toks = (t or "").lower().split()
-            m = len(toks) - n + 1
-            if m <= 0:
-                out.append(np.empty(0, dtype=np.int64))
-                continue
-            ids = np.fromiter((tok_hash(tok) for tok in toks), dtype=np.uint64, count=len(toks))
-            h = np.zeros(m, dtype=np.uint64)
-            for j in range(n):
-                h = h * P + ids[j : j + m]
-            out.append(np.unique(h).view(np.int64))
-        return pd.Series(out)
+        shingles_of = sh.__dict__.setdefault("_fn", mk(n))
+        return pd.Series([shingles_of(t).view("int64") for t in texts])
 
     sh = sh.asNondeterministic()  # collapse barrier (see minhash_signatures)
     others = [c for c in df.columns if c != text_col]
     return df.select(*others, sh(text_col).alias(out_col))
+
+
+def text_minhash_signatures(
+    df: DataFrame, text_col: str, n: int = 3, num_hashes: int = 64, out_col: str = "sig"
+) -> DataFrame:
+    """Text → MinHash signature in ONE Arrow stage (shingle hashing and
+    permutation minima fused). vs shingle_hashes→minhash_from_hashes
+    this halves the Python round-trips and never Arrow-transfers the
+    shingle arrays at all — which are ~2.7× the text bytes (8 B/hash vs
+    ~6 B/token avg English), so at corpus scale the saved transfer
+    exceeds the text scan itself. Null signature for shingle-less docs
+    (callers filter)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mk, smix = _shingle_hash_fn, _splitmix64
+
+    @pandas_udf("array<long>")
+    def mh(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        shingles_of = mh.__dict__.setdefault("_fn", mk(n))
+        seeds = smix(np.arange(1, num_hashes + 1, dtype=np.uint64))
+        out = []
+        for t in texts:
+            h = shingles_of(t)
+            if h.size == 0:
+                out.append(None)
+                continue
+            perms = smix(h[:, None] ^ seeds[None, :])
+            out.append(perms.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    mh = mh.asNondeterministic()  # see minhash_signatures: prevents double eval
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others, mh(text_col).alias(out_col))
+
+
+def pair_jaccard_from_text(
+    df: DataFrame, col_a: str, col_b: str, n: int = 3, out_col: str = "jaccard"
+) -> DataFrame:
+    """Exact n-gram Jaccard of two text columns in ONE Arrow stage:
+    both sides are shingle-hashed and intersected inside the UDF, so
+    the (large) shingle arrays never leave Python. Jaccard over
+    injectively-hashed shingles equals Jaccard over the shingle strings
+    (64-bit collisions ~1e-10 at corpus scale)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mk = _shingle_hash_fn
+
+    @pandas_udf("double")
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        shingles_of = jac.__dict__.setdefault("_fn", mk(n))
+        out = np.zeros(len(a), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(a, b)):
+            ha, hb = shingles_of(ta), shingles_of(tb)
+            union = ha.size + hb.size
+            if union == 0:
+                continue
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            out[i] = inter / (union - inter)
+        return pd.Series(out)
+
+    jac = jac.asNondeterministic()
+    return df.withColumn(out_col, jac(col_a, col_b))
 
 
 def _splitmix64(x):
@@ -307,9 +387,11 @@ def dedup_minhash_lsh(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     )
-    hashed = shingle_hashes(base.select("id", "__text__"), "__text__", n)
+    # ONE Arrow stage text→signature (fused shingle+minhash): the
+    # shingle-hash arrays — bigger than the text — never cross the
+    # JVM↔Python boundary.
     sigs = (
-        minhash_from_hashes(hashed, "hs", num_hashes)
+        text_minhash_signatures(base, "__text__", n, num_hashes)
         .select("id", "sig")
         .filter(F.col("sig").isNotNull())
     )
@@ -317,20 +399,16 @@ def dedup_minhash_lsh(
     # Verify by joining candidate ids back to the RAW text and shingling
     # post-join: shingles are recomputed only for candidate rows (≪ the
     # corpus), and AQE broadcast-joins the small candidate side — the
-    # corpus is never shuffled by id.
+    # corpus is never shuffled by id. One fused Arrow stage computes
+    # exact Jaccard from both texts.
     ta = base.select(F.col("id").alias("id_a"), F.col("__text__").alias("__ta__"))
     tb = base.select(F.col("id").alias("id_b"), F.col("__text__").alias("__tb__"))
     joined = cand.join(ta, "id_a").join(tb, "id_b")
-    # Re-shingle ONLY candidate rows, via the vectorized hash path (the
-    # interpreted shingles() HOF here was the slowest stage); Jaccard
-    # over hashed shingles == Jaccard over shingle strings.
-    ha = shingle_hashes(joined, "__ta__", n, out_col="__sha__")
-    hb = shingle_hashes(ha, "__tb__", n, out_col="__shb__")
-    verified = hb.select(
-        "id_a",
-        "id_b",
-        F.round(jaccard(F.col("__sha__"), F.col("__shb__")), 6).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    verified = (
+        pair_jaccard_from_text(joined, "__ta__", "__tb__", n, out_col="__j__")
+        .select("id_a", "id_b", F.round(F.col("__j__"), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
     return verified
 
 
@@ -428,21 +506,26 @@ def dedup_filter(
 
 
 def simhash_signatures(df: DataFrame, text_col: str, out_col: str = "sig") -> DataFrame:
-    """Corpus-scale SimHash: tokens are hashed JVM-side once, then the
-    per-bit ±1 votes are computed in a vectorized Arrow pandas UDF —
-    an (n_tokens × 64) sign matrix summed per column, µs per doc.
-    Arrow moves only the 8-byte token hashes."""
+    """Corpus-scale SimHash in ONE fused Arrow stage: text → tokenize →
+    cached token md5 (n=1 shingle hasher, distinct tokens) → per-bit ±1
+    votes as an (n_tokens × 64) sign matrix summed per column — µs per
+    doc. vs the earlier split (JVM interpreted-HOF xxhash64 per token +
+    a second Arrow hop for the hash arrays) this moves only the raw
+    text across Arrow and hashes hot tokens once per executor."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    mk = _shingle_hash_fn
+
     @pandas_udf("long")
-    def sh(hashes: pd.Series) -> pd.Series:
+    def sh(texts: pd.Series) -> pd.Series:
         import numpy as np
 
+        shingles_of = sh.__dict__.setdefault("_fn", mk(1))  # n=1 → distinct token hashes
         bits = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, arr in enumerate(hashes):
-            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            h = shingles_of(t)
             if h.size == 0:
                 continue
             votes = (((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1).sum(axis=0)
@@ -450,12 +533,7 @@ def simhash_signatures(df: DataFrame, text_col: str, out_col: str = "sig") -> Da
         return pd.Series(out)
 
     sh = sh.asNondeterministic()  # see minhash_signatures: prevents double eval
-
-    toks = F.array_distinct(
-        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")), " ")
-    )
-    hashed = F.transform(toks, lambda t: F.xxhash64(t)).alias("__th__")
-    return df.withColumn("__th__", hashed).withColumn(out_col, sh("__th__")).drop("__th__")
+    return df.withColumn(out_col, sh(text_col))
 
 
 def simhash(text_col: Column, bits: int = 64) -> Column:
@@ -488,16 +566,90 @@ def simhash(text_col: Column, bits: int = 64) -> Column:
     )
 
 
+def _popcount64(x):
+    """Vectorized 64-bit popcount (SWAR) over a uint64 numpy array —
+    numpy <2.0 has no np.bitwise_count."""
+    import numpy as np
+
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return (x * h) >> np.uint64(56)
+
+
 def dedup_simhash(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk identical), bucket per
     chunk value (groupBy, not self-join — the signature subtree runs
-    once), verify bit_count(xor) ≤ max_hamming in-bucket."""
+    once), verify hamming ≤ max_hamming in-bucket.
+
+    In-bucket verification is a vectorized ``mapInPandas`` stage:
+    block-wise n×n xor + SWAR popcount in numpy, output built as
+    columnar numpy arrays (zero per-pair Python objects).
+    Boilerplate-heavy corpora produce mega-buckets (observed: 1.6k
+    docs sharing one 16-bit chunk → 1.3M candidate pairs from ONE
+    bucket, 166k qualifying pairs at sf0.1) where Spark's interpreted
+    HOF-lambda expansion was the whole runtime. A pair whose sigs
+    share several identical chunks is emitted only from the LOWEST
+    one (checked on the xor value, nearly free), so output is
+    exactly-once and the final ``distinct`` — a shuffle of every
+    emitted pair — disappears. Buckets beyond ``max_bucket_size``
+    (near-dup *cliques* — boilerplate classes) can be dropped, as in
+    :func:`lsh_candidates`."""
+    import pandas as pd
+
+    popcount = _popcount64
+
+    def expand(pdfs):
+        import numpy as np
+
+        for pdf in pdfs:
+            out_a: list = []
+            out_b: list = []
+            out_h: list = []
+            for chunk, ids_l, sigs_l in zip(pdf["chunk"], pdf["ids"], pdf["sigs"]):
+                ids = np.asarray(ids_l, dtype=np.int64)
+                sig = np.asarray(sigs_l, dtype=np.int64).view(np.uint64)
+                order = np.argsort(ids)  # id_a < id_b
+                ids, sig = ids[order], sig[order]
+                n = len(ids)
+                B = 4096  # bounds the xor matrix to B×n — mega-bucket safe
+                for s in range(0, n, B):
+                    e = min(s + B, n)
+                    x = sig[s:e, None] ^ sig[None, s:]
+                    d = popcount(x)
+                    r, c = np.nonzero(d <= np.uint64(max_hamming))
+                    keep = (c + s) > (r + s)  # strict upper triangle
+                    r, c = r[keep], c[keep]
+                    xv = x[r, c]
+                    # exactly-once: skip pairs already emitted by a
+                    # lower identical chunk
+                    dup = np.zeros(len(r), dtype=bool)
+                    for cp in range(int(chunk)):
+                        dup |= ((xv >> np.uint64(16 * cp)) & np.uint64(0xFFFF)) == 0
+                    r, c = r[~dup], c[~dup]
+                    out_a.append(ids[r + s])
+                    out_b.append(ids[c + s])
+                    out_h.append(d[r, c].astype(np.int32))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "hamming": np.concatenate(out_h),
+                    }
+                )
+
     sigs = simhash_signatures(
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col))), text_col
     ).select(F.col(id_col).alias("id"), "sig")
@@ -518,33 +670,16 @@ def dedup_simhash(
             )
         ).alias("ck"),
     ).select("id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.ch").alias("ch"))
+    # collect_list order is consistent across the two lists (same agg,
+    # same row order) so ids/sigs indexes align in the UDF
     buckets = (
         chunks.groupBy("chunk", "ch")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .agg(F.collect_list("id").alias("ids"), F.collect_list("sig").alias("sigs"))
+        .filter(F.size("ids") > 1)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ms",
-                    lambda x, i: F.transform(
-                        F.slice("ms", i + F.lit(2), F.size("ms")),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return (
-        pairs.select("p.id_a", "p.id_b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    return buckets.mapInPandas(expand, "id_a long, id_b long, hamming int")
 
 
 # ---------------------------------------------------------------------------

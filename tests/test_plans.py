@@ -68,17 +68,19 @@ def test_semi_join_stays_semi(spark, qs):
 def test_minhash_single_udf_eval(spark, qs):
     # regression: a filter on the UDF output column once made Catalyst
     # inline the UDF into Filter AND Project → whole sketch computed
-    # twice; nondeterministic marker pins single evaluation. Exactly 4
-    # Arrow stages: shingle-hash + permutation-min for the sketch, and
-    # one shingle-hash per side of the candidate-pair verify — each
-    # evaluated once.
+    # twice; nondeterministic marker pins single evaluation. Exactly 2
+    # Arrow stages: one fused text→signature pass over the corpus, one
+    # fused pair-Jaccard pass over the candidates — each evaluated once.
     p = plan(qs["dedup_minhash"](spark, SF))
-    assert count_nodes(p, "ArrowEvalPython") == 4
+    assert count_nodes(p, "ArrowEvalPython") == 2
 
 
 def test_simhash_single_udf_eval(spark, qs):
+    # one fused text→signature Arrow stage + one mapInPandas verify
+    # stage; no distinct (pairs are emitted exactly once)
     p = plan(qs["dedup_simhash"](spark, SF))
     assert count_nodes(p, "ArrowEvalPython") == 1
+    assert count_nodes(p, "MapInPandas") == 1
 
 
 def test_asof_join_single_shuffle_per_side(spark, qs):
