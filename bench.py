@@ -50,6 +50,7 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "multimodal_decode",
+    "multimodal_resize",
 ]
 
 

@@ -983,11 +983,65 @@ ENTRY_ORACLES["text_lang_id"] = (
 )
 
 
-@_q("multimodal_decode")  # stubbed decode — rows-only plumbing check
+# the fake decoder derives dims from md5(content) — expressible in
+# DuckDB via md5(text) + hex→int, so the stubbed decode gets a FULL
+# value oracle (content bytes == utf-8 text bytes by construction)
+_MD5_BYTE = "CAST(('0x' || substr(md5(text), {pos}, 2)) AS INT)"
+
+
+@_q(
+    "multimodal_decode",
+    f"""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           64 + {_MD5_BYTE.format(pos=1)} % 192 AS width,
+           64 + {_MD5_BYTE.format(pos=3)} % 192 AS height
+    FROM documents
+    """,
+)
 def q_multimodal_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df
     media = MM.attach_fake_media(docs, "text", "doc_id", kind="image")
     return MM.decode_media(media).select("media_id", "kind", "width", "height")
+
+
+@_q(
+    "multimodal_resize",
+    f"""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             64 + {_MD5_BYTE.format(pos=1)} % 192 AS w,
+             64 + {_MD5_BYTE.format(pos=3)} % 192 AS h
+      FROM documents)
+    SELECT media_id, w AS width, h AS height,
+           CASE WHEN w <= 224 AND h <= 224 THEN w
+                WHEN w * 224 <= h * 224 THEN (w * 224) // h
+                ELSE 224 END AS out_w,
+           CASE WHEN w <= 224 AND h <= 224 THEN h
+                WHEN w * 224 <= h * 224 THEN 224
+                ELSE (h * 224) // w END AS out_h
+    FROM dims
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    # fused decode+resize — one Arrow pass, exact-integer aspect-fit
+    docs = _t(spark, sf_dir, "documents").df
+    media = MM.attach_fake_media(docs, "text", "doc_id", kind="image")
+    return MM.resize_images(media).select("media_id", "width", "height", "out_w", "out_h")
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, CAST(('0x' || substr(md5(text), 5, 4)) AS INT), 1000)) AS frame_ts_ms
+    FROM documents
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    # decode → native sequence/explode; no join, no second scan
+    docs = _t(spark, sf_dir, "documents").df
+    media = MM.attach_fake_media(docs, "text", "doc_id", kind="video")
+    return MM.frame_sample(media, every_ms=1000)
 
 
 # ---------------------------------------------------------------------------

@@ -118,16 +118,68 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling plan: expand each video into frame
-    timestamps (native sequence/explode — the decode of each frame is
-    the stubbed step, the *plumbing* is the real distributed op)."""
-    return (
-        df.filter(F.col("kind") == "video")
-        .join(decode_media(df.filter(F.col("kind") == "video")).select("media_id", "duration_ms"), "media_id")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
-            ).alias("frame_ts_ms"),
-        )
+    """Video frame sampling plan: decode (one mapInPandas pass) then
+    expand each video into frame timestamps with native
+    sequence/explode — no join, no second scan; the per-frame decode is
+    the stubbed step, the *plumbing* is the real distributed op."""
+    feats = decode_media(df.filter(F.col("kind") == "video"))
+    return feats.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))).alias(
+            "frame_ts_ms"
+        ),
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Aspect-fit resize, fused with decode in ONE mapInPandas pass (at
+    scale you never decode in one stage and resize in another — the
+    pixel buffer would cross the Python↔JVM boundary twice). Output
+    dims use exact integer math (floor((w·th)/h) etc.) so the op is
+    oracle-checkable; the pixel transform itself is the stubbed step
+    (fake=True passes bytes through; fake=False raises
+    NotImplementedError — no PIL in this container)."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not available; "
+                    "use fake=True for the deterministic stand-in"
+                )
+            rows = []
+            for m, c in zip(pdf["media_id"], pdf["content"]):
+                d = _hl.md5(c or b"").digest()
+                w, h = 64 + d[0] % 192, 64 + d[1] % 192
+                if w <= target_w and h <= target_h:
+                    ow, oh = w, h  # never upscale
+                elif w * target_h <= h * target_w:  # height is binding
+                    ow, oh = (w * target_h) // h, target_h
+                else:  # width is binding
+                    ow, oh = target_w, (h * target_w) // w
+                rows.append((m, w, h, ow, oh, c))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "out_w", "out_h", "content"]
+            )
+
+    return ensure_parallelism(df.select("media_id", "content")).mapInPandas(
+        rs, RESIZED_SCHEMA
     )

@@ -138,6 +138,26 @@ def test_multimodal_real_decode_stubbed(spark, docs):
         M.decode_media(media, fake=False).collect()
 
 
+def test_multimodal_resize_aspect_fit(spark, docs):
+    media = M.attach_fake_media(docs, "text", "doc_id")
+    out = {r["media_id"]: r for r in M.resize_images(media, 100, 100).collect()}
+    for r in out.values():
+        assert r["out_w"] <= 100 and r["out_h"] <= 100
+        assert r["out_w"] <= r["width"] and r["out_h"] <= r["height"]  # never upscale
+        if r["width"] > 100 or r["height"] > 100:  # binding side is exact
+            assert r["out_w"] == 100 or r["out_h"] == 100
+        assert r["content"] is not None  # bytes pass through the stub
+
+
+def test_multimodal_frame_sample_count(spark, docs):
+    media = M.attach_fake_media(docs, "text", "doc_id", kind="video")
+    dur = {r["media_id"]: r["duration_ms"] for r in M.decode_media(media).collect()}
+    counts: dict = {}
+    for r in M.frame_sample(media, every_ms=500).collect():
+        counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
+    assert counts == {m: d // 500 + 1 for m, d in dur.items()}
+
+
 def test_frame_sample(spark, docs):
     media = M.attach_fake_media(docs.limit(2), "text", "doc_id", kind="video")
     frames = M.frame_sample(media, every_ms=5000).collect()
