@@ -165,7 +165,12 @@ def shingle_hashes(df: DataFrame, text_col: str, n: int = 3, out_col: str = "hs"
 
 
 def text_minhash_signatures(
-    df: DataFrame, text_col: str, n: int = 3, num_hashes: int = 64, out_col: str = "sig"
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    out_col: str = "sig",
+    bands: Optional[int] = None,
 ) -> DataFrame:
     """Text → MinHash signature in ONE Arrow stage (shingle hashing and
     permutation minima fused). vs shingle_hashes→minhash_from_hashes
@@ -173,29 +178,66 @@ def text_minhash_signatures(
     shingle arrays at all — which are ~2.7× the text bytes (8 B/hash vs
     ~6 B/token avg English), so at corpus scale the saved transfer
     exceeds the text scan itself. Null signature for shingle-less docs
-    (callers filter)."""
+    (callers filter).
+
+    With ``bands`` set, also emits a ``bands`` column: the LSH band
+    hashes (length ``bands``, ``num_hashes//bands`` rows each),
+    computed in the same numpy pass — Spark's HOF slice/array_join
+    banding over the signature is interpreted and measured ~as costly
+    as the whole signature itself."""
     from pyspark.sql.functions import pandas_udf
 
     mk, smix = _shingle_hash_fn, _splitmix64
+    rpb = num_hashes // bands if bands else 0
 
-    @pandas_udf("array<long>")
-    def mh(texts: pd.Series) -> pd.Series:
+    def compute(holder, texts):
         import numpy as np
 
-        shingles_of = mh.__dict__.setdefault("_fn", mk(n))
+        shingles_of = holder.setdefault("_fn", mk(n))
         seeds = smix(np.arange(1, num_hashes + 1, dtype=np.uint64))
-        out = []
+        P = np.uint64(0x9E3779B97F4A7C15)
+        sig_out: list = []
+        band_out: list = []
         for t in texts:
             h = shingles_of(t)
             if h.size == 0:
-                out.append(None)
+                sig_out.append(None)
+                band_out.append(None)
                 continue
             perms = smix(h[:, None] ^ seeds[None, :])
-            out.append(perms.min(axis=0).view(np.int64))
-        return pd.Series(out)
+            sig = perms.min(axis=0)
+            sig_out.append(sig.view(np.int64))
+            if bands:
+                chunks = sig.reshape(bands, rpb)
+                bh = np.zeros(bands, dtype=np.uint64)
+                for j in range(rpb):
+                    bh = bh * P + chunks[:, j]
+                # mix the band index in so identical band VALUES in
+                # different bands never collide into one bucket
+                band_out.append(
+                    smix(bh ^ np.arange(bands, dtype=np.uint64)).view(np.int64)
+                )
+        return sig_out, band_out
+
+    if bands:
+
+        @pandas_udf("sig: array<long>, bands: array<long>")
+        def mh(texts: pd.Series) -> pd.DataFrame:
+            sig_out, band_out = compute(mh.__dict__, texts)
+            return pd.DataFrame({"sig": sig_out, "bands": band_out})
+
+    else:
+
+        @pandas_udf("array<long>")
+        def mh(texts: pd.Series) -> pd.Series:
+            sig_out, _ = compute(mh.__dict__, texts)
+            return pd.Series(sig_out)
 
     mh = mh.asNondeterministic()  # see minhash_signatures: prevents double eval
     others = [c for c in df.columns if c != text_col]
+    if bands:
+        tmp = df.select(*others, mh(text_col).alias("__mh__"))
+        return tmp.select(*others, F.col("__mh__.sig").alias(out_col), F.col("__mh__.bands").alias("bands"))
     return df.select(*others, mh(text_col).alias(out_col))
 
 
@@ -383,27 +425,50 @@ def dedup_minhash_lsh(
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified:
     shingle → signature → banded candidates → verify. Returns
     (id_a, id_b, jaccard) with jaccard ≥ threshold."""
-    rows = num_hashes // bands
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     )
-    # ONE Arrow stage text→signature (fused shingle+minhash): the
-    # shingle-hash arrays — bigger than the text — never cross the
-    # JVM↔Python boundary.
-    sigs = (
-        text_minhash_signatures(base, "__text__", n, num_hashes)
-        .select("id", "sig")
-        .filter(F.col("sig").isNotNull())
+    # ONE Arrow stage text→(signature, band hashes): fused
+    # shingle+minhash+banding — neither the shingle-hash arrays (bigger
+    # than the text) nor the interpreted HOF banding ever run JVM-side.
+    banded = (
+        text_minhash_signatures(base, "__text__", n, num_hashes, bands=bands)
+        .select("id", "bands")
+        .filter(F.col("bands").isNotNull())
+        .select("id", F.explode("bands").alias("bh"))
     )
-    cand = lsh_candidates(sigs, "id", "sig", bands, rows)
-    # Verify by joining candidate ids back to the RAW text and shingling
-    # post-join: shingles are recomputed only for candidate rows (≪ the
-    # corpus), and AQE broadcast-joins the small candidate side — the
-    # corpus is never shuffled by id. One fused Arrow stage computes
-    # exact Jaccard from both texts.
-    ta = base.select(F.col("id").alias("id_a"), F.col("__text__").alias("__ta__"))
-    tb = base.select(F.col("id").alias("id_b"), F.col("__text__").alias("__tb__"))
-    joined = cand.join(ta, "id_a").join(tb, "id_b")
+    buckets = (
+        banded.groupBy("bh")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice("ids", i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    # Verify by joining candidate ids back to the RAW text and
+    # re-shingling post-join: shingles are recomputed only for
+    # candidate rows (≪ the corpus), and AQE broadcasts the tiny
+    # candidate side against plain scans — the corpus is never
+    # shuffled or repartitioned for the join. One fused Arrow stage
+    # computes exact Jaccard from both texts.
+    raw = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+    ta = raw.select(F.col("id").alias("id_a"), F.col("__text__").alias("__ta__"))
+    tb = raw.select(F.col("id").alias("id_b"), F.col("__text__").alias("__tb__"))
+    joined = F.broadcast(cand).join(ta, "id_a").join(tb, "id_b")
     verified = (
         pair_jaccard_from_text(joined, "__ta__", "__tb__", n, out_col="__j__")
         .select("id_a", "id_b", F.round(F.col("__j__"), 6).alias("jaccard"))
