@@ -510,43 +510,55 @@ def dedup_ngram_jaccard(
     )
     docs = shingle_hashes(pre, "__text__", n, out_col="sh")
     # groupBy-bucket, not a blocked self-join: the self-join would run
-    # the (interpreted-HOF) shingle pass twice; this shuffles each
-    # shingle array once and expands pairs in-bucket. array_sort on
-    # struct(id, sh) orders by id, so slice-expansion gives id_a < id_b.
+    # the shingle pass twice; this shuffles each shingle array once.
+    # Blocks are disjoint (each doc in exactly one), so pairs are
+    # emitted exactly once — no distinct needed.
     buckets = (
         docs.groupBy("blk")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .agg(F.collect_list("id").alias("ids"), F.collect_list("sh").alias("shs"))
+        .filter(F.size("ids") > 1)
     )
-    # pair structs carry array REFERENCES; jaccard itself is computed
-    # after the explode, in a codegen'd projection (inside the
-    # interpreted lambda it would run ~5-10× slower)
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ms",
-                    lambda x, i: F.transform(
-                        F.slice("ms", i + F.lit(2), F.size("ms")),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            x["sh"].alias("sh_a"),
-                            y["sh"].alias("sh_b"),
-                        ),
-                    ),
+
+    # In-bucket pair expansion + set intersection in numpy (mapInPandas,
+    # columnar output) — the interpreted HOF expansion materialized both
+    # arrays per pair and evaluated array_intersect per pair, ~5-10×
+    # slower. Only integer (inter, union) counts leave Python, so the
+    # jaccard division and rounding stay in the codegen'd projection —
+    # bit-identical to the SQL oracle's ROUND(i/u, 6).
+    def expand(pdfs):
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in pdfs:
+            out_a: list = []
+            out_b: list = []
+            out_i: list = []
+            out_u: list = []
+            for ids_l, shs_l in zip(pdf["ids"], pdf["shs"]):
+                order = sorted(range(len(ids_l)), key=lambda k: ids_l[k])  # id_a < id_b
+                ids = [ids_l[k] for k in order]
+                shs = [np.asarray(shs_l[k], dtype=np.int64) for k in order]
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        inter = np.intersect1d(shs[i], shs[j], assume_unique=True).size
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_i.append(inter)
+                        out_u.append(shs[i].size + shs[j].size - inter)
+            if out_a:
+                yield _pd.DataFrame(
+                    {"id_a": out_a, "id_b": out_b, "inter": out_i, "union": out_u}
                 )
-            )
-        ).alias("p")
-    )
-    return (
-        pairs.select(
-            "p.id_a",
-            "p.id_b",
-            F.round(jaccard(F.col("p.sh_a"), F.col("p.sh_b")), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+
+    counts = buckets.mapInPandas(expand, "id_a long, id_b long, inter long, union long")
+    return counts.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.when(F.col("union") > 0, F.col("inter") / F.col("union")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def dedup_filter(
