@@ -341,17 +341,13 @@ def q_agg_avg_complex(spark, sf_dir):
        FROM orders""",
 )
 def q_agg_sort(spark, sf_dir):
-    # Sort (aggregate.go:201-215): distributed total sort; rank column
-    # captures the order for the order-insensitive hash compare
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return (
-        _t(spark, sf_dir, "orders")
-        .df.select("o_orderkey", "o_totalprice")
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "o_orderkey", "o_totalprice")
-    )
+    # Sort (aggregate.go:201-215): distributed total sort; rank via
+    # REL.ranked_sort (range-partitioned, offset-based — no
+    # Exchange SinglePartition of the full input)
+    return REL.ranked_sort(
+        _t(spark, sf_dir, "orders").df.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+    ).select("rank", "o_orderkey", "o_totalprice")
 
 
 @_q(
@@ -361,15 +357,10 @@ def q_agg_sort(spark, sf_dir):
        FROM orders""",
 )
 def q_agg_sort_desc(spark, sf_dir):
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
-        _t(spark, sf_dir, "orders")
-        .df.select("o_orderkey", "o_totalprice")
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "o_orderkey", "o_totalprice")
-    )
+    return REL.ranked_sort(
+        _t(spark, sf_dir, "orders").df.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    ).select("rank", "o_orderkey", "o_totalprice")
 
 
 @_q(
@@ -391,21 +382,20 @@ def q_agg_group_by(spark, sf_dir):
     )
 
 
-@_q("agg_reduce", "SELECT SUM(CAST(l_quantity AS BIGINT)) AS r FROM lineitem")
+@_q(
+    "agg_reduce",
+    "SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r FROM lineitem",
+)
 def q_agg_reduce(spark, sf_dir):
     # Reduce with an associative+commutative fn (§1.4 contract) — the
-    # native path lowers to a two-phase JVM fold
+    # native path is a two-level fold: per-partition collect_list fold,
+    # then a fold of the ≤P scalar partials (pipeline._native_reduce_df).
+    # Oracle casts DuckDB's SUM(BIGINT)→HUGEINT back to BIGINT so the
+    # typed value hash matches Spark's bigint.
     stage = _t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("bigint").alias("value")
     )
-    df = stage.df.agg(
-        F.reduce(
-            F.collect_list("value"),
-            F.lit(None).cast("bigint"),
-            lambda acc, x: F.when(acc.isNull(), x).otherwise(acc + x),
-        ).alias("r")
-    )
-    return df
+    return stage.reduce_df(lambda acc, x: acc + x)
 
 
 @_q(
@@ -708,7 +698,7 @@ def q_asof_join_events(spark, sf_dir):
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM flags GROUP BY user_id
     """,
 )
@@ -716,7 +706,13 @@ def q_sessionize_events(spark, sf_dir):
     # sessionization: 30-min gap over nano timestamps (single shuffle
     # on user_id; batch analog of a session window)
     ev = _t(spark, sf_dir, "events").df
-    s = REL.sessionize(ev, "user_id", F.col("ts"), gap=1_800_000_000_000)
+    s = REL.sessionize(
+        ev,
+        "user_id",
+        F.col("ts"),
+        gap=1_800_000_000_000,
+        tie_break=[F.col("event_id")],
+    )
     return s.groupBy("user_id").agg(
         F.max("session_seq").cast("bigint").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),

@@ -24,19 +24,65 @@ def top_k(
 ) -> DataFrame:
     """Top-k rows (global or per group) with a deterministic rank.
 
-    Scale: global top-k lowers to Spark's TakeOrderedAndProject (no full
-    sort — per-partition heap + driver merge of k·P rows) when followed
-    by limit; per-group uses a window with partial aggregation pushed
-    map-side. Pass fully deterministic order_by (include a tie-break
-    key) or ranks are unstable.
+    Scale: the global path is two-phase — orderBy().limit(k) lowers to
+    TakeOrderedAndProject (per-partition top-k heap, then a merge of
+    only k·P rows; the full input is NEVER exchanged to one task), and
+    the rank window runs over the surviving ≤k rows only. Per-group
+    keeps the partitioned window (shuffle on the group key, AQE splits
+    skew). Pass fully deterministic order_by (include a tie-break key)
+    or ranks are unstable.
     """
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*order_by)
-    else:
-        w = Window.orderBy(*order_by)
+        return (
+            df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k)
+        )
+    limited = df.orderBy(*order_by).limit(k)
+    w = Window.orderBy(*order_by)
+    return limited.withColumn(rank_col, F.row_number().over(w))
+
+
+def ranked_sort(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Totally-ordered global rank WITHOUT a single-partition window.
+
+    ``Window.orderBy(...)`` + row_number is an Exchange SinglePartition
+    of the ENTIRE input through one task — a scale-killer. Instead:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` gives a total
+       order across partitions (each partition holds a contiguous key
+       range, sorted inside).
+    2. ``monotonically_increasing_id()`` above the sort encodes
+       (partition-index, local-row-number) arithmetically:
+       id = pid·2^33 + local index, assigned in iterator (= sorted)
+       order. No window, no extra shuffle.
+    3. Per-partition counts (the range exchange is reused by AQE) feed a
+       tiny ≤P-row cumulative window → each partition's global offset.
+    4. Broadcast-join offsets back: rank = offset + local index + 1.
+
+    The full data crosses the wire once (the range shuffle); only ≤P
+    count rows ever pass through a single task. order_by must be fully
+    deterministic (include a tie-break key).
+    """
+    sorted_df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    ided = (
+        sorted_df.withColumn("__mid__", F.monotonically_increasing_id())
+        .withColumn("__pid__", F.shiftrightunsigned(F.col("__mid__"), 33))
+        .withColumn("__loc__", F.col("__mid__").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    counts = ided.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__n__"))
+    w = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off__", F.coalesce(F.sum("__n__").over(w), F.lit(0))
+    ).select("__pid__", "__off__")
     return (
-        df.withColumn(rank_col, F.row_number().over(w))
-        .filter(F.col(rank_col) <= k)
+        ided.join(F.broadcast(offsets), "__pid__")
+        .withColumn(rank_col, F.col("__off__") + F.col("__loc__") + 1)
+        .drop("__mid__", "__pid__", "__loc__", "__off__")
     )
 
 
@@ -158,12 +204,19 @@ def sessionize(
     user_col: str,
     ts_col: Column,
     gap: float,
+    tie_break: Optional[Sequence[Column]] = None,
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap to the
     previous event of the same user exceeds ``gap`` (seconds-compatible
     numeric ts). Classic lag + cumulative-sum over one keyed window —
-    single shuffle on user, no state kept on the driver."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    single shuffle on user, no state kept on the driver.
+
+    ``tie_break``: extra ordering columns appended after ``ts_col`` so
+    rows with equal timestamps within a user order deterministically
+    (without it, lag() over ties is plan-dependent and session counts
+    drift between engines)."""
+    order = [ts_col, *(tie_break or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
     is_new = (
         (ts_col - F.lag(ts_col, 1).over(w) > gap)
         | F.lag(ts_col, 1).over(w).isNull()

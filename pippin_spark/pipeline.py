@@ -46,6 +46,34 @@ VALUE = "value"
 KEY = "key"
 
 
+def _native_reduce_df(df: DataFrame, value_col: str, fn: Callable[[Column, Column], Column]) -> DataFrame:
+    """Two-level distributed fold for a Column-pair reduce fn
+    (aggregate.go:292-303 contract: fn associative+commutative).
+
+    Level 1 folds each input partition independently — groupBy on
+    ``spark_partition_id()`` means every map task owns exactly one
+    group, so the partial ``collect_list`` buffer is bounded by ONE
+    partition's rows, never the whole column. Level 2 folds the ≤P
+    scalar partials (P = number of partitions). No aggregation buffer
+    anywhere holds more than a single partition — OOM-safe at scale,
+    unlike a global ``agg(reduce(collect_list(...)))``.
+    """
+    dtype = df.schema[value_col].dataType
+    init = F.lit(None).cast(dtype)
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.when(acc.isNull(), x).otherwise(fn(acc, x))
+
+    partials = (
+        df.select(F.col(value_col).alias(VALUE))
+        .withColumn("__pid__", F.spark_partition_id())
+        .groupBy("__pid__")
+        .agg(F.reduce(F.collect_list(VALUE), init, step).alias(VALUE))
+        .where(F.col(VALUE).isNotNull())
+    )
+    return partials.agg(F.reduce(F.collect_list(VALUE), init, step).alias("r"))
+
+
 # ---------------------------------------------------------------------------
 # Pipeline
 # ---------------------------------------------------------------------------
@@ -198,9 +226,14 @@ class Pipeline:
             self._flush_error_sinks()
             with self._lock:
                 self._active -= 1
-                if self._active == 0 and not self._status.is_terminal():
+                # only the LAST completing action disarms the pipeline
+                # timer — earlier completions must leave the
+                # PipelineConfig.timeout armed for in-flight siblings
+                done = self._active == 0 and not self._status.is_terminal()
+                if done:
                     self._status = Status.DONE
-            self._cancel_timer()
+            if done:
+                self._cancel_timer()
             return result
         except PippinError:
             with self._lock:
@@ -270,9 +303,11 @@ class Pipeline:
                 self._flush_error_sinks()
                 with self._lock:
                     self._active -= 1
-                    if self._active == 0 and not self._status.is_terminal():
+                    done = self._active == 0 and not self._status.is_terminal()
+                    if done:
                         self._status = Status.DONE
-                self._cancel_timer()
+                if done:
+                    self._cancel_timer()
                 future._complete(result)
             except BaseException as exc:  # noqa: BLE001 — must fail the future
                 with self._lock:
@@ -768,9 +803,14 @@ class Stage:
         return GroupedStage(self, key)
 
     # Reduce — aggregate.go:292-303. Contract: fn associative+commutative
-    # (SURVEY.md §1.4). Column-pair fns lower to a native two-phase
-    # aggregate via F.reduce over collect_list per partition; generic
-    # python fns use RDD treeReduce (distributed, log-depth).
+    # (SURVEY.md §1.4). Column-pair fns lower to a native two-level
+    # aggregate (_native_reduce_df: per-partition fold, then fold of ≤P
+    # partials); generic python fns use RDD treeReduce (distributed,
+    # log-depth).
+    def reduce_df(self, fn: Callable[[Column, Column], Column]) -> DataFrame:
+        """Lazy 1-row DataFrame form of reduce() for Column-pair fns."""
+        return _native_reduce_df(self._df, self._value_col(), fn)
+
     def reduce(self, fn: Callable[[Any, Any], Any]) -> Any:
         c = self._value_col()
         try:
@@ -779,15 +819,7 @@ class Stage:
         except Exception:
             native = False
         if native:
-            # two-phase: per-partition fold then final fold, all JVM-side
-            df = self._df.select(F.col(c).alias(VALUE))
-            merged = df.agg(
-                F.reduce(
-                    F.collect_list(VALUE),
-                    F.lit(None).cast(df.schema[VALUE].dataType),
-                    lambda acc, x: F.when(acc.isNull(), x).otherwise(fn(acc, x)),
-                ).alias("r")
-            )
+            merged = self.reduce_df(fn)
             return self._run(lambda: merged.collect()[0]["r"])
         rdd = self._df.select(c).rdd.map(lambda r: r[0])
         return self._run(lambda: rdd.treeReduce(fn))
@@ -944,14 +976,7 @@ class Stage:
         except Exception:
             native = False
         if native:
-            df = self._df.select(F.col(c).alias(VALUE))
-            merged = df.agg(
-                F.reduce(
-                    F.collect_list(VALUE),
-                    F.lit(None).cast(df.schema[VALUE].dataType),
-                    lambda acc, x: F.when(acc.isNull(), x).otherwise(fn(acc, x)),
-                ).alias("r")
-            )
+            merged = self.reduce_df(fn)
             return merged.collect()[0]["r"]
         return self._df.select(c).rdd.map(lambda r: r[0]).treeReduce(fn)
 
