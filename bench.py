@@ -92,15 +92,30 @@ def main() -> None:
     # file creation — then report the best of two warm runs (the
     # engine's steady-state throughput, what a long-running cluster job
     # sees; min-of-N is the standard noise-robust point estimate).
+    # Streaming entries execute the stream INSIDE the query builder
+    # (awaitTermination before returning the drained sink), so the
+    # timed region must include the builder call — a noop re-write of
+    # the already-drained memory sink would measure a trivial scan.
+    STREAMING = {"streaming_tumbling_window"}
+
     timings: dict[str, float] = {}
     for name in names:
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+        if name in STREAMING:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        else:
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)

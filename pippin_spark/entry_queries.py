@@ -1211,7 +1211,9 @@ def q_streaming_tumbling_window(spark, sf_dir):
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("tsc", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div, not double division: ts ~1.7e18 exceeds double's
+        # 2^53 exact range, which can shift events across hour borders
+        .withColumn("tsc", F.timestamp_micros(F.expr("ts div 1000")))
     )
     sp = StreamingPipeline(stream).with_watermark("tsc", "1 hour").tumbling_window(
         "tsc",

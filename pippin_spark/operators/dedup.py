@@ -187,6 +187,12 @@ def text_minhash_signatures(
     as the whole signature itself."""
     from pyspark.sql.functions import pandas_udf
 
+    if bands and num_hashes % bands != 0:
+        # fail on the driver with a clear message — inside the UDF this
+        # would surface as an opaque executor-side reshape ValueError
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     mk, smix = _shingle_hash_fn, _splitmix64
     rpb = num_hashes // bands if bands else 0
 

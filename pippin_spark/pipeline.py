@@ -388,10 +388,22 @@ class Pipeline:
         in-memory only, SURVEY.md §2.1). Predicate pushdown and column
         pruning reach the scan because the stage stays declarative."""
         pipeline = cls(spark, config)
-        # testdata events.parquet carries TIMESTAMP(NANOS); read as long
-        # nanos (runtime-settable legacy conf) — callers convert with
-        # F.timestamp_micros(ns/1000) where real timestamps are needed.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Some parquet (testdata events.parquet) carries TIMESTAMP(NANOS),
+        # which Spark can only read as long nanos via the legacy conf —
+        # callers convert with F.timestamp_micros(ts div 1000) where real
+        # timestamps are needed. The conf is session-global and must stay
+        # set while the plan executes (SQLConf is captured per action),
+        # so true scoping is impossible; instead only flip it when the
+        # footer actually contains nanos columns, and say so.
+        if _parquet_has_nanos(path):
+            if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+                pipeline.logger.info(
+                    "from_parquet(%s): TIMESTAMP(NANOS) columns — setting "
+                    "spark.sql.legacy.parquet.nanosAsLong=true (session-wide; "
+                    "nanos read as LONG)",
+                    path,
+                )
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return Stage(pipeline, spark.read.parquet(path))
 
     @classmethod
@@ -417,6 +429,32 @@ class Pipeline:
         pippin_spark.streaming for start/stop/status plumbing."""
         pipeline = cls(stream_df.sparkSession, config)
         return Stage(pipeline, stream_df)
+
+
+def _parquet_has_nanos(path: str) -> bool:
+    """True if the parquet footer at ``path`` (file or directory of
+    *.parquet) has any timestamp[ns] column. On non-local or unreadable
+    paths returns True — we cannot prove absence, and failing open
+    preserves readability of nanos files (the conf is then set exactly
+    as before this guard existed)."""
+    import os
+
+    p = path
+    try:
+        if os.path.isdir(p):
+            cands = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+            if not cands:
+                return True
+            p = os.path.join(p, cands[0])
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(p)
+        return any(
+            pa.types.is_timestamp(f.type) and f.type.unit == "ns" for f in schema
+        )
+    except Exception:
+        return True
 
 
 # ---------------------------------------------------------------------------
@@ -538,6 +576,13 @@ class Stage:
 
     def _timeout(self) -> Optional[float]:
         return self.config.timeout
+
+    @property
+    def logger(self) -> PippinLogger:
+        """Effective logger for this stage: a StageConfig.logger
+        override wins over the pipeline logger — reference precedence
+        (transform/transform.go:469-480, configs/stage.go:30)."""
+        return self.config.logger or self.pipeline.logger
 
     # ------------------------------------------------------------------
     # transformations (transform/transform.go:29-235)
@@ -697,6 +742,7 @@ class Stage:
     # correctness queries and by users who don't want driver collection).
 
     def _run(self, action: Callable[[], Any]) -> Any:
+        self.logger.debug("stage %d: running terminal action", self.id)
         return self.pipeline._run_sync(action, self._timeout())
 
     def _agg_one(self, col: Column) -> Any:

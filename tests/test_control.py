@@ -104,3 +104,40 @@ def test_per_stage_parallelism_cap(spark):
     )
     assert s.df.rdd.getNumPartitions() <= 2
     assert s.sum() == 18
+
+
+def test_stage_logger_overrides_pipeline_logger(spark):
+    # reference precedence: stage logger wins (transform/transform.go:
+    # 469-480, configs/stage.go:30)
+    import logging
+
+    from pippin_spark.config import PipelineConfig, StageConfig
+    from pippin_spark.logging_utils import PippinLogger
+    from pippin_spark.pipeline import Pipeline
+
+    class Recorder(PippinLogger):
+        def __init__(self, name):
+            super().__init__(logging.getLogger(f"rec.{name}"))
+            self.records = []
+
+        def debug(self, msg, *args):
+            self.records.append(msg % args if args else msg)
+
+    plog, slog = Recorder("pipe"), Recorder("stage")
+    stage = Pipeline.from_slice(
+        spark, [1, 2, 3], config=PipelineConfig(logger=plog)
+    ).map(lambda x: x + 1, config=StageConfig(logger=slog))
+    assert stage.logger is slog
+    stage.count()
+    assert slog.records, "stage-level logger must receive the action log"
+    assert not plog.records, "pipeline logger must be overridden for this stage"
+
+
+def test_minhash_bands_must_divide_num_hashes(spark):
+    import pytest as _pytest
+
+    from pippin_spark.operators.dedup import text_minhash_signatures
+
+    df = spark.createDataFrame([("a", "hello world")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="divisible"):
+        text_minhash_signatures(df, "text", num_hashes=64, bands=7)

@@ -103,3 +103,45 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     p = plan(dedup_exact_groups(df, "text", "doc_id"))
     before_exchange = p.split("Exchange hashpartitioning")[0]
     assert "partial_count" in before_exchange or "HashAggregate" in before_exchange
+
+
+def test_reduce_folds_per_partition_not_globally(spark):
+    # Stage.reduce native path: the per-partition fold (groupBy on
+    # spark_partition_id) must appear below the final ≤P-partial fold —
+    # never one global collect_list over the whole column
+    from pippin_spark.pipeline import Pipeline
+
+    stage = Pipeline.from_table(spark, SF, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("value")
+    )
+    p = plan(stage.reduce_df(lambda a, b: a + b))
+    assert "SPARK_PARTITION_ID" in p.upper() or "__pid__" in p
+    # two aggregation levels: per-partition + final
+    assert count_nodes(p, "ObjectHashAggregate") + count_nodes(p, "SortAggregate") >= 2
+
+
+def test_global_topk_lowers_to_take_ordered(spark, qs):
+    # global top-k must be TakeOrderedAndProject (per-partition heaps),
+    # not a row_number window over a single-partition exchange of the
+    # full input
+    from pippin_spark.operators.relational import top_k
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    p = plan(top_k(df, 10, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_ranked_sort_has_no_full_single_partition_exchange(spark, qs):
+    # agg_sort: the only SinglePartition exchange allowed is the tiny
+    # ≤P-row offsets branch; the data path must be range-partitioned
+    p = plan(qs["agg_sort"](spark, SF))
+    assert "rangepartitioning" in p.lower()
+    # at most one SinglePartition exchange — the ≤P-row offsets window —
+    # (formatted mode prints it as an "Arguments: SinglePartition" line)
+    singles = len(re.findall(r"Arguments: SinglePartition", p))
+    assert singles <= 1
+    if singles:
+        # it must sit above the per-partition count aggregate, never
+        # directly above the scan of the full input
+        before = p.split("Arguments: SinglePartition")[0]
+        assert "HashAggregate" in before or "ObjectHashAggregate" in before
