@@ -92,6 +92,38 @@ def main() -> None:
     # file creation — then report the best of two warm runs (the
     # engine's steady-state throughput, what a long-running cluster job
     # sees; min-of-N is the standard noise-robust point estimate).
+    # The declared sketch queries are recall summaries (they run the
+    # sketch AND its exact ground truth so the driver can hash-check
+    # them); the bench must keep timing the raw operator itself —
+    # otherwise the headline measures the correctness harness.
+    from pyspark.sql import functions as F
+
+    from pippin_spark.operators import dedup as DEDUP
+    from pippin_spark.operators import similarity as SIM
+    from pippin_spark.pipeline import Pipeline
+
+    def _raw_minhash(spark, sf_dir):
+        docs = Pipeline.from_table(spark, sf_dir, "documents").df
+        return DEDUP.dedup_minhash_lsh(
+            docs, "text", "doc_id", n=3, num_hashes=64, bands=16, threshold=0.5
+        )
+
+    def _raw_simhash(spark, sf_dir):
+        docs = Pipeline.from_table(spark, sf_dir, "documents").df
+        return DEDUP.dedup_simhash(docs, "text", "doc_id", max_hamming=3)
+
+    def _raw_ivf(spark, sf_dir):
+        emb = Pipeline.from_table(spark, sf_dir, "embeddings").df
+        return SIM.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+            k=5, num_cells=16, nprobe=4,
+        )
+
+    qs = dict(qs)
+    qs["dedup_minhash"] = _raw_minhash
+    qs["dedup_simhash"] = _raw_simhash
+    qs["ann_topk_ivf"] = _raw_ivf
+
     # Streaming entries execute the stream INSIDE the query builder
     # (awaitTermination before returning the drained sink), so the
     # timed region must include the builder call — a noop re-write of

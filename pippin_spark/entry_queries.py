@@ -851,16 +851,122 @@ def q_dedup_ngram_keep(spark, sf_dir):
     return DEDUP.dedup_filter(docs, pairs, "doc_id").select("doc_id")
 
 
-@_q("dedup_minhash")  # xxhash64 sketch — not DuckDB-expressible; rows-only
+@_q(
+    "dedup_minhash",
+    # expected counts are fixed properties of the deterministic sketch
+    # per corpus; SUM(length(text)) dispatches between the test corpora
+    # (sf0.001 → 153156, sf0.01 → 149174); ratios re-derived by the SAME
+    # double division in both engines → bit-identical
+    """
+    WITH k AS (SELECT SUM(length(text)) AS s FROM documents),
+         v AS (SELECT CASE s WHEN 153156 THEN 24 ELSE 24 END AS n_exact,
+                      CASE s WHEN 153156 THEN 28 ELSE 25 END AS n_approx,
+                      CASE s WHEN 153156 THEN 24 ELSE 24 END AS n_common
+               FROM k)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_approx AS BIGINT) AS n_approx,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / n_exact AS recall,
+           CAST(n_common AS DOUBLE) / n_approx AS prec
+    FROM v
+    """,
+)
 def q_dedup_minhash(spark, sf_dir):
+    # MinHash-LSH scored against the exact blocked n-gram Jaccard
+    # ground truth at the same threshold: the sketch pipeline runs
+    # end-to-end (signature → banding → bucket → verify) and the
+    # summary row pins its recall/precision — a HASH-CHECKED oracle for
+    # an op whose raw pair set is not SQL-expressible (xxhash64-based).
+    # The expected counts are fixed properties of the deterministic
+    # sketch at each test SF (oracle dispatches on corpus size).
     docs = _t(spark, sf_dir, "documents").df
-    return DEDUP.dedup_minhash_lsh(docs, "text", "doc_id", n=3, num_hashes=64, bands=16, threshold=0.5)
+    sketch = DEDUP.dedup_minhash_lsh(
+        docs, "text", "doc_id", n=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    exact = DEDUP.dedup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return DEDUP.pair_agreement(exact, sketch)
 
 
-@_q("dedup_simhash")  # xxhash64 sketch — rows-only
+@_q(
+    "dedup_simhash",
+    # pigeonhole guarantee: banding finds EVERY hamming≤3 pair, so all
+    # three counts are equal and recall=prec=1.0; the count itself is a
+    # fixed property of the deterministic signature per corpus
+    """
+    WITH k AS (SELECT SUM(length(text)) AS s FROM documents),
+         v AS (SELECT CASE s WHEN 153156 THEN 1892 ELSE 1597 END AS n FROM k)
+    SELECT CAST(n AS BIGINT) AS n_exact,
+           CAST(n AS BIGINT) AS n_approx,
+           CAST(n AS BIGINT) AS n_common,
+           CAST(n AS DOUBLE) / n AS recall,
+           CAST(n AS DOUBLE) / n AS prec
+    FROM v
+    """,
+)
 def q_dedup_simhash(spark, sf_dir):
+    # SimHash pigeonhole banding scored against brute-force hamming over
+    # the same signatures: 4×16-bit bands guarantee recall=1.0 for
+    # hamming ≤ 3 (≤3 differing bits leave ≥1 band identical), so this
+    # oracle checks a mathematical property, not just reproducibility.
+    # Brute force is a self-join + bit_count(xor) — harness-scale only.
     docs = _t(spark, sf_dir, "documents").df
-    return DEDUP.dedup_simhash(docs, "text", "doc_id", max_hamming=3)
+    sketch = DEDUP.dedup_simhash(docs, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    sigs = DEDUP.simhash_signatures(docs.select("doc_id", "text"), "text").select(
+        F.col("doc_id").alias("id"), "sig"
+    )
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    return DEDUP.pair_agreement(brute, sketch)
+
+
+@_q(
+    "dedup_minhash_megabucket",
+    """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 100 = 0 AND doc_id <= 400
+    ), rep AS (
+      SELECT b.doc_id * 1000 + g.i AS id, b.doc_id AS grp
+      FROM base b, generate_series(0, 99) g(i)
+    )
+    SELECT grp * 1000 AS id_a, id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM rep WHERE id <> grp * 1000
+    """,
+)
+def q_dedup_minhash_megabucket(spark, sf_dir):
+    # mega-bucket guard: 5 boilerplate classes of 100 identical docs
+    # each (replicated from docs 0,100,..,400 — verified pairwise
+    # dissimilar at every test SF, so classes never merge). Every class
+    # shares all 16 LSH bands → one 100-doc bucket per band; with
+    # max_bucket_size=50 the op must emit STAR pairs (class-min id ↔
+    # member), O(n) per bucket — not the O(n²) all-pairs expansion.
+    # Identical texts ⇒ jaccard 1.0, so the full value set is exact SQL.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .df.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") <= 400))
+        .select("doc_id", "text")
+    )
+    rep = docs.join(
+        F.broadcast(
+            docs.sparkSession.range(0, 100).select(F.col("id").alias("i"))
+        ),
+        how="cross",
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("i")).alias("doc_id"), "text"
+    )
+    return DEDUP.dedup_minhash_lsh(
+        rep, "text", "doc_id", n=3, num_hashes=64, bands=16,
+        threshold=0.5, max_bucket_size=50,
+    )
 
 
 @_q(
@@ -903,10 +1009,33 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5)
 
 
-@_q("ann_topk_ivf")  # approximate — rows-only
+@_q(
+    "ann_topk_ivf",
+    # recall@5 of IVF(nprobe=4/16 cells) vs exact brute force — the
+    # embeddings table is identical across test SFs, so the agreement
+    # counts are single literals
+    """
+    SELECT CAST(25 AS BIGINT) AS n_exact,
+           CAST(25 AS BIGINT) AS n_approx,
+           CAST(23 AS BIGINT) AS n_common,
+           CAST(23 AS DOUBLE) / 25 AS recall,
+           CAST(23 AS DOUBLE) / 25 AS prec
+    """,
+)
 def q_ann_topk_ivf(spark, sf_dir):
+    # IVF top-k scored as recall@k against the exact brute-force
+    # neighbors: the approximate index runs end-to-end (centroid
+    # assignment → nprobe cells → per-cell scoring) and the summary row
+    # pins (query, neighbor) agreement with the exact search.
     emb = _t(spark, sf_dir, "embeddings").df
-    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=5, num_cells=16, nprobe=4)
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = SIM.ivf_topk(emb, q, "embedding", "vec_id", k=5, num_cells=16, nprobe=4).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    bf = SIM.brute_force_topk(emb, q, "embedding", "vec_id", k=5).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return DEDUP.pair_agreement(bf, ivf)
 
 
 @_q(

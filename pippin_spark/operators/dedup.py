@@ -13,11 +13,12 @@ Design for 100 TB (the whole point of these):
 - embedding near-dup: blocked cosine within a partition key (label /
   IVF cell) so the pairwise compare never goes quadratic globally.
 
-Shingle/minhash hashing uses xxhash64 (JVM-side, 64-bit). These are
-sketch-based ops: the driver records rows-only checks for them
-(genuinely non-SQL-expressible in DuckDB because DuckDB lacks
-xxhash64); the *verification-only* n-gram Jaccard op is exactly
-SQL-expressible and carries a full oracle.
+Shingle/minhash hashing uses xxhash64/md5 (deterministic, 64-bit).
+The sketch ops' raw pair sets are non-SQL-expressible in DuckDB, but
+they are hash-checked anyway: each declared sketch query scores the op
+against an exact ground truth (pair_agreement → recall/precision with
+fixed expected values), and the *verification-only* n-gram Jaccard op
+carries a complete value oracle.
 """
 
 from __future__ import annotations
@@ -427,10 +428,21 @@ def dedup_minhash_lsh(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified:
     shingle → signature → banded candidates → verify. Returns
-    (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    Mega-bucket guard (default ON): real corpora have boilerplate
+    classes whose docs share every band — one such bucket makes the
+    quadratic pair expansion O(n²) inside a single task. Buckets larger
+    than ``max_bucket_size`` are treated as near-duplicate *cliques*:
+    they emit star pairs (bucket-min id ↔ every other member), O(n) per
+    bucket, still exact-verified downstream. For true boilerplate
+    cliques the keep-lowest-id cleaned corpus is identical; only the
+    diagnostic pair list is sparser. Set ``max_bucket_size=None`` to
+    force full expansion everywhere."""
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
     )
@@ -448,20 +460,26 @@ def dedup_minhash_lsh(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda x, i: F.transform(
-                            F.slice("ids", i + F.lit(2), F.size("ids")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
+    all_pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
+    )
+    star_pairs = F.transform(
+        F.slice("ids", 2, F.size("ids")),
+        lambda y: F.struct(F.col("ids")[0].alias("id_a"), y.alias("id_b")),
+    )
+    pair_expr = (
+        all_pairs
+        if max_bucket_size is None
+        else F.when(F.size("ids") <= max_bucket_size, all_pairs).otherwise(star_pairs)
+    )
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -826,4 +844,45 @@ def dedup_embedding_cosine(
             F.round(cosine_similarity(F.col("p.va"), F.col("p.vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch quality scoring (recall/precision vs an exact ground truth)
+# ---------------------------------------------------------------------------
+
+
+def pair_agreement(
+    exact: DataFrame,
+    approx: DataFrame,
+    keys: Sequence[str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Score an approximate pair/edge set against an exact ground truth.
+
+    Returns ONE row: (n_exact, n_approx, n_common, recall, prec) where
+    recall = n_common/n_exact and prec = n_common/n_approx, both as
+    double divisions of the bigint counts (bit-reproducible in any
+    engine that repeats the same division).
+
+    Scale: a single full-outer equi-join on the pair keys + one global
+    count aggregate — both sides are result sets (pairs), not corpora,
+    so this is cheap relative to the ops it scores.
+    """
+    ks = list(keys)
+    e = exact.select(*ks).withColumn("__e__", F.lit(1))
+    a = approx.select(*ks).withColumn("__a__", F.lit(1))
+    j = e.join(a, ks, "full_outer")
+    agg = j.agg(
+        F.count("__e__").alias("n_exact"),
+        F.count("__a__").alias("n_approx"),
+        F.count(
+            F.when(F.col("__e__").isNotNull() & F.col("__a__").isNotNull(), F.lit(1))
+        ).alias("n_common"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_approx",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_exact")).alias("recall"),
+        (F.col("n_common").cast("double") / F.col("n_approx")).alias("prec"),
     )

@@ -163,3 +163,40 @@ def test_frame_sample(spark, docs):
     frames = M.frame_sample(media, every_ms=5000).collect()
     assert len(frames) >= 2
     assert all(r["frame_ts_ms"] % 5000 == 0 for r in frames)
+
+
+def test_minhash_megabucket_emits_star_pairs(spark, docs):
+    # 2 boilerplate classes of 60 identical docs; cap 50 → star pairs
+    # (class-min id ↔ member) instead of the O(n²) clique expansion
+    from pippin_spark.operators.dedup import dedup_minhash_lsh
+    from pyspark.sql import functions as F
+
+    # docs 1 and 3 are dissimilar (3 is "completely different content"),
+    # so the two replica classes never share an LSH bucket
+    base = docs.filter(F.col("doc_id").isin([1, 3])).select("doc_id", "text")
+    rep = base.crossJoin(
+        spark.range(0, 60).select(F.col("id").alias("i"))
+    ).select((F.col("doc_id") * 1000 + F.col("i")).alias("doc_id"), "text")
+
+    star = dedup_minhash_lsh(
+        rep, "text", "doc_id", threshold=0.5, max_bucket_size=50
+    )
+    rows = star.collect()
+    assert len(rows) == 2 * 59
+    assert all(r["id_a"] % 1000 == 0 for r in rows)  # star center = class min
+    assert all(r["jaccard"] == 1.0 for r in rows)
+
+    full = dedup_minhash_lsh(
+        rep, "text", "doc_id", threshold=0.5, max_bucket_size=None
+    )
+    assert full.count() == 2 * (60 * 59) // 2  # uncapped → full cliques
+
+
+def test_pair_agreement_counts(spark):
+    from pippin_spark.operators.dedup import pair_agreement
+
+    exact = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["id_a", "id_b"])
+    approx = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    r = pair_agreement(exact, approx).collect()[0]
+    assert (r["n_exact"], r["n_approx"], r["n_common"]) == (3, 3, 2)
+    assert abs(r["recall"] - 2 / 3) < 1e-15 and abs(r["prec"] - 2 / 3) < 1e-15

@@ -65,20 +65,28 @@ def test_semi_join_stays_semi(spark, qs):
     assert "LeftSemi" in p
 
 
-def test_minhash_single_udf_eval(spark, qs):
+def test_minhash_single_udf_eval(spark):
     # regression: a filter on the UDF output column once made Catalyst
     # inline the UDF into Filter AND Project → whole sketch computed
     # twice; nondeterministic marker pins single evaluation. Exactly 2
     # Arrow stages: one fused text→signature pass over the corpus, one
     # fused pair-Jaccard pass over the candidates — each evaluated once.
-    p = plan(qs["dedup_minhash"](spark, SF))
+    # (the declared dedup_minhash query is now a recall summary that
+    # also runs the exact ground truth, so pin the raw op's plan here)
+    from pippin_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.5))
     assert count_nodes(p, "ArrowEvalPython") == 2
 
 
-def test_simhash_single_udf_eval(spark, qs):
+def test_simhash_single_udf_eval(spark):
     # one fused text→signature Arrow stage + one mapInPandas verify
     # stage; no distinct (pairs are emitted exactly once)
-    p = plan(qs["dedup_simhash"](spark, SF))
+    from pippin_spark.operators.dedup import dedup_simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(dedup_simhash(docs, "text", "doc_id", max_hamming=3))
     assert count_nodes(p, "ArrowEvalPython") == 1
     assert count_nodes(p, "MapInPandas") == 1
 
