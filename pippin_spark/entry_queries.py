@@ -399,6 +399,39 @@ def q_agg_reduce(spark, sf_dir):
 
 
 @_q(
+    "async_sum",
+    "SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r FROM lineitem",
+)
+def q_async_sum(spark, sf_dir):
+    # async twin on the HARD signal: the full background path runs —
+    # _submit → job-group thread → Future completion — and the result
+    # is wrapped back into a 1-row DataFrame for the oracle compare
+    # (asyncaggregate/asyncaggregate.go:29-44 + types/future.go:56-66)
+    stage = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("value")
+    )
+    fut = stage.sum_async()
+    val = fut.get_with_timeout(300)
+    return spark.createDataFrame(
+        [(int(val),)], T.StructType([T.StructField("r", T.LongType())])
+    )
+
+
+@_q(
+    "async_distinct_count",
+    "SELECT CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS r FROM lineitem",
+)
+def q_async_distinct_count(spark, sf_dir):
+    # DistinctCount async twin (asyncaggregate.go:352-367)
+    stage = _t(spark, sf_dir, "lineitem").select(F.col("l_quantity").alias("value"))
+    fut = stage.distinct_count_async()
+    val = fut.get_with_timeout(300)
+    return spark.createDataFrame(
+        [(int(val),)], T.StructType([T.StructField("r", T.LongType())])
+    )
+
+
+@_q(
     "agg_as_slice",
     "SELECT l_orderkey * 10 + l_linenumber AS value FROM lineitem",
 )
@@ -486,6 +519,55 @@ def q_source_from_map(spark, sf_dir):
     return Pipeline.from_map(spark, mapping).df.select(
         F.col("key").cast("int").alias("key"), "value"
     )
+
+
+@_q(
+    "source_from_csv",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_source_from_csv(spark, sf_dir):
+    # CSV source+sink round trip (engine extension — reference has no
+    # file IO): nation → to_csv → from_csv with explicit schema (the
+    # scale path; inference is an extra full pass). Comment column is
+    # excluded: its free text is the one thing CSV quoting rules vary
+    # on, and the source contract is about types + values, not escaping.
+    tmp = "/tmp/pippin_spark_csv_roundtrip"
+    base = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base.to_csv(tmp)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return Pipeline.from_csv(spark, tmp, schema=schema).df
+
+
+@_q(
+    "source_from_json",
+    "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+)
+def q_source_from_json(spark, sf_dir):
+    # JSON-lines source+sink round trip on a mixed-type table (ints,
+    # strings with spaces/punctuation, a double) — Spark writes doubles
+    # with round-trippable precision, so values hash-match the parquet
+    tmp = "/tmp/pippin_spark_json_roundtrip"
+    base = _t(spark, sf_dir, "part")
+    base.to_json(tmp)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    return Pipeline.from_json(spark, tmp, schema=schema).df
 
 
 # ---------------------------------------------------------------------------
@@ -720,6 +802,57 @@ def q_sessionize_events(spark, sf_dir):
 
 
 @_q(
+    "join_salted",
+    """
+    SELECT l.l_orderkey AS okey, l.l_quantity AS qty, o.o_totalprice AS price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    # skew-safe salted join must return EXACTLY the plain join's rows —
+    # the oracle is the unsalted SQL join
+    l = _t(spark, sf_dir, "lineitem").df.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_quantity").alias("qty")
+    )
+    o = _t(spark, sf_dir, "orders").df.select(
+        F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("price")
+    )
+    return REL.salted_join(l, o, on="okey", salt=8)
+
+
+@_q(
+    "sliding_window_events",
+    """
+    WITH e AS (
+      SELECT epoch_ns(ts) // 1000000000 AS secs, value FROM events
+    ), w AS (
+      SELECT unnest(generate_series((secs // 1800) * 1800 - 1800,
+                                    (secs // 1800) * 1800, 1800)) AS ws,
+             value
+      FROM e
+    )
+    SELECT ws AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM w GROUP BY ws
+    """,
+)
+def q_sliding_window_events(spark, sf_dir):
+    # sliding event-time window, batch form: 1h windows every 30min —
+    # each event explodes to width/slide=2 window starts (constant
+    # fan-out, linear data volume)
+    ev = _t(spark, sf_dir, "events").df
+    secs = F.expr("ts div 1000000000")
+    return (
+        ev.select(
+            F.explode(REL.sliding_time_buckets(secs, 3600, 1800)).alias("window_start"),
+            "value",
+        )
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+    )
+
+
+@_q(
     "time_bucket_events",
     """
     SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_bucket,
@@ -929,6 +1062,36 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 @_q(
+    "dedup_clusters",
+    _DDB_SHINGLES.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+    )
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    # pair → cluster resolution (connected components, min-label):
+    # the step between pair generation and corpus cleaning; oracle is
+    # DuckDB's recursive-CTE transitive closure over the same pairs
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = DEDUP.dedup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.5)
+    return DEDUP.dedup_clusters(pairs)
+
+
+@_q(
     "dedup_minhash_megabucket",
     """
     WITH base AS (
@@ -1036,6 +1199,67 @@ def q_ann_topk_ivf(spark, sf_dir):
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
     return DEDUP.pair_agreement(bf, ivf)
+
+
+@_q(
+    "emb_normalize",
+    """
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> ROUND(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                         y -> y * y))), 6)) AS nvec
+    FROM embeddings
+    """,
+)
+def q_emb_normalize(spark, sf_dir):
+    # L2 normalization (native HOFs, no UDF); round-6 absorbs any
+    # cross-engine float-fold difference, like dedup_embedding's oracle
+    emb = _t(spark, sf_dir, "embeddings").df
+    nv = SIM.normalize_vectors(F.col("embedding"))
+    return emb.select(
+        "vec_id", F.transform(nv, lambda x: F.round(x, 6)).alias("nvec")
+    )
+
+
+@_q(
+    "emb_quantize",
+    """
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(ROUND(x * 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                                 y -> abs(y)))) AS INT)) AS qvec
+    FROM embeddings
+    """,
+)
+def q_emb_quantize(spark, sf_dir):
+    # symmetric int8 quantization — integer outputs, exact compare
+    emb = _t(spark, sf_dir, "embeddings").df
+    return emb.select("vec_id", SIM.quantize_int8(F.col("embedding")).alias("qvec"))
+
+
+@_q(
+    "window_ntile",
+    """
+    SELECT o_orderkey,
+           NTILE(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def q_window_ntile(spark, sf_dir):
+    # ntile window (SURVEY §2.5 window-family coverage); partitioned by
+    # customer so no single-partition exchange
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .df.select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .select("o_orderkey", "quartile")
+    )
 
 
 @_q(

@@ -601,6 +601,65 @@ def dedup_filter(
     return df.join(drops, df[id_col] == F.col("__drop__"), "left_anti")
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components with cluster_id = the minimum member id. This is the
+    real resolution step between pair generation and corpus cleaning —
+    greedy pair-dropping (dedup_filter) over-keeps when duplicates form
+    chains (a~b, b~c but a!~c still means one retained doc per
+    component under transitive-dup policy).
+
+    Algorithm: iterative min-label propagation over the symmetrized
+    edge set — each round every node takes min(own label, neighbors'
+    labels); converges in O(component diameter) rounds. Near-dup
+    components are cliques or short chains, so 2-4 rounds in practice;
+    ``max_iter`` bounds adversarial chains (switch to alternating
+    large-star/small-star if components with huge diameters ever
+    matter). Each round is one shuffle on node id; lineage is truncated
+    with localCheckpoint so the plan does not grow per iteration, and
+    convergence is detected distributed (count of label changes — no
+    label data ever reaches the driver).
+
+    Returns (id, cluster_id) for every node appearing in ``pairs``.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)  # pairs subtree runs exactly once
+    labels = e.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            e.join(labels, e["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nmin") < F.col("cluster_id")).alias("__chg__"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__chg__")).limit(1).count()
+        labels = new_labels.drop("__chg__")
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

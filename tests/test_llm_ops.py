@@ -200,3 +200,27 @@ def test_pair_agreement_counts(spark):
     r = pair_agreement(exact, approx).collect()[0]
     assert (r["n_exact"], r["n_approx"], r["n_common"]) == (3, 3, 2)
     assert abs(r["recall"] - 2 / 3) < 1e-15 and abs(r["prec"] - 2 / 3) < 1e-15
+
+
+def test_dedup_clusters_chain_transitivity(spark):
+    # a-b, b-c, d-e: two components; cluster id = min member; greedy
+    # pair-dropping would handle this too, but clusters assign EVERY
+    # member (including the kept one) its component
+    from pippin_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_dedup_clusters_long_chain(spark):
+    # a 12-node path graph needs multiple propagation rounds
+    from pippin_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}

@@ -73,3 +73,72 @@ def test_time_bucket(spark):
     df = spark.createDataFrame([(0,), (59,), (60,), (3600,)], ["t"])
     out = df.select(R.time_bucket(F.col("t"), 60).alias("b"))
     assert [r["b"] for r in out.collect()] == [0, 0, 60, 3600]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pippin_spark.operators.relational import salted_join
+    from pyspark.sql import functions as F
+
+    # one pathologically hot key (80% of left rows)
+    left = spark.createDataFrame(
+        [(1, i) for i in range(80)] + [(k, k * 100) for k in range(2, 22)],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame([(k, f"r{k}") for k in range(1, 22)], ["k", "rv"])
+    plain = sorted(tuple(r) for r in left.join(right, "k").collect())
+    salted = sorted(tuple(r) for r in salted_join(left, right, "k", salt=4).collect())
+    assert salted == plain
+
+    left_plain = sorted(tuple(r) for r in left.join(right, "k", "left").collect())
+    left_salted = sorted(
+        tuple(r) for r in salted_join(left, right, "k", how="left", salt=4).collect()
+    )
+    assert left_salted == left_plain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", how="full")
+
+
+def test_sliding_time_buckets(spark):
+    from pippin_spark.operators.relational import sliding_time_buckets
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3700,), (1800,), (0,)], ["ts"])
+    out = {
+        r["ts"]: r["ws"]
+        for r in df.select(
+            "ts", sliding_time_buckets(F.col("ts"), 3600, 1800).alias("ws")
+        ).collect()
+    }
+    assert out[3700] == [1800, 3600]  # covered by windows starting 1800 and 3600
+    assert out[1800] == [0, 1800]
+    assert out[0] == [-1800, 0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        sliding_time_buckets(F.col("ts"), 3600, 1000)
+
+
+def test_vector_normalize_and_quantize(spark):
+    from pippin_spark.operators.similarity import normalize_vectors, quantize_int8
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 1.0])], ["id", "v"]
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            normalize_vectors(F.col("v")).alias("nv"),
+            quantize_int8(F.col("v")).alias("qv"),
+        ).collect()
+    }
+    assert rows[1]["nv"] == [0.6, 0.8]
+    assert rows[2]["nv"] == [0.0, 0.0]  # zero vector passes through
+    assert rows[1]["qv"] == [95, 127]  # 3·127/4 = 95.25 → 95
+    assert rows[2]["qv"] == [0, 0]
+    assert rows[3]["qv"] == [-127, 127]
