@@ -579,6 +579,7 @@ from pippin_spark.operators import dedup as DEDUP  # noqa: E402
 from pippin_spark.operators import similarity as SIM  # noqa: E402
 from pippin_spark.operators import text as TXT  # noqa: E402
 from pippin_spark.operators import multimodal as MM  # noqa: E402
+from pippin_spark.operators import sampling as SMP  # noqa: E402
 
 
 @_q(
@@ -1202,6 +1203,37 @@ def q_ann_topk_ivf(spark, sf_dir):
 
 
 @_q(
+    "ann_topk_ivf_kmeans",
+    # recall@5 of a Lloyd-trained IVF index (3 k-means rounds over the
+    # seed centroids) vs exact brute force; the embeddings table is
+    # identical across test SFs, so the agreement counts are literals.
+    # On this 500-vector fixture training is recall-neutral (0.88 vs
+    # 0.92 seeded — noise at toy scale); at corpus scale the trained,
+    # balanced cells are what keep per-cell scan cost uniform.
+    """
+    SELECT CAST(25 AS BIGINT) AS n_exact,
+           CAST(25 AS BIGINT) AS n_approx,
+           CAST(22 AS BIGINT) AS n_common,
+           CAST(22 AS DOUBLE) / 25 AS recall,
+           CAST(22 AS DOUBLE) / 25 AS prec
+    """,
+)
+def q_ann_topk_ivf_kmeans(spark, sf_dir):
+    # end-to-end: k-means training (driver holds only the C-dim centroid
+    # matrix between rounds) -> cell assignment -> nprobe search, scored
+    # as recall@k against the exact neighbors
+    emb = _t(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = SIM.ivf_topk(
+        emb, q, "embedding", "vec_id", k=5, num_cells=16, nprobe=4, train_iters=3
+    ).select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    bf = SIM.brute_force_topk(emb, q, "embedding", "vec_id", k=5).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return DEDUP.pair_agreement(bf, ivf)
+
+
+@_q(
     "emb_normalize",
     """
     SELECT vec_id,
@@ -1586,3 +1618,90 @@ def q_streaming_tumbling_window(spark, sf_dir):
         "n",
         "total",
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (training-data curation; operators/sampling.py)
+# The oracle computes the IDENTICAL Knuth hash bucket in ANSI SQL —
+# engine-portability of the sample membership is the whole point.
+# ---------------------------------------------------------------------------
+
+_B = SMP._M32
+
+
+@_q(
+    "sample_hash_orders",
+    f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE {SMP.hash_bucket_sql("o_orderkey")} < {int(0.1 * _B)}
+    """,
+)
+def q_sample_hash_orders(spark, sf_dir):
+    # 10% deterministic Bernoulli sample: pure codegen'd filter at the
+    # scan, no shuffle, membership stable across runs/engines/partitions
+    o = _t(spark, sf_dir, "orders").df
+    return SMP.sample_hash(o, "o_orderkey", 0.1).select("o_orderkey", "o_totalprice")
+
+
+@_q(
+    "sample_stratified_orders",
+    f"""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE {SMP.hash_bucket_sql("o_orderkey")} <
+      CASE o_orderpriority
+        WHEN '1-URGENT' THEN {int(0.5 * _B)}
+        WHEN '2-HIGH' THEN {int(0.25 * _B)}
+        ELSE {int(0.05 * _B)}
+      END
+    """,
+)
+def q_sample_stratified_orders(spark, sf_dir):
+    # per-stratum keep fractions (keep-rare / downsample-common), still
+    # a single shuffle-free filter
+    o = _t(spark, sf_dir, "orders").df
+    return SMP.sample_stratified(
+        o, "o_orderpriority", "o_orderkey",
+        {"1-URGENT": 0.5, "2-HIGH": 0.25}, default=0.05,
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@_q(
+    "sample_per_group_docs",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY {SMP.hash_bucket_sql("doc_id")}, doc_id
+    ) <= 20
+    """,
+)
+def q_sample_per_group_docs(spark, sf_dir):
+    # deterministic 20-docs-per-language "reservoir": one shuffle keyed
+    # by lang, sort-based window, no per-group buffers
+    d = _t(spark, sf_dir, "documents").df
+    return SMP.sample_per_group(d, "lang", "doc_id", 20).select("doc_id", "lang")
+
+
+@_q(
+    "split_assign_docs",
+    f"""
+    SELECT doc_id,
+      CASE
+        WHEN {SMP.hash_bucket_sql("doc_id")} < {int(0.8 * _B)} THEN 'train'
+        WHEN {SMP.hash_bucket_sql("doc_id")} < {int((0.8 + 0.1) * _B)} THEN 'val'
+        ELSE 'test'
+      END AS split
+    FROM documents
+    """,
+)
+def q_split_assign_docs(spark, sf_dir):
+    # stable train/val/test membership as a pure function of doc_id:
+    # a document can never migrate between train and test across reruns
+    # or repartitions (contamination-free splits)
+    d = _t(spark, sf_dir, "documents").df
+    return SMP.split_assign(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")

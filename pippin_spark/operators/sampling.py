@@ -1,0 +1,124 @@
+"""Deterministic sampling for training-data curation (north-star
+extension; the reference has no sampling stage — closest prior art is
+its Filter transform, /root/reference/stages/transform/transform.go).
+
+Random `df.sample()` is the wrong tool for a 100 TB corpus pipeline:
+resampling on retry/re-run yields a different corpus, and train/test
+membership must be stable across runs, engines, and partitionings. The
+scale-correct pattern is HASH sampling — a pure function of the row id
+decides membership, so the sample is reproducible anywhere, needs no
+shuffle, no state, and composes with incremental reruns.
+
+The hash is a Knuth multiplicative hash over the id folded into
+[0, 2^32): ``pmod(pmod(id, 2147483647) * 2654435761, 2^32)``. Chosen
+because it is exact-integer-expressible in BOTH Spark SQL and ANSI SQL
+(DuckDB oracle) without 64-bit overflow under ANSI arithmetic:
+pmod(id, 2^31-1) < 2^31 and 2^31 · 2654435761 < 2^63. The prime
+modulus folds high bits of >2^31 ids in rather than discarding them.
+All ops are pure Column expressions — whole-stage codegen, zero UDFs,
+zero shuffles added (only sample_per_group shuffles, by its group key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761
+_M31 = 2147483647
+_M32 = 4294967296
+
+
+def hash_bucket(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic uniform bucket in [0, 2^32) from a bigint id.
+    ``salt`` derives independent sampling decisions from the same id
+    (e.g. one for sampling, one for splitting)."""
+    folded = F.pmod(id_col.cast("bigint") + F.lit(int(salt)), F.lit(_M31))
+    return F.pmod(folded * F.lit(_KNUTH), F.lit(_M32))
+
+
+def hash_bucket_sql(id_expr: str, salt: int = 0) -> str:
+    """The exact same bucket computation as ANSI SQL (for oracles and
+    engine-portability documentation)."""
+    return (
+        f"(((({id_expr}) + {int(salt)}) % {_M31}) * {_KNUTH}) % {_M32}"
+    )
+
+
+def sample_hash(
+    df: DataFrame, id_col: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash bucket falls
+    below fraction·2^32. Same rows on every run, every engine, every
+    partitioning; the predicate is codegen'd next to the scan so column
+    pruning and pushdown are unaffected."""
+    thresh = int(fraction * _M32)
+    return df.filter(hash_bucket(F.col(id_col), salt) < F.lit(thresh))
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep fractions
+    (e.g. downsample boilerplate-heavy sources, keep all rare-language
+    docs). Strata not listed get ``default``. Pure filter — no shuffle,
+    no two-pass count like exact-size stratified samplers need."""
+    thresh: Column = F.lit(int(default * _M32))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(frac * _M32))
+        ).otherwise(thresh)
+    return df.filter(hash_bucket(F.col(id_col), salt) < thresh)
+
+
+def sample_per_group(
+    df: DataFrame, group_col: str, id_col: str, n: int, salt: int = 0
+) -> DataFrame:
+    """Deterministic fixed-size sample of ``n`` rows per group (the
+    reproducible replacement for per-group reservoir sampling): rank
+    rows within each group by (hash, id) and keep the first n. One
+    shuffle, keyed by the group column; each task holds one group's
+    rows at a time (sort-based window, no per-group buffer blowup)."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    split_col: str = "split",
+    salt: int = 0,
+) -> DataFrame:
+    """Assign every row a stable train/val/test-style split label by
+    hash range. Fractions must sum to ≤ 1; any remainder gets the LAST
+    label (so {'train': .9, 'test': .1} is airtight). Membership is a
+    pure function of the id — a doc never migrates between train and
+    test across reruns or repartitions, which is the property that
+    matters for contamination-free corpus splits."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    bucket = hash_bucket(F.col(id_col), salt)
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for label, frac in splits.items():
+        acc += frac
+        bounds.append((label, int(acc * _M32)))
+    # CASE WHEN b < hi1 THEN l1 WHEN b < hi2 THEN l2 ... ELSE last
+    expr = None
+    for label, hi in bounds[:-1]:
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    final = F.lit(bounds[-1][0]) if expr is None else expr.otherwise(F.lit(bounds[-1][0]))
+    return df.withColumn(split_col, final)

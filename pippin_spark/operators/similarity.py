@@ -55,30 +55,12 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_build(
-    corpus: DataFrame,
-    vec_col: str,
-    id_col: str,
-    num_cells: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Build an IVF index: deterministic centroid seed (the num_cells
-    lowest-id vectors — cheap, reproducible; swap in KMeans offline for
-    quality), then assign every vector to its nearest centroid.
-
-    Returns (centroids, assigned) where assigned = corpus + cell id.
-    Scale: assignment is one broadcast of C centroids + a single
-    corpus pass; the index adds one small int column to shuffle by."""
-    centroids = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(num_cells)
-        .select(
-            F.row_number().over(Window.orderBy(F.col(id_col).asc())).alias("cell"),
-            _as_double(F.col(vec_col)).alias("centroid"),
-        )
-    )
-    assigned = (
-        corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv"))
-        .join(F.broadcast(centroids), how="cross")
+def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the C centroids, one corpus
+    pass, argmax cosine with deterministic cell-id tie-break.
+    ``vectors`` must have (id, cv); returns (id, cv, cell)."""
+    return (
+        vectors.join(F.broadcast(centroids), how="cross")
         .select(
             "id",
             "cv",
@@ -94,6 +76,92 @@ def ivf_build(
         .filter(F.col("rn") == 1)
         .select("id", "cv", "cell")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_cells: int,
+    iters: int = 5,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, DataFrame-native.
+
+    Seed = the ``num_cells`` lowest-id vectors (deterministic). Each
+    iteration: broadcast the current centroids, assign every vector to
+    its argmax-cosine cell, recompute per-cell elementwise means via
+    posexplode + groupBy(cell, pos) — a map-side-combining partial agg
+    keyed by (cell, dim), so no task ever holds more than C·dim
+    accumulators. Only the C·dim centroid matrix is collected to the
+    driver between rounds (same driver-resident-model shape as Spark
+    MLlib's KMeans), which also truncates the iterative lineage.
+
+    Means are rounded to 9 decimals each round so float partial-sum
+    ordering cannot leak nondeterminism into assignments. Empty cells
+    keep their previous centroid. Returns a (cell, centroid) DataFrame
+    ready for ``ivf_build``/``_assign_cells``."""
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    seed_rows = (
+        vecs.orderBy(F.col("id").asc()).limit(num_cells)
+        .select("cv").collect()
+    )
+    cents = {i + 1: list(r["cv"]) for i, r in enumerate(seed_rows)}
+    for _ in range(max(0, iters)):
+        cdf = spark.createDataFrame(
+            [(c, v) for c, v in sorted(cents.items())], "cell int, centroid array<double>"
+        )
+        new = (
+            _assign_cells(vecs, cdf)
+            .select("cell", F.posexplode("cv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 9).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        cents.update({r["cell"]: list(r["centroid"]) for r in new})
+    return spark.createDataFrame(
+        [(c, v) for c, v in sorted(cents.items())], "cell int, centroid array<double>"
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_cells: int,
+    train_iters: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: deterministic centroid seed (the num_cells
+    lowest-id vectors — cheap, reproducible), optionally refined by
+    ``train_iters`` rounds of Lloyd k-means (see kmeans_centroids), then
+    assign every vector to its nearest centroid.
+
+    Returns (centroids, assigned) where assigned = corpus + cell id.
+    Scale: assignment is one broadcast of C centroids + a single
+    corpus pass; the index adds one small int column to shuffle by."""
+    if train_iters > 0:
+        centroids = kmeans_centroids(corpus, vec_col, id_col, num_cells, train_iters)
+    else:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(num_cells)
+            .select(
+                F.row_number().over(Window.orderBy(F.col(id_col).asc())).alias("cell"),
+                _as_double(F.col(vec_col)).alias("centroid"),
+            )
+        )
+    assigned = _assign_cells(
+        corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")),
+        centroids,
+    )
     return centroids, assigned
 
 
@@ -105,10 +173,14 @@ def ivf_topk(
     k: int = 5,
     num_cells: int = 16,
     nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: probe only the ``nprobe``
-    nearest cells per query. Same output shape as brute_force_topk."""
-    centroids, assigned = ivf_build(corpus, vec_col, id_col, num_cells)
+    nearest cells per query. Same output shape as brute_force_topk.
+    ``train_iters`` > 0 refines the centroid seed with Lloyd k-means
+    before assignment (better-balanced cells → better recall at the
+    same nprobe)."""
+    centroids, assigned = ivf_build(corpus, vec_col, id_col, num_cells, train_iters)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )

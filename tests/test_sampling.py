@@ -1,0 +1,98 @@
+"""Deterministic sampling operators (operators/sampling.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pippin_spark.operators import sampling as SMP
+from pippin_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 10_000).withColumnRenamed("id", "rid")
+
+
+def test_sample_hash_fraction_and_stability(ids_df):
+    s = SMP.sample_hash(ids_df, "rid", 0.2)
+    n = s.count()
+    # uniform hash → binomial around 2000; generous 5-sigma band
+    assert 1700 < n < 2300
+    # identical membership on re-execution and under repartitioning
+    a = {r["rid"] for r in s.collect()}
+    b = {r["rid"] for r in SMP.sample_hash(ids_df.repartition(7), "rid", 0.2).collect()}
+    assert a == b
+
+
+def test_sample_hash_salt_independence(ids_df):
+    a = {r["rid"] for r in SMP.sample_hash(ids_df, "rid", 0.5, salt=0).collect()}
+    b = {r["rid"] for r in SMP.sample_hash(ids_df, "rid", 0.5, salt=7).collect()}
+    assert a != b
+    # ~independent decisions: overlap near 0.25 of the population
+    assert 0.15 < len(a & b) / 10_000 < 0.35
+
+
+def test_sample_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(2000)], "rid long, s string"
+    )
+    out = SMP.sample_stratified(df, "s", "rid", {"keep": 1.0}, default=0.0)
+    rows = out.collect()
+    assert all(r["s"] == "keep" for r in rows)
+    assert len(rows) == 1000
+
+
+def test_sample_per_group_exact_n(spark):
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(1000)], "rid long, g int"
+    )
+    out = SMP.sample_per_group(df, "g", "rid", 7)
+    sizes = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {g: 7 for g in range(5)}
+    # deterministic: same picks every run
+    assert sorted(r["rid"] for r in out.collect()) == sorted(
+        r["rid"] for r in SMP.sample_per_group(df, "g", "rid", 7).collect()
+    )
+
+
+def test_split_assign_partitions_everything(ids_df):
+    out = SMP.split_assign(ids_df, "rid", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10_000
+    assert 7700 < counts["train"] < 8300
+    # disjoint + exhaustive by construction; remainder goes to the last label
+    out2 = SMP.split_assign(ids_df, "rid", {"train": 0.8, "test": 0.1})
+    assert out2.filter(F.col("split").isNull()).count() == 0
+
+
+def test_sample_hash_is_pushed_to_scan(ids_df, tmp_path):
+    # the sampling predicate must stay a plain codegen'd filter — no
+    # shuffle, no UDF in the plan
+    path = str(tmp_path / "ids.parquet")
+    ids_df.write.parquet(path)
+    df = ids_df.sparkSession.read.parquet(path)
+    plan = SMP.sample_hash(df, "rid", 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_centroids_shape_and_ivf_parity(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.gauss(cx, 0.05), rnd.gauss(cy, 0.05)])
+        for i in range(200)
+        for cx, cy in [[(0.0, 1.0), (1.0, 0.0), (0.7, 0.7)][i % 3]]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = SIM.kmeans_centroids(df, "embedding", "vec_id", 3, iters=4)
+    got = cents.collect()
+    assert len(got) == 3 and all(len(r["centroid"]) == 2 for r in got)
+    # trained IVF with nprobe == num_cells is exhaustive → exact parity
+    q = df.filter(F.col("vec_id") < 3)
+    bf = SIM.brute_force_topk(df, q, "embedding", "vec_id", k=3)
+    ivf = SIM.ivf_topk(
+        df, q, "embedding", "vec_id", k=3, num_cells=3, nprobe=3, train_iters=2
+    )
+    assert sorted(map(tuple, bf.collect())) == sorted(map(tuple, ivf.collect()))
