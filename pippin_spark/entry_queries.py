@@ -1705,3 +1705,208 @@ def q_split_assign_docs(spark, sf_dir):
     return SMP.split_assign(
         d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# round-2 text extensions: repetition metrics + PII redaction
+
+
+_REP_TOKS = "string_split_regex(lower(text), '\\s+')"
+
+
+@_q(
+    "text_repetition",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             {_REP_TOKS} AS toks,
+             list_transform(range(1, len({_REP_TOKS})),
+                            i -> array_to_string(({_REP_TOKS})[i:i+1], ' ')) AS grams
+      FROM documents)
+    SELECT doc_id,
+           round(least(coalesce(list_max(list_transform(list_distinct(grams),
+                       d -> len(list_filter(grams, b -> b = d)))), 0) * 2
+                       / len(toks)::DOUBLE, 1.0), 6) AS top2_frac,
+           round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 6) AS ttr
+    FROM g
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    # Gopher-style repetition filters: top word-2-gram coverage +
+    # type-token ratio. Pure Column expressions (sequence/transform/
+    # filter) — map-only, zero shuffle, whole-stage codegen; at 100 TB
+    # this runs at scan speed with no exchange at all.
+    docs = _t(spark, sf_dir, "documents").df
+    return TXT.repetition_stats(docs, "text", ("doc_id",), n=2)
+
+
+# deterministic PII injection (the synthetic corpus has none): append
+# one email, one IPv4, one phone per doc, derived from doc_id
+_PII_SQL_TEXT = (
+    "text || ' contact user' || doc_id || '@example.com from 10.0.' "
+    "|| (doc_id % 256) || '.7 tel +1555010' || (doc_id % 10)"
+)
+
+
+def _pii_injected(docs):
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1555010"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+
+
+@_q(
+    "text_pii_redact",
+    f"""
+    WITH inj AS (SELECT doc_id, {_PII_SQL_TEXT} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{TXT.PII_PATTERNS["email"]}')) AS n_email,
+           len(regexp_extract_all(text, '{TXT.PII_PATTERNS["ip"]}')) AS n_ip,
+           len(regexp_extract_all(text, '{TXT.PII_PATTERNS["phone"]}')) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{TXT.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+               '{TXT.PII_PATTERNS["ip"]}', '<IP>', 'g'),
+               '{TXT.PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS redacted
+    FROM inj
+    """,
+)
+def q_text_pii_redact(spark, sf_dir):
+    # PII scrub for training corpora: count + redact emails/IPs/phones
+    # with Java-regex/RE2-common patterns. regexp chain is JVM-side,
+    # map-only; counts are computed pre-redaction.
+    docs = _pii_injected(_t(spark, sf_dir, "documents").df)
+    return docs.select(
+        "doc_id",
+        TXT.pii_count(F.col("text"), "email").alias("n_email"),
+        TXT.pii_count(F.col("text"), "ip").alias("n_ip"),
+        TXT.pii_count(F.col("text"), "phone").alias("n_phone"),
+        TXT.pii_redact(F.col("text")).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 relational extensions: grouping sets, pivot, range frames, sign-LSH
+
+
+@_q(
+    "grouping_sets_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS grouping_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets_pricing(spark, sf_dir):
+    # explicit GROUPING SETS (rollup/cube generalization) on the
+    # two-level pre-aggregate: the ×|sets| Expand replication happens
+    # above the ~#groups×#partitions pre-agg, never the corpus
+    pre, dsum2, _, count2 = two_level_sums(
+        _t(spark, sf_dir, "lineitem").df,
+        ["l_returnflag", "l_linestatus"],
+        {"qty": F.col("l_quantity")},
+    )
+    return REL.grouping_sets_agg(
+        pre,
+        [["l_returnflag"], ["l_linestatus"], []],
+        ["l_returnflag", "l_linestatus"],
+        count2("n"),
+        dsum2("qty", "qty"),
+    ).select("l_returnflag", "l_linestatus", "grouping_id", "n", "qty")
+
+
+@_q(
+    "pivot_pricing",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS "O"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_pricing(spark, sf_dir):
+    # pivot with an explicit value list over the two-level
+    # pre-aggregate: the corpus-wide fold is long-add groupBy; the
+    # pivot reshapes only the ~#groups×#partitions pre-agg rows.
+    # Explicit values also skip Spark's distinct() discovery scan.
+    pre, dsum2, _, _ = two_level_sums(
+        _t(spark, sf_dir, "lineitem").df,
+        ["l_returnflag", "l_linestatus"],
+        {"qty": F.col("l_quantity")},
+    )
+    return REL.pivot_agg(
+        pre, ["l_returnflag"], "l_linestatus", ["F", "O"], dsum2("qty", "qty")
+    )
+
+
+@_q(
+    "window_range_frame",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    # value-based RANGE frame: 30-day trailing revenue per customer.
+    # Decimal sum keeps the frame aggregation exact (order-independent),
+    # so peers within a day can't perturb the hash. One shuffle on
+    # o_custkey; the frame is one sorted pass per partition.
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).alias(
+            "__d"
+        ),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+    )
+    return REL.range_frame_agg(
+        o, ["o_custkey"], F.col("__d"), (-30, 0), (F.sum("__p"), "win_sum")
+    ).select("o_orderkey", F.col("win_sum").cast("double").alias("win_sum"))
+
+
+@_q(
+    "ann_topk_lsh",
+    # recall@5 of sign-LSH (16 tables × 4 hyperplanes) vs exact brute
+    # force; the embeddings table is identical across test SFs, so the
+    # agreement counts are literals. This fixture is near-worst-case
+    # for LSH (neighbors at cosine ~0.3-0.4 → per-plane collision
+    # ~0.62) — 4 planes/16 tables is tuned for it; clustered real
+    # embeddings support more planes (= sparser buckets) at the same
+    # recall.
+    """
+    SELECT CAST(25 AS BIGINT) AS n_exact,
+           CAST(25 AS BIGINT) AS n_approx,
+           CAST(23 AS BIGINT) AS n_common,
+           CAST(23 AS DOUBLE) / 25 AS recall,
+           CAST(23 AS DOUBLE) / 25 AS prec
+    """,
+)
+def q_ann_topk_lsh(spark, sf_dir):
+    # end-to-end: hyperplane signatures (one Arrow matmul stage, no
+    # corpus shuffle) -> broadcast bucket join -> exact re-rank of
+    # candidates, scored as recall@k against the exact neighbors
+    emb = _t(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 5)
+    lsh = SIM.lsh_topk(
+        emb, q, "embedding", "vec_id", k=5, num_tables=16, num_planes=4, dim=64
+    ).select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    bf = SIM.brute_force_topk(emb, q, "embedding", "vec_id", k=5).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return DEDUP.pair_agreement(bf, lsh)

@@ -99,6 +99,61 @@ def cube_agg(df: DataFrame, group_cols: Sequence[str], *aggs: Column) -> DataFra
     return df.cube(*group_cols).agg(F.grouping_id().alias("grouping_id"), *aggs)
 
 
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    group_cols: Sequence[str],
+    *aggs: Column,
+) -> DataFrame:
+    """Explicit GROUP BY GROUPING SETS (rollup/cube are the special
+    cases). Catalyst expands the sets with a single Expand node above
+    the scan, so the input is read once and each row is replicated only
+    |sets| times before the partial aggregate — same two-level shape as
+    a plain groupBy at scale."""
+    return df.groupingSets(
+        [[F.col(c) for c in s] for s in sets], *[F.col(c) for c in group_cols]
+    ).agg(F.grouping_id().alias("grouping_id"), *aggs)
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """Pivot with an explicit value list. Passing ``values`` matters at
+    scale: without it Spark first runs a distinct() job over the pivot
+    column (an extra full scan + shuffle) just to discover the columns.
+    With the list, this lowers to one partial-aggregated groupBy whose
+    output schema is fixed at plan time."""
+    return df.groupBy(*group_cols).pivot(pivot_col, list(values)).agg(agg)
+
+
+def range_frame_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_numeric: Column,
+    frame: tuple,
+    *aggs,
+) -> DataFrame:
+    """Aggregates over a RANGE frame (value-based window: "all rows
+    within X of the current row's sort key" — e.g. a 30-day moving
+    average). ``order_numeric`` must be numeric (epoch seconds / days)
+    so the frame bounds are exact; ``aggs`` are (Column-fn, out-name)
+    pairs applied over the frame. One shuffle on partition_by; the
+    running frame is evaluated in a single sorted pass per partition."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_numeric)
+        .rangeBetween(frame[0], frame[1])
+    )
+    out = df
+    for fn, name in aggs:
+        out = out.withColumn(name, fn.over(w))
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -13,6 +13,7 @@ All vector math is native (zip_with/aggregate) — JVM-side, no UDF.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -209,6 +210,102 @@ def ivf_topk(
             F.col("id").alias("neighbor_id"),
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def random_hyperplanes(dim: int, num_tables: int, num_planes: int, seed: int = 7):
+    """Deterministic Gaussian hyperplanes for sign-LSH, shape
+    (num_tables, num_planes, dim). numpy's RandomState stream is
+    stable across platforms, so signatures — and therefore recall —
+    are reproducible everywhere."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((num_tables, num_planes, dim))
+
+
+def _hyperplane_sig_udf(planes):
+    """Arrow-batched signature UDF: one numpy matmul per batch gives
+    every (table, plane) dot product at once; bits pack to one int64
+    signature per table. The planes array (T·P·dim doubles, a few KB)
+    ships inside the serialized closure — no shuffle, no driver state."""
+    import numpy as np
+
+    n_tables, n_planes, dim = planes.shape
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def sig(vs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        bits = (mat @ flat.T) > 0  # (batch, T·P)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        sigs = (bits * weights).sum(axis=2)  # (batch, T)
+        return pd.Series(list(sigs))
+
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    num_tables: int = 8,
+    num_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane (sign) LSH.
+
+    Candidates = corpus vectors sharing a full signature with the query
+    in ANY of ``num_tables`` tables; survivors are exactly re-ranked by
+    cosine. Same output shape as brute_force_topk.
+
+    Scale: corpus signatures are one Arrow map stage (no shuffle);
+    the bucket join broadcasts the (small) query signatures, so the
+    corpus is never exchanged; only candidate pairs — a tiny fraction
+    controlled by num_planes — reach the dedup groupBy and top-k
+    window. Collision probability per table is (1 - θ/π)^P, so recall
+    tunes with num_tables (up) / num_planes (selectivity)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, num_tables, num_planes, seed)
+    sig = _hyperplane_sig_udf(planes)
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("__sigs__", sig("cv"))
+        .select("neighbor_id", "cv", F.posexplode("__sigs__").alias("tbl", "sig"))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("__sigs__", sig("qv"))
+        .select("query_id", "qv", F.posexplode("__sigs__").alias("tbl", "sig"))
+    )
+    cand = (
+        c.join(F.broadcast(q), on=["tbl", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a pair can collide in several tables — dedupe before scoring;
+        # vectors are functionally dependent on the ids, any value works
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -89,6 +89,141 @@ def lang_id(col: Column) -> Column:
     return scored["code"]
 
 
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Word n-grams of the whitespace tokens as an array of
+    space-joined strings. Pure Column (sequence + transform + slice):
+    map-only, no explode, no shuffle — repetition metrics built on
+    this stay embarrassingly parallel at corpus scale."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngram_count(col: Column, n: int = 2) -> Column:
+    """Occurrence count of the most frequent word n-gram in the text
+    (0 when the text has fewer than n tokens). Computed entirely in
+    expression land: distinct grams × membership counts — O(d·g) per
+    document, JVM-side, zero shuffle.
+
+    NOTE: referencing this from several output columns re-expands the
+    whole expression tree per reference (Catalyst has no cross-column
+    CSE for lambda trees) — for multi-metric scans use
+    ``repetition_stats``, which stages each intermediate in its own
+    projection so it is evaluated once."""
+    grams = word_ngrams(col, n)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda d: F.size(F.filter(grams, lambda b: b == d)),
+    )
+    return F.coalesce(F.array_max(counts), F.lit(0))
+
+
+def top_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of token positions
+    covered by the single most frequent word n-gram,
+    ``n * top_count / n_tokens`` (0 for short texts). High values flag
+    boilerplate/spam documents for corpus filtering."""
+    frac = (top_ngram_count(col, n) * n).cast("double") / token_count(col).cast(
+        "double"
+    )
+    return F.round(F.least(frac, F.lit(1.0)), 6)
+
+
+def type_token_ratio(col: Column) -> Column:
+    """Lexical diversity: distinct tokens / total tokens (rounded to 6
+    decimals). Low values flag repetitive machine-generated text."""
+    toks = tokens(col)
+    return F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+        6,
+    )
+
+
+def repetition_stats(df, text_col: str, id_cols=("doc_id",), n: int = 2):
+    """Per-document repetition metrics: ``top{n}_frac`` (fraction of
+    token positions covered by the most frequent word n-gram, Gopher
+    rule) and ``ttr`` (type-token ratio).
+
+    Each intermediate (tokens → grams → top count) lives in its own
+    projection stage so Catalyst evaluates it once per row instead of
+    re-expanding the lambda tree per consumer — the expression-reuse
+    analog of a CTE. Still map-only: no exchange at any scale."""
+    ids = list(id_cols)
+    toks = df.select(*ids, tokens(F.col(text_col)).alias("__toks"))
+    grams = toks.withColumn(
+        "__grams",
+        F.when(
+            F.size(F.col("__toks")) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("__toks")) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    top = grams.withColumn(
+        "__top",
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(F.col("__grams")),
+                    lambda d: F.size(F.filter(F.col("__grams"), lambda b: b == d)),
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    return top.select(
+        *ids,
+        F.round(
+            F.least(
+                (F.col("__top") * n).cast("double")
+                / F.size(F.col("__toks")).cast("double"),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias(f"top{n}_frac"),
+        F.round(
+            F.size(F.array_distinct(F.col("__toks"))).cast("double")
+            / F.greatest(F.size(F.col("__toks")), F.lit(1)).cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+
+
+# PII patterns: the subset of regex syntax that Java (Spark) and RE2
+# (DuckDB) interpret identically — char classes, bounded repeats,
+# alternation, \b anchors; no lookarounds.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone": "\\+[0-9]{7,15}",
+}
+# redaction order matters: emails contain dots/digits that the ip/phone
+# patterns could partially match, so emails go first
+PII_ORDER = ["email", "ip", "phone"]
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII kind (``email``/``ip``/``phone``)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), 0))
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace every email/IPv4/phone occurrence with ``<KIND>``
+    placeholder tokens. Pure regexp_replace chain — JVM-side, global
+    replacement, scales linearly with text volume."""
+    out = col
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     lowercased text (md5 is bit-identical across Spark and DuckDB,

@@ -224,3 +224,65 @@ def test_dedup_clusters_long_chain(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def test_lsh_topk_subset_of_bruteforce_rerank(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((4, 8))
+    rows = []
+    for i in range(40):
+        v = base[i % 4] + 0.05 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 4)
+    out = S.lsh_topk(
+        df, q, "embedding", "vec_id", k=3, num_tables=8, num_planes=4, dim=8
+    )
+    rows_out = out.collect()
+    # shape: ranks are 1..k per query, no self-pairs
+    for r in rows_out:
+        assert r["query_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 3
+    # tightly clustered corpus: every query finds its full top-3 and the
+    # neighbors share the query's cluster (cosine ~1 within a cluster)
+    by_q = {}
+    for r in rows_out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rs in by_q.items():
+        assert len(rs) == 3
+        for r in rs:
+            assert r["neighbor_id"] % 4 == qid % 4
+            assert r["cosine"] > 0.9
+
+
+def test_repetition_and_pii(spark):
+    from pippin_spark.operators import text as TXT
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here are different tokens"),
+            (3, "mail me@x.co or 10.1.2.3 tel +15550100"),
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {
+        r["doc_id"]: (r["top2_frac"], r["ttr"])
+        for r in TXT.repetition_stats(df, "text").collect()
+    }
+    assert rep[1] == (1.0, 0.25)  # "spam spam" covers everything
+    assert rep[2][0] < 0.5 and rep[2][1] == 1.0
+    red = df.select(
+        "doc_id",
+        TXT.pii_count(F.col("text"), "email").alias("ne"),
+        TXT.pii_count(F.col("text"), "ip").alias("ni"),
+        TXT.pii_count(F.col("text"), "phone").alias("np"),
+        TXT.pii_redact(F.col("text")).alias("red"),
+    ).collect()
+    by = {r["doc_id"]: r for r in red}
+    assert (by[3]["ne"], by[3]["ni"], by[3]["np"]) == (1, 1, 1)
+    assert by[3]["red"] == "mail <EMAIL> or <IP> tel <PHONE>"
+    assert by[1]["red"] == by[1]["red"] == "spam spam spam spam"

@@ -142,3 +142,46 @@ def test_vector_normalize_and_quantize(spark):
     assert rows[1]["qv"] == [95, 127]  # 3·127/4 = 95.25 → 95
     assert rows[2]["qv"] == [0, 0]
     assert rows[3]["qv"] == [-127, 127]
+
+
+def test_grouping_sets_agg(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["g1", "g2", "v"]
+    )
+    out = R.grouping_sets_agg(
+        df, [["g1"], ["g2"], []], ["g1", "g2"], F.sum("v").alias("s")
+    )
+    got = {(r["g1"], r["g2"], r["grouping_id"]): r["s"] for r in out.collect()}
+    assert got == {
+        ("a", None, 1): 3,
+        ("b", None, 1): 4,
+        (None, "x", 2): 5,
+        (None, "y", 2): 2,
+        (None, None, 3): 7,
+    }
+
+
+def test_pivot_agg_explicit_values(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["g", "p", "v"]
+    )
+    out = R.pivot_agg(df, ["g"], "p", ["x", "y", "z"], F.sum("v"))
+    assert out.columns == ["g", "x", "y", "z"]
+    got = {r["g"]: (r["x"], r["y"], r["z"]) for r in out.collect()}
+    assert got == {"a": (1, 2, None), "b": (4, None, None)}
+
+
+def test_range_frame_agg_trailing_window(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 5, 2.0), (1, 20, 4.0), (2, 0, 8.0)], ["k", "t", "v"]
+    )
+    out = R.range_frame_agg(
+        df, ["k"], F.col("t"), (-10, 0), (F.sum("v"), "s"), (F.count("*"), "n")
+    )
+    got = {(r["k"], r["t"]): (r["s"], r["n"]) for r in out.collect()}
+    assert got == {
+        (1, 0): (1.0, 1),
+        (1, 5): (3.0, 2),
+        (1, 20): (4.0, 1),
+        (2, 0): (8.0, 1),
+    }
