@@ -1611,6 +1611,7 @@ def q_streaming_tumbling_window(spark, sf_dir):
         query_name="pippin_stream_tumble",
         output_mode="complete",
         available_now=True,
+        state_partitions=_stream_parts(spark, sf_dir),
     )
     q.awaitTermination(120)
     return spark.table("pippin_stream_tumble").select(
@@ -1910,3 +1911,221 @@ def q_ann_topk_lsh(spark, sf_dir):
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
     return DEDUP.pair_agreement(bf, lsh)
+
+
+# ---------------------------------------------------------------------------
+# round-2 streaming extensions: sliding/session windows, stream-static
+# join, custom stateful operator. All run REAL Structured Streaming
+# (file source -> watermark/state -> memory sink, Trigger.AvailableNow
+# for bounded "channel closed" semantics) and drain the sink into a
+# batch DataFrame so the driver can oracle-check the stream output.
+
+
+def _events_stream(spark, sf_dir):
+    """File-source stream over the events parquet with an exact
+    event-time column (integer nanos -> micros division; double
+    division loses integer exactness above 2^53)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("tsc", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _stream_parts(spark, sf_dir) -> int:
+    """State-store partition count sized to the bounded feed: one
+    state partition per ~32 MB of input, clamped to [4, session
+    shuffle partitions]. Each state partition is a store instance with
+    per-batch open/commit cost, so a small feed wants few; a firehose
+    on a big cluster grows back to the cluster default."""
+    import os
+
+    size = os.path.getsize(f"{sf_dir}/events.parquet")
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(cap, size // (32 << 20) + 1))
+
+
+@_q(
+    "streaming_sliding_window",
+    # every event lands in exactly width/slide = 2 sliding windows;
+    # the oracle replicates each event to its k in {0,1} windows
+    """
+    SELECT CAST(((epoch_ns(ts) // 1000000000) // 1800 - k) * 1800 AS BIGINT)
+             AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events CROSS JOIN (SELECT UNNEST(range(2)) AS k)
+    GROUP BY 1
+    """,
+)
+def q_streaming_sliding_window(spark, sf_dir):
+    # 1h windows sliding every 30m: windowed state keeps 2 open
+    # windows per slide; watermark bounds state retention at scale
+    from pippin_spark.streaming import StreamingPipeline
+
+    sp = StreamingPipeline(_events_stream(spark, sf_dir)).with_watermark(
+        "tsc", "1 hour"
+    ).sliding_window(
+        "tsc",
+        "1 hour",
+        "30 minutes",
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+    q = sp.start(
+        sink_format="memory",
+        query_name="pippin_stream_slide",
+        output_mode="complete",
+        available_now=True,
+        state_partitions=_stream_parts(spark, sf_dir),
+    )
+    q.awaitTermination(120)
+    return spark.table("pippin_stream_slide").select(
+        F.unix_timestamp(F.col("window.start")).cast("bigint").alias("window_start"),
+        "n",
+        "total",
+    )
+
+
+@_q(
+    "streaming_session_window",
+    # gap-merged sessions: a session breaks when the inter-event gap
+    # reaches 30m (Spark's session window is [first, last+gap), so an
+    # event at exactly last+gap starts a NEW session -> break on >=)
+    """
+    WITH m AS (
+      SELECT user_id, epoch_ns(ts) AS tns, value,
+             CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w
+                       >= 1800000000000 THEN 1
+                  ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))),
+    s AS (
+      SELECT user_id, tns, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY tns
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           CAST(MIN(tns) // 1000000000 AS BIGINT) AS session_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session_window(spark, sf_dir):
+    # per-user session windows (30m gap) — Structured Streaming's
+    # session_window merges adjacent state ranges per key; state is
+    # partitioned by user, watermark closes sessions and bounds state
+    from pippin_spark.streaming import StreamingPipeline
+
+    sp = StreamingPipeline(_events_stream(spark, sf_dir)).with_watermark(
+        "tsc", "1 hour"
+    ).session_window(
+        "tsc",
+        "30 minutes",
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        keys=(F.col("user_id"),),
+    )
+    q = sp.start(
+        sink_format="memory",
+        query_name="pippin_stream_session",
+        output_mode="complete",
+        available_now=True,
+        state_partitions=_stream_parts(spark, sf_dir),
+    )
+    q.awaitTermination(120)
+    return spark.table("pippin_stream_session").select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start"))
+        .cast("bigint")
+        .alias("session_start"),
+        "n",
+        "total",
+    )
+
+
+@_q(
+    "streaming_join_static",
+    """
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_streaming_join_static(spark, sf_dir):
+    # stream-static enrichment join: every micro-batch hash-joins
+    # against the broadcast dim — no stream-side shuffle for the join;
+    # the only stateful op is the downstream segment aggregate
+    from pippin_spark.streaming import StreamingPipeline
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .df.select("c_custkey", "c_mktsegment")
+    )
+    stream = _events_stream(spark, sf_dir)
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    ).groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+    sp = StreamingPipeline(joined)
+    q = sp.start(
+        sink_format="memory",
+        query_name="pippin_stream_static_join",
+        output_mode="complete",
+        available_now=True,
+        state_partitions=_stream_parts(spark, sf_dir),
+    )
+    q.awaitTermination(120)
+    return spark.table("pippin_stream_static_join")
+
+
+@_q(
+    "streaming_stateful_counts",
+    # single bounded batch -> each key emits its final state once; the
+    # exact scaled-long state makes the double totals bit-identical to
+    # the decimal oracle (same policy as two_level_sums)
+    """
+    SELECT user_id AS key, COUNT(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS maxv
+    FROM events GROUP BY 1
+    """,
+)
+def q_streaming_stateful_counts(spark, sf_dir):
+    # custom stateful operator (applyInPandasWithState): running
+    # per-user (count, sum, max) across micro-batches — the escape
+    # hatch for aggregations the built-in windowed aggs can't express.
+    # Values are pre-scaled to exact longs (HALF_UP round, the
+    # engine's decimal policy) so state accumulation is
+    # order-independent; finalization divides via decimal, matching
+    # CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) bit-for-bit.
+    from pippin_spark.streaming import StreamingPipeline, stateful_running_agg
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 10000, 0).cast("long").alias("sv")
+    )
+    counts = stateful_running_agg(stream, "user_id", "sv")
+    sp = StreamingPipeline(counts)
+    q = sp.start(
+        sink_format="memory",
+        query_name="pippin_stream_stateful",
+        output_mode="update",
+        available_now=True,
+        state_partitions=_stream_parts(spark, sf_dir),
+    )
+    q.awaitTermination(120)
+    div = F.lit(10000).cast("decimal(10,0)")
+    return spark.table("pippin_stream_stateful").select(
+        "key",
+        "n",
+        (F.col("total").cast("decimal(38,0)") / div).cast("double").alias("total"),
+        (F.col("maxv").cast("decimal(38,0)") / div).cast("double").alias("maxv"),
+    )

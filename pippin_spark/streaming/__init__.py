@@ -72,22 +72,41 @@ class StreamingPipeline:
         query_name: str = "pippin_stream",
         output_mode: str = "update",
         available_now: bool = False,
+        state_partitions: Optional[int] = None,
         **options,
     ) -> StreamingQuery:
         """Pipeline.Start analog — nothing flows before this (the
         reference needed ManualStart machinery; streaming is lazy by
         construction). available_now=True gives bounded 'channel
-        closed' semantics."""
-        writer = (
-            self.df.writeStream.format(sink_format)
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .options(**options)
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        self.query = writer.start()
-        return self.query
+        closed' semantics.
+
+        ``state_partitions`` sizes the stateful-operator shuffle (the
+        number of state-store instances), pinned into the query's
+        offset log at start. Size it to per-batch volume: each state
+        partition costs a store instance (open/commit per batch), so a
+        small bounded feed wants few; a 1000-executor cluster ingesting
+        a firehose wants the cluster default. None = session setting."""
+        session = self.df.sparkSession
+        key = "spark.sql.shuffle.partitions"
+        prev = session.conf.get(key)
+        if state_partitions is not None:
+            session.conf.set(key, str(state_partitions))
+        try:
+            writer = (
+                self.df.writeStream.format(sink_format)
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .options(**options)
+            )
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            self.query = writer.start()
+            return self.query
+        finally:
+            # the conf is captured into the query at start(); restoring
+            # immediately cannot affect the running stream
+            if state_partitions is not None:
+                session.conf.set(key, prev)
 
     def interrupt(self) -> None:
         """Pipeline.Interrupt analog (graceful stop)."""
