@@ -2129,3 +2129,202 @@ def q_streaming_stateful_counts(spark, sf_dir):
         (F.col("total").cast("decimal(38,0)") / div).cast("double").alias("total"),
         (F.col("maxv").cast("decimal(38,0)") / div).cast("double").alias("maxv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch extensions: JSON scalar functions, multi-join flagship,
+# outer-join aggregate, per-label embedding centroids
+
+
+@_q(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events
+    """,
+)
+def q_json_extract_props(spark, sf_dir):
+    # JSON scalar functions (SURVEY §2.5: reference has NO scalar
+    # function library): from_json with an explicit schema is the
+    # scale path — one Jackson parse per row, JVM-side, no UDF, and
+    # the parsed struct prunes to just the referenced field.
+    ev = _t(spark, sf_dir, "events").df
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),
+    )
+
+
+@_q(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    # TPC-H Q5 shape: the two big facts (lineitem, orders) shuffle-join
+    # on orderkey; customer joins on custkey; supplier/nation/region
+    # are broadcast (with the region filter applied BEFORE the join so
+    # only ASIA nations ship). Revenue uses the two-level exact decimal
+    # fold — the 6-way join output is aggregated at long-add speed.
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").df.select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").df.select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").df.select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").df.select("n_nationkey", "n_name", "n_regionkey")
+    r = (
+        _t(spark, sf_dir, "region")
+        .df.filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    asian_nations = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(asian_nations, s.s_nationkey == F.col("n_nationkey"))
+    )
+    pre, dsum2, _, _ = two_level_sums(
+        j,
+        ["n_name"],
+        {"rev": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
+    )
+    return pre.groupBy("n_name").agg(dsum2("rev", "revenue"))
+
+
+@_q(
+    "join_outer_counts",
+    """
+    SELECT c.c_custkey AS custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_join_outer_counts(spark, sf_dir):
+    # outer-join aggregate, written aggregate-THEN-join: orders
+    # pre-collapse to one row per customer before the join, so the
+    # outer join moves #customers rows instead of #orders — the
+    # order-of-magnitude saving at fact-table scale.
+    c = _t(spark, sf_dir, "customer").df.select("c_custkey")
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .df.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        F.col("c_custkey").alias("custkey"),
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
+    )
+
+
+@_q(
+    "emb_label_centroids",
+    """
+    WITH u AS (
+      SELECT label,
+             UNNEST(range(len(CAST(embedding AS DOUBLE[])))) AS pos,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings),
+    a AS (SELECT label, pos, AVG(v) AS m FROM u GROUP BY 1, 2)
+    SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+    FROM a GROUP BY label
+    """,
+)
+def q_emb_label_centroids(spark, sf_dir):
+    # per-label mean embedding; round-6 absorbs cross-engine float-fold
+    # order differences (same policy as emb_normalize)
+    emb = _t(spark, sf_dir, "embeddings").df
+    return SIM.label_centroids(emb, "embedding", "label")
+
+
+@_q(
+    "merge_changes_orders",
+    # deterministic synthetic changeset: keys ending in 0 are deleted,
+    # keys ending in 1 are upserted with a bumped price, one new key
+    # (-1) is inserted
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT -1, 'N', 42.0
+    """,
+)
+def q_merge_changes_orders(spark, sf_dir):
+    # CDC merge (MERGE INTO semantics as one anti-join + union):
+    # deletes drop keys %10==0, upserts bump price on keys %10==1 and
+    # insert a brand-new key -1
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.lit("upsert").alias("op"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("delete").alias("op"),
+    )
+    ins = spark.createDataFrame(
+        [(-1, "N", 42.0, "upsert")],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, op string",
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return REL.apply_changes(o, changes, ["o_orderkey"])
+
+
+@_q(
+    "histogram_prices",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram_prices(spark, sf_dir):
+    # equal-width histogram — map-side partial agg, <=#bins rows
+    # shuffle per task at any corpus size
+    o = _t(spark, sf_dir, "orders").df
+    return REL.histogram(o, F.col("o_totalprice"), 25000.0)
+
+
+@_q(
+    "agg_stats_moments",
+    # statistical aggregate library: stddev / covariance / correlation
+    # per group; round-6 absorbs cross-engine float-fold order (these
+    # moments are double accumulations, inherently order-dependent)
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qe,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qe
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_agg_stats_moments(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").df
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qe"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qe"),
+    )

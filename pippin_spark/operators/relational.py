@@ -337,3 +337,41 @@ def time_bucket(ts_col: Column, width_seconds: int) -> Column:
     Structured Streaming window(); works on numeric epoch columns so it
     is exact and oracle-friendly."""
     return (F.floor(ts_col / width_seconds) * width_seconds).cast("long")
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC merge: apply an upsert/delete changeset to a snapshot.
+
+    ``changes`` carries the key columns, an ``op_col`` in
+    ('upsert', 'delete'), and the full row payload for upserts. The
+    result keeps every snapshot row whose key has NO change row, plus
+    the upsert payloads — i.e. MERGE with WHEN MATCHED UPDATE/DELETE +
+    WHEN NOT MATCHED INSERT semantics. Callers with multiple change
+    rows per key must pre-dedupe deterministically (keep max version).
+
+    Scale: one left-anti join on the key (broadcast when the changeset
+    is small — the common CDC shape — else shuffle both sides once)
+    plus a union; no wide transform touches the snapshot payload."""
+    keys = list(key_cols)
+    touched = changes.select(*keys).distinct()
+    keep = snapshot.join(touched, on=keys, how="left_anti")
+    ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    return keep.unionByName(ups.select(*snapshot.columns))
+
+
+def histogram(
+    df: DataFrame,
+    col: Column,
+    bin_width: float,
+    origin: float = 0.0,
+) -> DataFrame:
+    """Equal-width histogram: (bucket, n) with bucket = floor((x -
+    origin) / width). Map-side partial groupBy — one shuffle of ≤#bins
+    rows per task regardless of input size."""
+    b = F.floor((col - F.lit(origin)) / F.lit(bin_width)).cast("long").alias("bucket")
+    return df.select(b).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))

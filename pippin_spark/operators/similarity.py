@@ -338,3 +338,32 @@ def quantize_int8(vec_col: Column) -> Column:
         amax > 0,
         F.transform(v, lambda x: F.round(x * (F.lit(127.0) / amax)).cast("int")),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str, label_col: str, decimals: int = 6
+) -> DataFrame:
+    """Per-label mean vector (class centroids — the training-pipeline
+    primitive behind clustering init, prototype classifiers, and
+    per-class drift monitoring).
+
+    Scale: posexplode to (label, pos, val) triples feeds a map-side
+    partial aggregate that collapses each task to #labels×dim rows
+    before the shuffle — corpus volume never crosses the wire, only
+    #labels×dim partials per task. Reassembly sorts the dim positions
+    inside each label row (array_sort on (pos, mean) structs orders by
+    pos). Rounding absorbs cross-engine float-fold differences, like
+    normalize_vectors' oracle."""
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "v"),
+    )
+    a = e.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    return (
+        a.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "label",
+            F.transform("pm", lambda x: F.round(x["m"], decimals)).alias("centroid"),
+        )
+    )

@@ -286,3 +286,16 @@ def test_repetition_and_pii(spark):
     assert (by[3]["ne"], by[3]["ni"], by[3]["np"]) == (1, 1, 1)
     assert by[3]["red"] == "mail <EMAIL> or <IP> tel <PHONE>"
     assert by[1]["red"] == by[1]["red"] == "spam spam spam spam"
+
+
+def test_label_centroids(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("a", [3.0, 2.0]),
+            ("b", [0.0, 8.0]),
+        ],
+        ["label", "embedding"],
+    )
+    out = {r["label"]: r["centroid"] for r in S.label_centroids(df, "embedding", "label").collect()}
+    assert out == {"a": [2.0, 1.0], "b": [0.0, 8.0]}

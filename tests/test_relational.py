@@ -185,3 +185,21 @@ def test_range_frame_agg_trailing_window(spark):
         (1, 20): (4.0, 1),
         (2, 0): (8.0, 1),
     }
+
+
+def test_apply_changes_merge_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    ch = spark.createDataFrame(
+        [(2, "B", "upsert"), (3, None, "delete"), (4, "d", "upsert")],
+        ["k", "v", "op"],
+    )
+    out = {r["k"]: r["v"] for r in R.apply_changes(snap, ch, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_histogram_buckets(spark):
+    df = spark.createDataFrame([(0.5,), (1.5,), (1.7,), (9.9,)], ["x"])
+    out = {r["bucket"]: r["n"] for r in R.histogram(df, F.col("x"), 1.0).collect()}
+    assert out == {0: 1, 1: 2, 9: 1}
