@@ -89,7 +89,7 @@ def main() -> None:
 
     # Per BASELINE.md's measurement protocol: discard the first (cold)
     # execution — it pays Catalyst planning + codegen compile + shuffle
-    # file creation — then report the best of two warm runs (the
+    # file creation — then report the best of three warm runs (the
     # engine's steady-state throughput, what a long-running cluster job
     # sees; min-of-N is the standard noise-robust point estimate).
     # The declared sketch queries are recall summaries (they run the
@@ -135,7 +135,7 @@ def main() -> None:
         if name in STREAMING:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -144,7 +144,7 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
