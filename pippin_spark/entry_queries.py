@@ -46,6 +46,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str):
     return Pipeline.from_table(spark, sf_dir, name)
 
 
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with ``ts`` normalized to BIGINT epoch-nanos.
+
+    The driver's events parquet has shipped as both TIMESTAMP(NANOS)
+    (read as LONG) and timestamp[us]; all engine event-time arithmetic
+    is integer-nanos either way (see ensure_epoch_ns)."""
+    from pippin_spark.pipeline import ensure_epoch_ns
+
+    return ensure_epoch_ns(_t(spark, sf_dir, "events").df, "ts")
+
+
 def dsum(c, alias: str):
     """Exact double sum: decimal-sum then cast (determinism policy)."""
     return F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(alias)
@@ -761,7 +772,7 @@ def q_rollup_pricing(spark, sf_dir):
 def q_asof_join_events(spark, sf_dir):
     # as-of join (custom operator — Spark lacks it natively): for each
     # purchase, the most recent at-or-before view of the same user
-    ev = _t(spark, sf_dir, "events").df
+    ev = _ev(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
     out = REL.asof_join(purchases, views, on="user_id", left_ts="ts", right_ts="ts", right_cols=["value"])
@@ -788,7 +799,7 @@ def q_asof_join_events(spark, sf_dir):
 def q_sessionize_events(spark, sf_dir):
     # sessionization: 30-min gap over nano timestamps (single shuffle
     # on user_id; batch analog of a session window)
-    ev = _t(spark, sf_dir, "events").df
+    ev = _ev(spark, sf_dir)
     s = REL.sessionize(
         ev,
         "user_id",
@@ -841,7 +852,7 @@ def q_sliding_window_events(spark, sf_dir):
     # sliding event-time window, batch form: 1h windows every 30min —
     # each event explodes to width/slide=2 window starts (constant
     # fan-out, linear data volume)
-    ev = _t(spark, sf_dir, "events").df
+    ev = _ev(spark, sf_dir)
     secs = F.expr("ts div 1000000000")
     return (
         ev.select(
@@ -865,7 +876,7 @@ def q_sliding_window_events(spark, sf_dir):
 def q_time_bucket_events(spark, sf_dir):
     # tumbling event-time window, batch form (streaming twin lives in
     # pippin_spark.streaming with watermarks)
-    ev = _t(spark, sf_dir, "events").df
+    ev = _ev(spark, sf_dir)
     return (
         ev.select(
             F.floor(F.col("ts") / 3_600_000_000_000).cast("bigint").alias("hour_bucket"),
@@ -1590,16 +1601,7 @@ def q_streaming_tumbling_window(spark, sf_dir):
     # batch query.
     from pippin_spark.streaming import StreamingPipeline
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        # integer div, not double division: ts ~1.7e18 exceeds double's
-        # 2^53 exact range, which can shift events across hour borders
-        .withColumn("tsc", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     sp = StreamingPipeline(stream).with_watermark("tsc", "1 hour").tumbling_window(
         "tsc",
         "1 hour",
@@ -1923,15 +1925,23 @@ def q_ann_topk_lsh(spark, sf_dir):
 
 def _events_stream(spark, sf_dir):
     """File-source stream over the events parquet with an exact
-    event-time column (integer nanos -> micros division; double
-    division loses integer exactness above 2^53)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    event-time column ``tsc`` (TIMESTAMP).
+
+    The batch-side load (from_table) decides whether the footer needs
+    the legacy nanos conf; the stream reuses its resolved schema, then
+    ``ensure_epoch_ns`` normalizes ts to integer nanos (exact — double
+    division loses integer exactness above 2^53) before deriving the
+    watermarkable timestamp column."""
+    from pippin_spark.pipeline import ensure_epoch_ns
+
+    schema = _t(spark, sf_dir, "events").df.schema
+    stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("tsc", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return ensure_epoch_ns(stream, "ts").withColumn(
+        "tsc", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
@@ -2148,7 +2158,7 @@ def q_json_extract_props(spark, sf_dir):
     # function library): from_json with an explicit schema is the
     # scale path — one Jackson parse per row, JVM-side, no UDF, and
     # the parsed struct prunes to just the referenced field.
-    ev = _t(spark, sf_dir, "events").df
+    ev = _ev(spark, sf_dir)
     return ev.select(
         "event_id",
         F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),

@@ -498,6 +498,42 @@ def _parquet_has_nanos(path: str) -> bool:
         return True
 
 
+def ensure_epoch_ns(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a time column to BIGINT epoch-nanoseconds in place.
+
+    The engine standardizes event-time arithmetic on integer nanos:
+    exact (doubles lose integer exactness above 2^53 — an epoch-nanos
+    value is ~1.7e18) and identical across engines. Input may be:
+
+    - ``LongType`` — already epoch nanos (TIMESTAMP(NANOS) parquet read
+      via the legacy ``nanosAsLong`` conf): no-op.
+    - ``TimestampNTZType`` — naive micros; treated as UTC, exactly what
+      DuckDB's ``epoch_ns()`` does with naive timestamps. Converted with
+      ``timestampdiff`` so the result is independent of the session
+      timezone.
+    - ``TimestampType`` — instant micros; ``unix_micros`` is already
+      timezone-independent.
+
+    Works on streaming DataFrames too (pure deterministic projection).
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df
+    if isinstance(dt, T.TimestampNTZType):
+        ns = F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`) * 1000"
+        )
+    elif isinstance(dt, T.TimestampType):
+        ns = F.unix_micros(F.col(col)) * F.lit(1000)
+    else:
+        raise TypeError(
+            f"ensure_epoch_ns: column {col!r} has type {dt}; expected "
+            "LONG (epoch nanos) or a timestamp type"
+        )
+    return df.withColumn(col, ns.cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # dual-path fn → Column compilation
 # ---------------------------------------------------------------------------
