@@ -2338,3 +2338,154 @@ def q_agg_stats_moments(spark, sf_dir):
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qe"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qe"),
     )
+
+
+@_q(
+    "q18_large_orders",
+    # TPC-H Q18 shape (large-volume customers): pre-aggregate the fact
+    # table, HAVING-filter, then join the small survivor set to the
+    # dims. l_quantity values are integral doubles, so SUM is exact and
+    # the BIGINT cast is lossless in both engines.
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name, o.o_orderkey AS okey,
+           o.o_totalprice AS price, CAST(s.qty AS BIGINT) AS sum_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS qty
+          FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250) s
+    JOIN orders o ON o.o_orderkey = s.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY price DESC, okey LIMIT 100
+    """,
+)
+def q_q18_large_orders(spark, sf_dir):
+    # Scale shape: ONE shuffle (the groupBy on the fact table, with
+    # map-side partial agg); the HAVING survivor set is tiny, so both
+    # dim joins broadcast it — orders/customer are never shuffled —
+    # and the final top-100 lowers to TakeOrderedAndProject.
+    li = _t(spark, sf_dir, "lineitem").df
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").df
+    c = _t(spark, sf_dir, "customer").df
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").alias("price"),
+            F.col("qty").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy(F.desc("price"), F.asc("okey"))
+        .limit(100)
+    )
+
+
+@_q(
+    "text_gopher_filter",
+    f"""
+    SELECT doc_id, {TXT.gopher_filter_oracle_sql("text")}
+    FROM documents
+    """,
+)
+def q_text_gopher_filter(spark, sf_dir):
+    # combined Gopher-rule quality gate: per-rule metrics + keep flag,
+    # all Column exprs fused into the scan (no UDF, no shuffle)
+    docs = _t(spark, sf_dir, "documents").df
+    n_words, mwl, stop_frac, keep = TXT.gopher_filter_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stop_frac.alias("stopword_frac"),
+        keep.alias("keep"),
+    )
+
+
+@_q(
+    "sample_balance_lang",
+    # deterministic language rebalancing: every language downsampled to
+    # the smallest language's size via the pure-integer hash predicate
+    # (bucket*n < min*2^32) — identical membership in any engine
+    f"""
+    WITH c AS (SELECT lang, COUNT(*) AS __n__ FROM documents GROUP BY lang),
+         m AS (SELECT MIN(__n__) AS __min__ FROM c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN c USING (lang) CROSS JOIN m
+    WHERE {SMP.sample_balance_oracle_sql("documents", "lang", "doc_id")}
+    """,
+)
+def q_sample_balance_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return SMP.sample_balance(docs, "lang", "doc_id").select("doc_id", "lang")
+
+
+@_q(
+    "sink_partitioned_parquet",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_sink_partitioned_parquet(spark, sf_dir):
+    # partitioned-sink roundtrip: write orders hive-partitioned by
+    # priority (the low-cardinality key — partition count stays bounded
+    # at any corpus size), read it back, and aggregate per partition.
+    # Readback groupBy on the partition key does partition pruning-
+    # friendly listing; the oracle aggregates the source directly, so a
+    # row lost or duplicated by the sink would hash-mismatch.
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pippin_sink_{tag}/orders_by_priority"
+    _t(spark, sf_dir, "orders").to_parquet(path, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@_q(
+    "streaming_dedup",
+    # exactly-once by event_id: the stream is the events feed unioned
+    # with itself (guaranteed duplicates), deduplicated with streaming
+    # state; the drained sink must equal the source exactly
+    """
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    """,
+)
+def q_streaming_dedup(spark, sf_dir):
+    # watermarked streaming dropDuplicates: state for an event_id can
+    # be evicted once the watermark passes its event time — bounded
+    # state on an unbounded stream (plain dropDuplicates would grow
+    # state forever). The duplicate-producing union is the test rig.
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    dedup = (
+        s1.unionByName(s2)
+        .withWatermark("tsc", "1 hour")
+        .dropDuplicates(["event_id", "tsc"])
+        .select("event_id", "event_type")
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("pippin_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            f"/tmp/pippin_ckpt_dedup_{abs(hash(sf_dir)) % 10**8}",
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table("pippin_stream_dedup")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -122,3 +122,42 @@ def split_assign(
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     final = F.lit(bounds[-1][0]) if expr is None else expr.otherwise(F.lit(bounds[-1][0]))
     return df.withColumn(split_col, final)
+
+
+def sample_balance(
+    df: DataFrame, strata_col: str, id_col: str, salt: int = 0
+) -> DataFrame:
+    """Deterministic rebalancing sample: downsample every stratum to
+    (approximately) the size of the smallest — e.g. equalize languages
+    or sources before pretraining. Two passes: a tiny groupBy counts
+    the strata, then the keep decision is the pure-integer predicate
+
+        bucket(id) * n_stratum  <  n_min * 2^32
+
+    (exact bigint arithmetic — bucket < 2^32 and n_stratum < 2^31 keep
+    the product under 2^63; no float fraction, so engines agree
+    bit-for-bit). The counts side is broadcast; the corpus itself is
+    never shuffled — the filter fuses into the scan."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n__"))
+    # global min over the tiny aggregated frame (rows = #strata)
+    counts = counts.withColumn(
+        "__min__", F.min("__n__").over(Window.partitionBy(F.lit(1)))
+    )
+    keep = hash_bucket(F.col(id_col), salt) * F.col("__n__") < F.col(
+        "__min__"
+    ) * F.lit(_M32)
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .filter(keep)
+        .drop("__n__", "__min__")
+    )
+
+
+def sample_balance_oracle_sql(
+    table: str, strata_col: str, id_col: str, salt: int = 0
+) -> str:
+    """DuckDB WHERE-clause predicate identical to sample_balance's keep
+    decision (caller joins the counts CTE; see entry_queries)."""
+    return (
+        f"({hash_bucket_sql(f'd.{id_col}', salt)}) * c.__n__ < m.__min__ * {_M32}"
+    )

@@ -250,3 +250,64 @@ def lang_id_oracle_sql(text_expr: str = "text") -> str:
                 f"ELSE {expr} END"
             )
     return f"({expr}).code"
+
+
+# Gopher-style combined quality gate (Rae et al. 2021, "Scaling
+# Language Models" §A1.1 — public rule set): word-count bounds, mean
+# word length bounds, and a minimum stopword fraction, combined into a
+# single keep/drop decision with per-rule flags for audit.
+GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is"]
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORD_FRAC = 0.01
+
+
+def gopher_filter_metrics(col: Column):
+    """(n_words, mean_word_len, stopword_frac, keep) Column tuple of the
+    Gopher rule set over one text column. Pure Column expressions —
+    whole-stage codegen, no UDF, no shuffle: at 100 TB this fuses into
+    the parquet scan and drops documents before anything downstream
+    pays for them."""
+    norm = F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+    toks = F.split(norm, " ")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = sum_len.cast("double") / n_words
+    stoplist = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_frac = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stoplist, t))).cast("double")
+        / n_words
+    )
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_word_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (stop_frac >= GOPHER_MIN_STOPWORD_FRAC)
+    )
+    return n_words, mean_word_len, stop_frac, keep
+
+
+def gopher_filter_oracle_sql(text_expr: str = "text") -> str:
+    """DuckDB SQL computing identical metrics (per-doc SELECT list
+    fragment; aliases n_words, mean_word_len, stopword_frac, keep).
+    Both engines divide exact integers as doubles → bit-identical."""
+    toks = (
+        f"string_split(trim(regexp_replace(lower({text_expr}), "
+        f"'\\s+', ' ', 'g')), ' ')"
+    )
+    lst = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    return (
+        f"CAST(len({toks}) AS BIGINT) AS n_words, "
+        f"CAST(list_sum(list_transform({toks}, x -> length(x))) AS DOUBLE)"
+        f" / len({toks}) AS mean_word_len, "
+        f"CAST(len(list_filter({toks}, x -> list_contains({lst}, x))) AS DOUBLE)"
+        f" / len({toks}) AS stopword_frac, "
+        f"(len({toks}) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} "
+        f" AND CAST(list_sum(list_transform({toks}, x -> length(x))) AS DOUBLE)"
+        f"     / len({toks}) BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN} "
+        f" AND CAST(len(list_filter({toks}, x -> list_contains({lst}, x))) AS DOUBLE)"
+        f"     / len({toks}) >= {GOPHER_MIN_STOPWORD_FRAC}) AS keep"
+    )

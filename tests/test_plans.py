@@ -153,3 +153,27 @@ def test_ranked_sort_has_no_full_single_partition_exchange(spark, qs):
         # directly above the scan of the full input
         before = p.split("Arguments: SinglePartition")[0]
         assert "HashAggregate" in before or "ObjectHashAggregate" in before
+
+
+def test_q18_broadcasts_survivors_and_takes_ordered(spark, qs):
+    # the HAVING survivor set must broadcast to both dim joins (the
+    # fact groupBy is the only real shuffle) and the global top-100
+    # must lower to TakeOrderedAndProject, never a single-partition sort
+    p = plan(qs["q18_large_orders"](spark, SF))
+    assert count_nodes(p, "BroadcastHashJoin") == 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_gopher_filter_is_udf_free_scan(spark, qs):
+    # quality gate must fuse into the scan: no Python evaluation, no
+    # shuffle anywhere in the plan
+    p = plan(qs["text_gopher_filter"](spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_sample_balance_broadcasts_counts(spark, qs):
+    # the strata-count side is tiny and must broadcast; the corpus scan
+    # must not shuffle
+    p = plan(qs["sample_balance_lang"](spark, SF))
+    assert "BroadcastHashJoin" in p

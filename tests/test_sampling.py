@@ -96,3 +96,21 @@ def test_kmeans_centroids_shape_and_ivf_parity(spark):
         df, q, "embedding", "vec_id", k=3, num_cells=3, nprobe=3, train_iters=2
     )
     assert sorted(map(tuple, bf.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_sample_balance_equalizes_strata(spark):
+    from pippin_spark.operators.sampling import sample_balance
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = sample_balance(df, "grp", "id").groupBy("grp").count().collect()
+    got = {r["grp"]: r["count"] for r in out}
+    # small stratum (500 rows) is kept whole; big (4500) downsampled to
+    # ~500 (hash-uniform, so within ~5 sigma)
+    assert got["small"] == 500
+    assert abs(got["big"] - 500) < 120
+
+    # deterministic: same membership on re-run
+    a = {r["id"] for r in sample_balance(df, "grp", "id").select("id").collect()}
+    b = {r["id"] for r in sample_balance(df, "grp", "id").select("id").collect()}
+    assert a == b
