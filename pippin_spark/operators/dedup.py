@@ -172,6 +172,7 @@ def text_minhash_signatures(
     num_hashes: int = 64,
     out_col: str = "sig",
     bands: Optional[int] = None,
+    include_sig: bool = True,
 ) -> DataFrame:
     """Text → MinHash signature in ONE Arrow stage (shingle hashing and
     permutation minima fused). vs shingle_hashes→minhash_from_hashes
@@ -226,7 +227,16 @@ def text_minhash_signatures(
                 )
         return sig_out, band_out
 
-    if bands:
+    if bands and not include_sig:
+        # bands-only consumers (LSH candidate generation): never Arrow-
+        # transfer the full signature — at num_hashes=64 that's 512 B
+        # per doc, ~2.5× the text bytes, pure waste on a 100 TB corpus
+        @pandas_udf("array<long>")
+        def mh(texts: pd.Series) -> pd.Series:
+            _, band_out = compute(mh.__dict__, texts)
+            return pd.Series(band_out)
+
+    elif bands:
 
         @pandas_udf("sig: array<long>, bands: array<long>")
         def mh(texts: pd.Series) -> pd.DataFrame:
@@ -242,6 +252,8 @@ def text_minhash_signatures(
 
     mh = mh.asNondeterministic()  # see minhash_signatures: prevents double eval
     others = [c for c in df.columns if c != text_col]
+    if bands and not include_sig:
+        return df.select(*others, mh(text_col).alias("bands"))
     if bands:
         tmp = df.select(*others, mh(text_col).alias("__mh__"))
         return tmp.select(*others, F.col("__mh__.sig").alias(out_col), F.col("__mh__.bands").alias("bands"))
@@ -450,8 +462,9 @@ def dedup_minhash_lsh(
     # shingle+minhash+banding — neither the shingle-hash arrays (bigger
     # than the text) nor the interpreted HOF banding ever run JVM-side.
     banded = (
-        text_minhash_signatures(base, "__text__", n, num_hashes, bands=bands)
-        .select("id", "bands")
+        text_minhash_signatures(
+            base, "__text__", n, num_hashes, bands=bands, include_sig=False
+        )
         .filter(F.col("bands").isNotNull())
         .select("id", F.explode("bands").alias("bh"))
     )
