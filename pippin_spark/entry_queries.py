@@ -2489,3 +2489,43 @@ def q_streaming_dedup(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@_q(
+    "bucketed_join_pricing",
+    # co-located fact-fact join: both sides bucketed on the join key at
+    # write time, so the join itself needs no exchange on either side
+    # (the scale pattern for repeated joins on one key). The oracle is
+    # the plain join — bucketing must not change a single row.
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_bucketed_join_pricing(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        tbl = f"pippin_bkt_{tag}_{name}"
+        if not spark.catalog.tableExists(tbl):
+            REL.write_bucketed(
+                _t(spark, sf_dir, name).df,
+                tbl,
+                key,
+                num_buckets=8,
+                path=f"/tmp/pippin_bucketed_{tag}/{name}",
+            )
+    j = REL.co_located_join(
+        spark,
+        f"pippin_bkt_{tag}_lineitem",
+        f"pippin_bkt_{tag}_orders",
+        "l_orderkey",
+        "o_orderkey",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "total")
+    )

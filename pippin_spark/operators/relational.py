@@ -375,3 +375,43 @@ def histogram(
     rows per task regardless of input size."""
     b = F.floor((col - F.lit(origin)) / F.lit(bin_width)).cast("long").alias("bucket")
     return df.select(b).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int = 8,
+    path: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) table on
+    ``key``. Bucketing is THE co-location tool for repeated fact-fact
+    joins at 100 TB: two tables bucketed on the join key into the same
+    bucket count join with ZERO exchange on either side — the shuffle
+    is paid once at write time, then amortized over every downstream
+    join/aggregation on that key. (Spark bucketed writes require the
+    table catalog — plain ``.parquet(path)`` cannot record bucket
+    metadata; with ``path`` set the table is external, data stays at
+    ``path``.)"""
+    w = df.write.bucketBy(num_buckets, key).sortBy(key).mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def co_located_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables previously written with :func:`write_bucketed`
+    on their bucket keys. With matching bucket counts Spark plans a
+    sort-merge join over the bucketed scans with no Exchange on either
+    side (assert via .explain: no Exchange above the scans)."""
+    l = spark.table(left_table)
+    r = spark.table(right_table)
+    return l.join(r, l[left_key] == r[right_key], how)

@@ -177,3 +177,27 @@ def test_sample_balance_broadcasts_counts(spark, qs):
     # must not shuffle
     p = plan(qs["sample_balance_lang"](spark, SF))
     assert "BroadcastHashJoin" in p
+
+
+def test_bucketed_join_has_no_exchange(spark, qs):
+    # the whole point of bucketing: with broadcast off, the fact-fact
+    # join must be a sort-merge join over bucketed scans with no
+    # shuffle on either side (the groupBy after it is the only one)
+    from pippin_spark.operators import relational as REL
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        qs["bucketed_join_pricing"](spark, SF)  # ensure tables exist
+        j = REL.co_located_join(
+            spark,
+            "pippin_bkt_sf0_001_lineitem",
+            "pippin_bkt_sf0_001_orders",
+            "l_orderkey",
+            "o_orderkey",
+        )
+        p = plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
