@@ -2529,3 +2529,92 @@ def q_bucketed_join_pricing(spark, sf_dir):
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "total")
     )
+
+
+@_q(
+    "pack_sequences_docs",
+    # deterministic sequence packing: hash-shard, in-shard cumsum chunking
+    f"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS ln,
+             (((((doc_id) + 0) % 2147483647) * 2654435761) % 4294967296) % 8
+               AS shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard,
+             SUM(ln) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - ln AS start_off
+      FROM b
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(FLOOR(start_off / 2048) AS BIGINT) AS seq_id,
+           CAST(start_off AS BIGINT) AS start_off
+    FROM c
+    """,
+)
+def q_pack_sequences_docs(spark, sf_dir):
+    # concat-then-chunk packing for pretraining loaders: one window per
+    # hash shard (shuffle key = shard, never a global window)
+    from pippin_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = pack_sequences(
+        docs, "doc_id", F.length("text"), target_len=2048, num_shards=8
+    )
+    return out.select("doc_id", "shard", "seq_id", "start_off")
+
+
+@_q(
+    "decontaminate_docs",
+    # train-test contamination: corpus docs sharing any word 8-gram with
+    # the held-out set (doc_id % 20 == 0 plays the benchmark here)
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    tg AS (
+      SELECT DISTINCT array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+      FROM tok, UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)
+      WHERE doc_id % 20 = 0
+    ),
+    cg AS (
+      SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+      FROM tok, UNNEST(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)
+      WHERE doc_id % 20 != 0
+    )
+    SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM tg)
+    """,
+)
+def q_decontaminate_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    test_set = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return DEDUP.decontaminate(corpus, test_set, "text", "doc_id", n=8)
+
+
+@_q(
+    "dedup_incremental_docs",
+    # incremental ingestion: even ids are the historical store, odd ids
+    # the new batch; survivors = one doc per novel fingerprint
+    """
+    WITH f AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    seen AS (SELECT fp FROM f WHERE doc_id % 2 = 0),
+    batch AS (SELECT fp, MIN(doc_id) AS doc_id FROM f WHERE doc_id % 2 = 1
+              GROUP BY fp)
+    SELECT b.doc_id, b.fp FROM batch b
+    WHERE b.fp NOT IN (SELECT fp FROM seen)
+    """,
+)
+def q_dedup_incremental_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        TXT.fingerprint(F.col("text")).alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return DEDUP.dedup_incremental(batch, seen, "text", "doc_id")

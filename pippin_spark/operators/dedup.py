@@ -958,3 +958,66 @@ def pair_agreement(
         (F.col("n_common").cast("double") / F.col("n_exact")).alias("recall"),
         (F.col("n_common").cast("double") / F.col("n_approx")).alias("prec"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    test_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Train-test contamination check: corpus documents sharing ANY
+    word n-gram with a held-out benchmark/test set. Returns the
+    distinct contaminated ids.
+
+    Scale shape: the benchmark side is small by nature (thousands of
+    eval documents vs billions of corpus docs) — its distinct grams
+    broadcast; the corpus side explodes to (id, gram) and semi-joins,
+    so the corpus is never shuffled and never carries more than one
+    gram per row through the join. (At petabyte scale hash the grams
+    to 64-bit before the join to shrink the broadcast; kept as raw
+    strings here so the DuckDB oracle can reproduce the join exactly.)
+    """
+    from pippin_spark.operators.text import word_ngrams
+
+    tg = (
+        test_set.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__g__"))
+        .distinct()
+    )
+    cg = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g__")
+    )
+    return (
+        cg.join(F.broadcast(tg), "__g__", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str,
+    id_col: str,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental-ingestion dedup: given a new batch and the
+    fingerprint store of everything already ingested, keep one doc per
+    novel fingerprint (lowest id within the batch) and drop anything
+    the store has seen. Returns (id, fp) — the survivors AND the rows
+    to append to the store, closing the loop for the next batch.
+
+    Scale shape: the batch shuffles only (fp, id) digests for its
+    within-batch groupBy; the store probe is a left-anti join on the
+    digest (broadcast when the store side is a bloom/recent partition,
+    shuffle otherwise) — the document payload is joined back by id
+    only for survivors."""
+    from pippin_spark.operators.text import fingerprint
+
+    fps = new_df.select(
+        F.col(id_col).alias("__id__"), fingerprint(F.col(text_col)).alias(fp_col)
+    )
+    keep = fps.groupBy(fp_col).agg(F.min("__id__").alias("__id__"))
+    novel = keep.join(seen_fps.select(fp_col), fp_col, "left_anti")
+    return novel.select(F.col("__id__").alias(id_col), fp_col)

@@ -299,3 +299,53 @@ def test_label_centroids(spark):
     )
     out = {r["label"]: r["centroid"] for r in S.label_centroids(df, "embedding", "label").collect()}
     assert out == {"a": [2.0, 1.0], "b": [0.0, 8.0]}
+
+
+def test_pack_sequences_invariants(spark):
+    from pippin_spark.operators.packing import pack_sequences
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, 100) for i in range(200)], ["id", "ln"])
+    out = pack_sequences(df, "id", F.col("ln"), target_len=250, num_shards=4)
+    rows = out.orderBy("shard", "id").collect()
+    # within a shard: offsets are the running sum of lengths in id order
+    by_shard = {}
+    for r in rows:
+        expect = by_shard.get(r["shard"], 0)
+        assert r["start_off"] == expect
+        assert r["seq_id"] == expect // 250
+        by_shard[r["shard"]] = expect + 100
+    # every doc shipped exactly once
+    assert len(rows) == 200
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    from pippin_spark.operators.dedup import decontaminate
+
+    test = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta epsilon yy"),  # shares a 5-gram
+            (2, "totally different words here entirely now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"] for r in decontaminate(corpus, test, "text", "doc_id", n=5).collect()}
+    assert got == {1}
+
+
+def test_dedup_incremental_drops_seen_and_batch_dupes(spark):
+    from pippin_spark.operators.dedup import dedup_incremental
+    from pippin_spark.operators.text import fingerprint
+    from pyspark.sql import functions as F
+
+    seen_docs = spark.createDataFrame([(0, "old doc")], ["doc_id", "text"])
+    seen = seen_docs.select(fingerprint(F.col("text")).alias("fp"))
+    batch = spark.createDataFrame(
+        [(1, "old doc"), (2, "new doc"), (3, "new doc"), (4, "another")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"] for r in dedup_incremental(batch, seen, "text", "doc_id").collect()}
+    assert got == {2, 4}  # 1 seen before; 3 duplicates 2 within batch
