@@ -2618,3 +2618,63 @@ def q_dedup_incremental_docs(spark, sf_dir):
     )
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return DEDUP.dedup_incremental(batch, seen, "text", "doc_id")
+
+
+@_q(
+    "text_top_bigrams",
+    # corpus-level merge-candidate counting (the first step of BPE/
+    # WordPiece tokenizer training): global top-k word bigrams
+    """
+    WITH tok AS (
+      SELECT string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ), g AS (
+      SELECT array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+      FROM tok, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+    )
+    SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+def q_text_top_bigrams(spark, sf_dir):
+    # explode → partial-agg groupBy (map-side combine shrinks each task
+    # to its distinct grams) → TakeOrderedAndProject top-k: no global
+    # sort, no single-partition window, corpus-size-independent result
+    docs = _t(spark, sf_dir, "documents").df
+    grams = docs.select(
+        F.explode(TXT.word_ngrams(F.col("text"), 2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@_q(
+    "scd2_user_values",
+    # SCD2 dimension history from a change stream: per-user validity
+    # intervals in epoch-micros; event_id breaks equal-ts ties
+    """
+    SELECT user_id, event_id,
+           epoch_ns(ts) // 1000 AS valid_from_us,
+           LEAD(epoch_ns(ts) // 1000) OVER w AS valid_to_us,
+           (LEAD(epoch_ns(ts)) OVER w IS NULL) AS is_current,
+           value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_user_values(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    out = REL.scd2_intervals(
+        ev, ["user_id"], "ts", tie_break=[F.col("event_id")]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("valid_from_us"),
+        F.expr("effective_to div 1000").alias("valid_to_us"),
+        "is_current",
+        "value",
+    )

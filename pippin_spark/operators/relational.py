@@ -415,3 +415,22 @@ def co_located_join(
     l = spark.table(left_table)
     r = spark.table(right_table)
     return l.join(r, l[left_key] == r[right_key], how)
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tie_break: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change event stream
+    (key, ts, attributes) into validity intervals — each row gains
+    ``effective_to`` (the next change's ts for that key, NULL while
+    current) and ``is_current``. One shuffle on the key; ``tie_break``
+    columns disambiguate equal timestamps (the sessionize lesson:
+    without a total order, lead() is nondeterministic)."""
+    order = [F.col(ts_col), *(tie_break or [])]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return changes.withColumn("effective_to", F.lead(ts_col).over(w)).withColumn(
+        "is_current", F.col("effective_to").isNull()
+    )
