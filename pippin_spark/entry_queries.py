@@ -2678,3 +2678,43 @@ def q_scd2_user_values(spark, sf_dir):
         "is_current",
         "value",
     )
+
+
+@_q(
+    "streaming_latest_value",
+    # CDC-style latest-value materialization: treat the event stream as
+    # per-user upserts and maintain each user's current value; max_by
+    # over the (ts, event_id) total order matches the window-ranked
+    # batch answer exactly
+    """
+    SELECT user_id, value AS latest_value, epoch_ns(ts) AS ts_ns
+    FROM (
+      SELECT user_id, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_streaming_latest_value(spark, sf_dir):
+    from pippin_spark.streaming import StreamingPipeline
+
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.max_by(
+            "value", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("latest_value"),
+        F.max("ts").alias("ts_ns"),
+    )
+    sp = StreamingPipeline(agg)
+    q = sp.start(
+        sink_format="memory",
+        query_name="pippin_stream_latest",
+        output_mode="complete",
+        available_now=True,
+        state_partitions=_stream_parts(spark, sf_dir),
+    )
+    q.awaitTermination(120)
+    return spark.table("pippin_stream_latest").select(
+        "user_id", "latest_value", "ts_ns"
+    )
