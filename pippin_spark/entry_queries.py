@@ -2718,3 +2718,33 @@ def q_streaming_latest_value(spark, sf_dir):
     return spark.table("pippin_stream_latest").select(
         "user_id", "latest_value", "ts_ns"
     )
+
+
+@_q(
+    "q4_order_priority",
+    # TPC-H Q4 shape (EXISTS correlated subquery). Declared through the
+    # engine's SQL surface: the same Stage DataFrames registered as
+    # temp views and queried with spark.sql — Catalyst decorrelates the
+    # EXISTS into a left-semi join (plan-asserted in tests)
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY 1
+    """,
+)
+def q_q4_order_priority(spark, sf_dir):
+    _t(spark, sf_dir, "orders").df.createOrReplaceTempView("pippin_v_orders")
+    _t(spark, sf_dir, "lineitem").df.createOrReplaceTempView("pippin_v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM pippin_v_orders
+        WHERE EXISTS (SELECT 1 FROM pippin_v_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )

@@ -201,3 +201,10 @@ def test_bucketed_join_has_no_exchange(spark, qs):
         assert "Exchange" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, qs):
+    # the EXISTS subquery must decorrelate to a (left-)semi join — a
+    # correlated per-row subquery execution would be O(n) queries
+    p = plan(qs["q4_order_priority"](spark, SF))
+    assert "LeftSemi" in p
