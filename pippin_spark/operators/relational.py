@@ -68,13 +68,21 @@ def ranked_sort(
     count rows ever pass through a single task. order_by must be fully
     deterministic (include a tie-break key).
     """
-    sorted_df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    ranged = df.repartitionByRange(*order_by)
+    sorted_df = ranged.sortWithinPartitions(*order_by)
     ided = (
         sorted_df.withColumn("__mid__", F.monotonically_increasing_id())
         .withColumn("__pid__", F.shiftrightunsigned(F.col("__mid__"), 33))
         .withColumn("__loc__", F.col("__mid__").bitwiseAND(F.lit((1 << 33) - 1)))
     )
-    counts = ided.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__n__"))
+    # counts hang off the PRE-sort exchange: the range shuffle is reused
+    # across both branches and the counts branch never pays the sort
+    # (partition ids match — monotonically_increasing_id's high bits ARE
+    # the task partition index, i.e. spark_partition_id of the reused
+    # exchange output)
+    counts = ranged.groupBy(F.spark_partition_id().alias("__pid__")).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
     w = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "__off__", F.coalesce(F.sum("__n__").over(w), F.lit(0))
