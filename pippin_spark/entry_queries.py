@@ -636,14 +636,21 @@ def q_join_broadcast(spark, sf_dir):
     """,
 )
 def q_q3_shipping(spark, sf_dir):
-    # TPC-H Q3 shape: broadcast the filtered customer dim, shuffle join
-    # lineitem↔orders on orderkey, aggregate, global top-10
+    # TPC-H Q3 shape: broadcast the filtered customer dim into ORDERS
+    # FIRST (the segment filter keeps ~1/5 of customers, so the
+    # surviving orders side shrinks before the expensive join), then
+    # join the fact table against the reduced orders — AQE broadcasts
+    # it when it fits, and the lineitem scan is never shuffled at all;
+    # else both sides shuffle once on orderkey. Aggregate, global
+    # top-10 via TakeOrderedAndProject.
     c = _t(spark, sf_dir, "customer").df.filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").df
     l = _t(spark, sf_dir, "lineitem").df
+    o_building = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey"
+    )
     joined = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o_building, l.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey")
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
