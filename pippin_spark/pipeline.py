@@ -779,6 +779,18 @@ class Stage:
     def select(self, *cols) -> "Stage":
         return self._next(self._df.select(*cols), None)
 
+    def apply(self, fn: Callable[..., DataFrame], *args: Any, **kwargs: Any) -> "Stage":
+        """Thread this stage through any DataFrame→DataFrame operator
+        while staying in the fluent pipeline — the bridge between the
+        reference-style chain and the operators/ library::
+
+            (Pipeline.from_table(spark, sf, "documents")
+             .apply(dedup.dedup_exact, "text", "doc_id")
+             .apply(text.repetition_stats, "text")
+             .count())
+        """
+        return self._next(fn(self._df, *args, **kwargs), None)
+
     def where(self, cond) -> "Stage":
         return self._next(self._df.filter(cond), None)
 

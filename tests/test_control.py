@@ -173,3 +173,14 @@ def test_file_sources_and_sinks_roundtrip(spark, tmp_path):
         assert got == sorted(rows)
     pq = Pipeline.from_parquet(spark, str(tmp_path / "pq")).df
     assert sorted(tuple(r) for r in pq.select("id", "name", "score").collect()) == sorted(rows)
+
+
+def test_stage_apply_threads_operators(spark):
+    from pippin_spark.pipeline import Pipeline
+    from pippin_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    n = Pipeline.from_dataframe(df).apply(dedup_exact, "text", "doc_id").count()
+    assert n == 2
