@@ -505,7 +505,20 @@ def q_agg_distinct_count(spark, sf_dir):
     return _t(spark, sf_dir, "lineitem").distinct_count_df("l_partkey")
 
 
-@_q("agg_approx_distinct_count")  # approximate — rows-only check
+@_q(
+    "agg_approx_distinct_count",
+    # HLL output is a deterministic function of the VALUE SET (hash
+    # sketch, order/partitioning-insensitive merge), so the expected
+    # estimate is a fixed property per corpus — pinned like the sketch
+    # ops, dispatched on the corpus row count (sf0.001 → 6000 rows,
+    # est 195 of 200 exact; sf0.01 → 60000 rows, est 1947 of 2000).
+    # Refresh with tools/sketch_expected.py policy after a regen.
+    """
+    SELECT CAST(CASE (SELECT COUNT(*) FROM lineitem)
+                WHEN 6000 THEN 195 ELSE 1947 END AS BIGINT)
+           AS approx_distinct_count
+    """,
+)
 def q_agg_approx_distinct_count(spark, sf_dir):
     # HLL sketch: the documented 100 TB fast path for DistinctCount
     return _t(spark, sf_dir, "lineitem").approx_distinct_count_df("l_partkey")
