@@ -93,3 +93,33 @@ def test_pipeline_composition(spark, xs):
         assert got == want
     else:
         assert got is None  # SQL semantics: empty sum is NULL
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50, unique=True),
+       salt=st.integers(min_value=0, max_value=1000))
+@settings(**SETTINGS)
+def test_hash_bucket_engine_portable(spark, ids, salt):
+    # the sampling hash must produce IDENTICAL buckets in Spark, DuckDB
+    # (the oracle engine), and plain Python — that's what makes sample
+    # membership stable across engines/runs/partitionings
+    import duckdb
+
+    from pippin_spark.operators.sampling import (
+        hash_bucket, hash_bucket_sql, _KNUTH, _M31, _M32,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got_spark = {
+        r["id"]: r["b"]
+        for r in df.select("id", hash_bucket(F.col("id"), salt).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    got_duck = dict(
+        con.sql(f"SELECT id, {hash_bucket_sql('id', salt)} FROM t").fetchall()
+    )
+    got_py = {i: (((i + salt) % _M31) * _KNUTH) % _M32 for i in ids}
+    assert got_spark == got_py
+    assert got_duck == got_py
