@@ -184,3 +184,27 @@ def test_stage_apply_threads_operators(spark):
     )
     n = Pipeline.from_dataframe(df).apply(dedup_exact, "text", "doc_id").count()
     assert n == 2
+
+
+def test_timeout_survives_concurrent_async_completion(spark):
+    # a quick async completing while another is in flight must NOT
+    # disarm the pipeline timeout (the timer only dies when _active
+    # drains to zero) — the slow action still gets cancelled
+    from pyspark.sql import types as T
+
+    cfg = PipelineConfig(timeout=2.0)
+    s = Pipeline.from_slice(spark, VALS, config=cfg)
+    quick = s.sum_async()
+    assert quick.get_with_timeout(60.0) == 9
+
+    def slow(v):
+        import time as _t
+
+        _t.sleep(30)
+        return v
+
+    slow_stage = s.map(slow, return_type=T.LongType(), pandas=True)
+    fut = slow_stage.sum_async()
+    with pytest.raises(Exception):
+        fut.get(timeout=25.0)
+    assert s.pipeline.status in (Status.TIMED_OUT, Status.INTERRUPTED)
