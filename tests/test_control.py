@@ -189,22 +189,20 @@ def test_stage_apply_threads_operators(spark):
 def test_timeout_survives_concurrent_async_completion(spark):
     # a quick async completing while another is in flight must NOT
     # disarm the pipeline timeout (the timer only dies when _active
-    # drains to zero) — the slow action still gets cancelled
-    from pyspark.sql import types as T
+    # drains to zero) — the slow action still gets cancelled.
+    # The slow action sleeps JVM-side (reflect) so no Python workers
+    # are involved; sum() forces evaluation of the sleeping column.
+    from pyspark.sql import functions as SF
 
-    cfg = PipelineConfig(timeout=2.0)
+    cfg = PipelineConfig(timeout=4.0)
     s = Pipeline.from_slice(spark, VALS, config=cfg)
+    slow_fut = s.map(
+        lambda c: SF.expr("reflect('java.lang.Thread','sleep', CAST(30000 AS BIGINT))")
+    ).sum_async()
+    time.sleep(0.3)
     quick = s.sum_async()
     assert quick.get_with_timeout(60.0) == 9
-
-    def slow(v):
-        import time as _t
-
-        _t.sleep(30)
-        return v
-
-    slow_stage = s.map(slow, return_type=T.LongType(), pandas=True)
-    fut = slow_stage.sum_async()
-    with pytest.raises(Exception):
-        fut.get(timeout=25.0)
+    assert s.pipeline.status is not Status.DONE
+    with pytest.raises((PipelineTimeoutError, PipelineInterruptedError)):
+        slow_fut.get_with_timeout(25.0)
     assert s.pipeline.status in (Status.TIMED_OUT, Status.INTERRUPTED)
