@@ -658,7 +658,12 @@ def q_q3_shipping(spark, sf_dir):
     # top-10 via TakeOrderedAndProject.
     c = _t(spark, sf_dir, "customer").df.filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").df
-    l = _t(spark, sf_dir, "lineitem").df
+    # (measured: round-robin re-splitting the under-split local scan
+    # costs more than the serial broadcast probe saves — and a real
+    # 100 TB scan arrives well-split anyway)
+    l = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
     o_building = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         "o_orderkey"
     )
