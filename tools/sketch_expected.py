@@ -41,6 +41,7 @@ def main() -> None:
             "ann_topk_ivf_kmeans",
             "ann_topk_lsh",
             "agg_approx_distinct_count",
+            "agg_approx_percentile",
         ):
             row = ENTRY_QUERIES[name](spark, d).collect()[0].asDict()
             print(f"{name}: {row}")
