@@ -2843,3 +2843,37 @@ def q_window_dist_rank(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@_q(
+    "agg_median_pandas",
+    # custom grouped aggregation via applyInPandas (the batch analog of
+    # the reference's arbitrary fold closures, aggregate.go:512): exact
+    # per-group median — value selection, so engines agree bit-for-bit
+    """
+    SELECT event_type, MEDIAN(value) AS med, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_median_pandas(spark, sf_dir):
+    # Scale shape: one shuffle on the group key; each group's values
+    # stream into ONE Arrow batch sequence (exact median is a holistic
+    # aggregate — it genuinely needs the group co-located; use
+    # percentile_approx when groups outgrow a task)
+    import pandas as _pd
+
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "value")
+
+    def med(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        import numpy as np
+
+        v = np.sort(pdf["value"].to_numpy())
+        n = len(v)
+        m = float(v[n // 2]) if n % 2 else float((v[n // 2 - 1] + v[n // 2]) / 2)
+        return _pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "med": [m], "n": [n]}
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        med, "event_type string, med double, n long"
+    )
