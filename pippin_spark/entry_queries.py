@@ -2877,3 +2877,26 @@ def q_agg_median_pandas(spark, sf_dir):
     return ev.groupBy("event_type").applyInPandas(
         med, "event_type string, med double, n long"
     )
+
+
+@_q(
+    "unpivot_lineitem",
+    # unpivot/melt (inverse of pivot_pricing): wide metric columns to
+    # long (key, metric, value) rows — map-only, no shuffle
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").df
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
