@@ -2900,3 +2900,51 @@ def q_unpivot_lineitem(spark, sf_dir):
         "metric",
         "value",
     )
+
+
+@_q(
+    "agg_array_ops",
+    # array aggregation + manipulation: sorted distinct arrays per
+    # group (collect_set is the unordered agg; array_sort pins the
+    # deterministic form the oracle can reproduce)
+    """
+    SELECT event_type,
+           array_agg(DISTINCT user_id ORDER BY user_id) AS users,
+           CAST(len(array_agg(DISTINCT user_id)) AS INT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_array_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    return ev.groupBy("event_type").agg(
+        F.array_sort(F.collect_set("user_id")).alias("users"),
+        F.size(F.collect_set("user_id")).alias("n_users"),
+    )
+
+
+@_q(
+    "window_first_last",
+    # frame-sensitive window functions: first/last value over the
+    # running frame (last_value needs the explicit full-partition frame
+    # — the default frame ends at CURRENT ROW)
+    """
+    SELECT o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS cheapest,
+           LAST_VALUE(o_totalprice) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS priciest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_first_last(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(wfull).alias("priciest"),
+    )
