@@ -2948,3 +2948,63 @@ def q_window_first_last(spark, sf_dir):
         F.first("o_totalprice").over(w).alias("cheapest"),
         F.last("o_totalprice").over(wfull).alias("priciest"),
     )
+
+
+@_q(
+    "gap_fill_events",
+    # hypertable-style gap fill + LOCF: densify each type's hourly axis
+    # and carry the last observed hourly total forward into gaps
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hb,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi FROM b GROUP BY 1
+    ), axis AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS hb FROM bounds
+    )
+    SELECT a.event_type, a.hb AS hour_bucket, b.total,
+           LAST_VALUE(b.total IGNORE NULLS) OVER (
+             PARTITION BY a.event_type ORDER BY a.hb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled
+    FROM axis a LEFT JOIN b USING (event_type, hb)
+    """,
+)
+def q_gap_fill_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts") / 3_600_000_000_000).cast("bigint").alias("hour_bucket"),
+            "value",
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(dsum("value", "total"))
+    )
+    return REL.gap_fill_locf(hourly, "event_type", "hour_bucket", "total")
+
+
+@_q(
+    "agg_regression",
+    # per-group OLS: slope/intercept/r2 of value ~ epoch-seconds;
+    # round-6 absorbs the engines' different double-fold orders
+    """
+    SELECT event_type,
+           ROUND(regr_slope(value, epoch_ns(ts) // 1000000000), 6) AS slope,
+           ROUND(regr_intercept(value, epoch_ns(ts) // 1000000000), 6)
+             AS intercept,
+           ROUND(regr_r2(value, epoch_ns(ts) // 1000000000), 6) AS r2
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_regression(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    x = F.expr("ts div 1000000000")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )

@@ -442,3 +442,44 @@ def scd2_intervals(
     return changes.withColumn("effective_to", F.lead(ts_col).over(w)).withColumn(
         "is_current", F.col("effective_to").isNull()
     )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    step: int = 1,
+) -> DataFrame:
+    """Time-series gap filling: densify each group's bucket axis from
+    its min to its max in ``step`` increments, then carry the last
+    observed value forward (LOCF) into the generated gap rows
+    (``filled``; NULL until the first observation).
+
+    Scale shape: bounds are a tiny per-group aggregate; the dense axis
+    is sequence+explode (rows ∝ time span, generated distributed — no
+    driver loop, no cross join); the observation join and the LOCF
+    window both key on the group — one shuffle total. The TimescaleDB
+    time_bucket_gapfill/locf analog."""
+    bounds = df.groupBy(group_col).agg(
+        F.min(bucket_col).alias("__lo__"), F.max(bucket_col).alias("__hi__")
+    )
+    axis = bounds.select(
+        group_col,
+        F.explode(
+            F.sequence(F.col("__lo__"), F.col("__hi__"), F.lit(step))
+        ).alias(bucket_col),
+    )
+    obs = df.select(group_col, bucket_col, F.col(value_col).alias("__v__"))
+    dense = axis.join(obs, [group_col, bucket_col], "left")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        group_col,
+        bucket_col,
+        F.col("__v__").alias(value_col),
+        F.last("__v__", ignorenulls=True).over(w).alias("filled"),
+    )
