@@ -521,6 +521,7 @@ def dedup_ngram_jaccard(
     n: int = 3,
     threshold: float = 0.5,
     block_on: Optional[Sequence[str]] = None,
+    max_block_size: Optional[int] = 4096,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs with deterministic blocking
     (default: first token + length bucket) — fully SQL-expressible, so
@@ -528,7 +529,18 @@ def dedup_ngram_jaccard(
     truth for the sketch-based variants.
 
     Scale: candidate pairs exist only within a block; the block key is
-    the shuffle key. Pick block keys that bound block size."""
+    the shuffle key. Pick block keys that bound block size.
+
+    Mega-block guard (default ON, mirrors dedup_minhash_lsh's
+    max_bucket_size): near-dups share first token AND length bucket by
+    construction — that's *why* they're near-dups — so a boilerplate
+    corpus concentrates in one block and the in-task pair expansion
+    goes O(n²). Blocks larger than ``max_block_size`` emit STAR pairs
+    (block-min id ↔ every other member, O(n) per block), each still
+    exact-Jaccard scored. For a true boilerplate clique the
+    keep-lowest-id cleaned corpus is identical; only the diagnostic
+    pair list is sparser. ``max_block_size=None`` forces full
+    expansion everywhere."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     if block_on is None:
         block = F.struct(
@@ -575,7 +587,10 @@ def dedup_ngram_jaccard(
                 order = sorted(range(len(ids_l)), key=lambda k: ids_l[k])  # id_a < id_b
                 ids = [ids_l[k] for k in order]
                 shs = [np.asarray(shs_l[k], dtype=np.int64) for k in order]
-                for i in range(len(ids)):
+                # mega-block guard: star expansion (min-id anchor) caps
+                # this task's pair count at n-1 instead of n(n-1)/2
+                star = max_block_size is not None and len(ids) > max_block_size
+                for i in range(1 if star else len(ids)):
                     for j in range(i + 1, len(ids)):
                         inter = np.intersect1d(shs[i], shs[j], assume_unique=True).size
                         out_a.append(ids[i])

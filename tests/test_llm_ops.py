@@ -349,3 +349,30 @@ def test_dedup_incremental_drops_seen_and_batch_dupes(spark):
     )
     got = {r["doc_id"] for r in dedup_incremental(batch, seen, "text", "doc_id").collect()}
     assert got == {2, 4}  # 1 seen before; 3 duplicates 2 within batch
+
+
+def test_ngram_megablock_emits_star_pairs(spark, docs):
+    # ground-truth ngram op gets the same guard as its LSH sibling:
+    # identical docs share first-token AND length-bucket (one block),
+    # so a 60-doc boilerplate class with cap 50 must emit 59 star
+    # pairs per class — not the 1770-pair clique — inside ONE task
+    from pippin_spark.operators.dedup import dedup_ngram_jaccard
+    from pyspark.sql import functions as F
+
+    base = docs.filter(F.col("doc_id").isin([1, 3])).select("doc_id", "text")
+    rep = base.crossJoin(
+        spark.range(0, 60).select(F.col("id").alias("i"))
+    ).select((F.col("doc_id") * 1000 + F.col("i")).alias("doc_id"), "text")
+
+    star = dedup_ngram_jaccard(
+        rep, "text", "doc_id", threshold=0.5, max_block_size=50
+    )
+    rows = star.collect()
+    assert len(rows) == 2 * 59
+    assert all(r["id_a"] % 1000 == 0 for r in rows)  # star center = block min
+    assert all(r["jaccard"] == 1.0 for r in rows)
+
+    full = dedup_ngram_jaccard(
+        rep, "text", "doc_id", threshold=0.5, max_block_size=None
+    )
+    assert full.count() == 2 * (60 * 59) // 2  # uncapped → full cliques

@@ -76,3 +76,17 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
                 mismatches += 1
                 break
     assert mismatches == 0, f"{name}: {mismatches}/{len(a)} rows differ; first spark={a[:2]} ddb={b[:2]}"
+
+
+def test_driver_row_priority_is_exhaustive():
+    """Every registered query must be explicitly slotted in the
+    driver-gate priority list (entry_queries._DRIVER_ROW_PRIORITY) so
+    the rotation that decides which queries get hard CORRECTNESS rows
+    is always a deliberate choice, never an accident of file order."""
+    from pippin_spark.entry_queries import _DRIVER_ROW_PRIORITY, ENTRY_QUERIES
+
+    listed = set(_DRIVER_ROW_PRIORITY)
+    registered = set(ENTRY_QUERIES)
+    assert registered - listed == set(), "unslotted queries"
+    assert listed - registered == set(), "stale priority entries"
+    assert len(_DRIVER_ROW_PRIORITY) == len(listed), "duplicate slots"
