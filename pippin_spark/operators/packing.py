@@ -44,6 +44,9 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum(ln.cast("long")).over(w) - ln.cast("long")
+    # integer `div`, not `/`: long '/' yields double, which silently
+    # loses exactness once a shard's cumulative length passes 2^53 —
+    # precisely the regime this op is sharded for
     return out.withColumn("start_off", start).withColumn(
-        "seq_id", F.floor(F.col("start_off") / F.lit(int(target_len)))
+        "seq_id", F.expr(f"start_off div {int(target_len)}")
     )

@@ -47,6 +47,7 @@ def ranked_sort(
     df: DataFrame,
     order_by: Sequence[Column],
     rank_col: str = "rank",
+    num_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Totally-ordered global rank WITHOUT a single-partition window.
 
@@ -67,8 +68,25 @@ def ranked_sort(
     The full data crosses the wire once (the range shuffle); only ≤P
     count rows ever pass through a single task. order_by must be fully
     deterministic (include a tie-break key).
+
+    Correctness of step 3 requires both consumers of the range exchange
+    to observe the SAME partition indexing. Two things pin that down:
+    - the partition count is passed EXPLICITLY, so AQE treats the
+      exchange as user-specified and never coalesces/rebalances the
+      shuffle read differently per consumer (an optimized
+      no-argument repartitionByRange is fair game for AQE);
+    - range boundaries come from RangePartitioner's deterministic
+      per-partition-seeded sampling, so even if exchange reuse is
+      disabled and the two branches re-evaluate the shuffle, they
+      compute identical boundaries over the same input.
+    tests/test_plans.py asserts the exchange is in fact reused
+    (one ReusedExchange, no AQEShuffleRead between the branches).
     """
-    ranged = df.repartitionByRange(*order_by)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    ranged = df.repartitionByRange(num_partitions, *order_by)
     sorted_df = ranged.sortWithinPartitions(*order_by)
     ided = (
         sorted_df.withColumn("__mid__", F.monotonically_increasing_id())

@@ -208,3 +208,29 @@ def test_q4_exists_decorrelates_to_semi_join(spark, qs):
     # correlated per-row subquery execution would be O(n) queries
     p = plan(qs["q4_order_priority"](spark, SF))
     assert "LeftSemi" in p
+
+
+def test_ranked_sort_counts_branch_reuses_range_exchange(spark, qs):
+    # ranked_sort correctness hinges on both consumers of the range
+    # shuffle seeing identical partition indexing: the counts branch
+    # (spark_partition_id) must read the SAME exchange via
+    # ReusedExchange, with no AQEShuffleRead re-slicing it first.
+    # Static explain can't show runtime reuse, so execute and inspect
+    # the final adaptive plan.
+    df = qs["agg_sort"](spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    reused = re.findall(r"ReusedExchange .*rangepartitioning", final)
+    assert len(reused) == 1, f"range exchange not reused:\n{final}"
+    # the pid projection must sit DIRECTLY on the reused exchange —
+    # nothing (in particular no AQEShuffleRead) may re-slice partitions
+    # between them
+    m = re.search(
+        r"SPARK_PARTITION_ID\(\)[^\n]*\n(.*?)(ReusedExchange|Exchange)",
+        final,
+        re.S,
+    )
+    assert m is not None and m.group(2) == "ReusedExchange"
+    assert "AQEShuffleRead" not in m.group(1)
