@@ -51,6 +51,14 @@ HEADLINE = [
     "text_lang_id",
     "multimodal_decode",
     "multimodal_resize",
+    # round-2 additions (regressions visible from round 3 on)
+    "q5_region_revenue",
+    "q18_large_orders",
+    "ann_topk_lsh",
+    "knn_join_labels",
+    "pack_sequences_docs",
+    "text_gopher_filter",
+    "streaming_stateful_counts",
 ]
 
 
@@ -119,16 +127,24 @@ def main() -> None:
             k=5, num_cells=16, nprobe=4,
         )
 
+    def _raw_lsh(spark, sf_dir):
+        emb = Pipeline.from_table(spark, sf_dir, "embeddings").df
+        return SIM.lsh_topk(
+            emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+            k=5, num_tables=16, num_planes=4, dim=64,
+        )
+
     qs = dict(qs)
     qs["dedup_minhash"] = _raw_minhash
     qs["dedup_simhash"] = _raw_simhash
     qs["ann_topk_ivf"] = _raw_ivf
+    qs["ann_topk_lsh"] = _raw_lsh
 
     # Streaming entries execute the stream INSIDE the query builder
     # (awaitTermination before returning the drained sink), so the
     # timed region must include the builder call — a noop re-write of
     # the already-drained memory sink would measure a trivial scan.
-    STREAMING = {"streaming_tumbling_window"}
+    STREAMING = {"streaming_tumbling_window", "streaming_stateful_counts"}
 
     timings: dict[str, float] = {}
     for name in names:

@@ -819,6 +819,29 @@ def q_asof_join_events(spark, sf_dir):
 
 
 @_q(
+    "asof_join_events_bucketed",
+    # same semantics as asof_join_events — the oracle is identical; the
+    # implementation sub-keys the carry-forward by 1h time buckets so a
+    # hot user cannot stall one task (AQE can't split window partitions)
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, v.value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_join_events_bucketed(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = REL.asof_join_bucketed(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], bucket_width=3_600_000_000_000,
+    )
+    return out.select("event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "value")
+
+
+@_q(
     "sessionize_events",
     """
     WITH flags AS (
@@ -846,6 +869,40 @@ def q_sessionize_events(spark, sf_dir):
     )
     return s.groupBy("user_id").agg(
         F.max("session_seq").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
+    "sessionize_events_bucketed",
+    # same oracle as sessionize_events: the bucketed carry must produce
+    # identical session numbering while splitting hot users over
+    # span/bucket_width tasks
+    """
+    WITH flags AS (
+      SELECT user_id,
+             CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 1800000000000
+                    OR LAG(epoch_ns(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM flags GROUP BY user_id
+    """,
+)
+def q_sessionize_events_bucketed(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    s = REL.sessionize_bucketed(
+        ev,
+        "user_id",
+        F.col("ts"),
+        gap=1_800_000_000_000,
+        bucket_width=21_600_000_000_000,  # 6h buckets
+        tie_break=[F.col("event_id")],
+    )
+    return s.groupBy("user_id").agg(
+        F.max("session_seq").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -3153,6 +3210,8 @@ _DRIVER_ROW_PRIORITY = [
     "scd2_user_values",
     "gap_fill_events",
     "merge_changes_orders",
+    "asof_join_events_bucketed",
+    "sessionize_events_bucketed",
     # window extensions
     "window_dist_rank",
     "window_range_frame",

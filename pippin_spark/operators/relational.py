@@ -196,9 +196,16 @@ def asof_join(
     both sides, hash-partition by key, sort by time within partition,
     then carry the latest right values forward with last_value(...,
     ignoreNulls) over an unbounded-preceding window. Scale: one shuffle
-    on the key, window runs within partitions; skewed keys split by AQE.
-    direction='forward' mirrors with first_value over the following
-    frame.
+    on the key; the window runs within partitions. direction='forward'
+    mirrors with first_value over the following frame.
+
+    Skew bound: unlike joins, a WINDOW partition cannot be split by
+    AQE — every row of a key passes through one task, so per-key volume
+    is the task-size bound. One celebrity key (a null-ish default id, a
+    bot account) stalls the stage at 100× scale. When per-key volume is
+    unbounded, use ``asof_join_bucketed`` — identical results, carry
+    sub-keyed by a time bucket so a hot key spreads over
+    keyspan/bucket_width tasks.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
@@ -249,6 +256,124 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Optional[Sequence[str]] = None,
+    bucket_width: int = 3600,
+    right_tie: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Backward as-of join with a bounded per-task volume (the
+    skew-safe twin of ``asof_join``).
+
+    ``asof_join`` windows by key alone; AQE cannot split a window
+    partition, so a hot key is a single-task stall. Here the
+    carry-forward is sub-keyed by ``floor(ts / bucket_width)``:
+
+    1. Window over (key, bucket) carries the latest right value WITHIN
+       each bucket — per-task volume is one key-bucket, not one key.
+    2. Each bucket's FINAL right value is a per-(key, bucket) aggregate
+       (argmax by (ts, tie)); carrying those forward across buckets is
+       a window over #buckets-per-key rows — e.g. a key with 10^9
+       events over a month at 1h buckets is a 720-row partition —
+       never over events.
+    3. The cross-bucket "incoming" value broadcast-joins back on
+       (key, bucket); result = coalesce(within-bucket carry, incoming).
+
+    Identical output to ``asof_join(..., direction='backward')`` for
+    any bucket_width (asserted by the parity suite with a hot key).
+    ``right_tie``: extra right-side order columns that break equal-ts
+    ties deterministically (same caveat as asof_join's sort)."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    lcols = [c for c in left.columns]
+    bkt = lambda t: F.floor(F.col(t) / F.lit(int(bucket_width)))  # noqa: E731
+
+    tagged_left = left.select(
+        F.col(on).alias("__k__"),
+        F.col(left_ts).alias("__t__"),
+        F.lit(1).alias("__is_left__"),
+        *[F.col(c) for c in lcols if c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k__"),
+        F.col(right_ts).alias("__t__"),
+        F.lit(0).alias("__is_left__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right).withColumn("__bkt__", bkt("__t__"))
+
+    # 1. within-bucket carry: the only window that sees event volume,
+    # partitioned by (key, bucket) so hot keys spread across tasks
+    w_in = (
+        Window.partitionBy("__k__", "__bkt__")
+        .orderBy(F.col("__t__").asc(), F.col("__is_left__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w_in).alias(f"__in_{c}")
+            for c in right_cols
+        ],
+    )
+
+    # 2. bucket-final right values: argmax by (ts, tie) per (key,
+    # bucket) — a hash aggregate with map-side partials, skew-immune
+    tie = [F.col(c) for c in (right_tie or [])]
+    finals = (
+        tagged_right.withColumn("__bkt__", bkt("__t__"))
+        .groupBy("__k__", "__bkt__")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(f"__r_{c}").alias(c) for c in right_cols]),
+                F.struct(F.col("__t__"), *tie),
+            ).alias("__fin__")
+        )
+    )
+    # the carry axis must cover every bucket seen on EITHER side — a
+    # left bucket with no right rows still needs the incoming value
+    # from earlier buckets (finals alone would leave it NULL)
+    axis = unioned.select("__k__", "__bkt__").distinct()
+    per_bucket = axis.join(finals, ["__k__", "__bkt__"], "left")
+    # carry bucket-finals across buckets: partition volume = buckets
+    # per key, bounded by time span / bucket_width regardless of skew
+    w_x = (
+        Window.partitionBy("__k__")
+        .orderBy(F.col("__bkt__").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    incoming = per_bucket.select(
+        "__k__",
+        "__bkt__",
+        *[
+            F.last(F.col("__fin__")[c], ignorenulls=True).over(w_x).alias(f"__inc_{c}")
+            for c in right_cols
+        ],
+    )
+
+    # 3. merge: tiny (#key × #bucket) side joins back; AQE broadcasts
+    out = (
+        within.filter(F.col("__is_left__") == 1)
+        .join(incoming, ["__k__", "__bkt__"], "left")
+        .select(
+            F.col("__k__").alias(on),
+            F.col("__t__").alias(left_ts),
+            *[F.col(c) for c in lcols if c not in (on, left_ts)],
+            *[
+                F.coalesce(F.col(f"__in_{c}"), F.col(f"__inc_{c}")).alias(c)
+                for c in right_cols
+            ],
+        )
+    )
+    return out
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -295,7 +420,12 @@ def sessionize(
     ``tie_break``: extra ordering columns appended after ``ts_col`` so
     rows with equal timestamps within a user order deterministically
     (without it, lag() over ties is plan-dependent and session counts
-    drift between engines)."""
+    drift between engines).
+
+    Skew bound: AQE cannot split a window partition, so one hot user is
+    one task — per-key volume is the bound (same caveat as asof_join).
+    For unbounded per-key volume use ``sessionize_bucketed``: identical
+    session numbering, carry split by time bucket."""
     order = [ts_col, *(tie_break or [])]
     w = Window.partitionBy(user_col).orderBy(*order)
     is_new = (
@@ -303,6 +433,98 @@ def sessionize(
         | F.lag(ts_col, 1).over(w).isNull()
     ).cast("long")
     return df.withColumn("session_seq", F.sum(is_new).over(w))
+
+
+def sessionize_bucketed(
+    df: DataFrame,
+    user_col: str,
+    ts_col: Column,
+    gap: float,
+    bucket_width: int,
+    tie_break: Optional[Sequence[Column]] = None,
+) -> DataFrame:
+    """``sessionize`` with bounded per-task volume (the skew-safe twin,
+    same pattern as asof_join_bucketed).
+
+    Session numbering looks inherently sequential, but the only state a
+    bucket needs from its past is (a) the previous bucket's LAST event
+    time — to decide whether the bucket's first event opens a session —
+    and (b) the running count of sessions opened before it. Both are
+    per-(user, bucket) aggregates, so:
+
+    1. Window over (user, bucket): within-bucket lag + new-session
+       flags + running count — the only pass over event volume, hot
+       users spread over span/bucket_width tasks.
+    2. Per-bucket aggregate (last_ts, first_ts, n_new_within) feeds a
+       window over the tiny bucket axis: previous bucket's last_ts →
+       whether each bucket's first event is a session start; cumulative
+       session offset per bucket.
+    3. Broadcast-join offsets back: session_seq = bucket offset +
+       first-event flag + within-bucket running count.
+
+    Output equals ``sessionize`` row-for-row for any bucket_width
+    (asserted by the parity suite with a hot key)."""
+    order = [ts_col, *(tie_break or [])]
+    bkt = F.floor(ts_col / F.lit(int(bucket_width)))
+    base = df.withColumn("__bkt__", bkt)
+
+    w_in = Window.partitionBy(user_col, "__bkt__").orderBy(*order)
+    prev_in = F.lag(ts_col, 1).over(w_in)
+    # new-session flag for non-first rows of the bucket; the first row
+    # (prev_in NULL) is decided at the bucket level in step 2
+    is_new_in = F.when(prev_in.isNull(), F.lit(0)).otherwise(
+        (ts_col - prev_in > gap).cast("long")
+    )
+    flagged = base.select(
+        "*",
+        is_new_in.alias("__new_in__"),
+        F.sum(is_new_in).over(
+            Window.partitionBy(user_col, "__bkt__")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__cum_in__"),
+    )
+
+    per_bucket = flagged.groupBy(user_col, "__bkt__").agg(
+        F.max(ts_col).alias("__last_ts__"),
+        F.min(ts_col).alias("__first_ts__"),
+        F.sum("__new_in__").alias("__n_new__"),
+    )
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("__bkt__").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # buckets exist only where rows exist, so the previous row on the
+    # bucket axis IS the previous non-empty bucket
+    decided = per_bucket.withColumn(
+        "__prev_last__",
+        F.lag("__last_ts__", 1).over(
+            Window.partitionBy(user_col).orderBy(F.col("__bkt__").asc())
+        ),
+    ).withColumn(
+        "__first_new__",
+        (
+            F.col("__prev_last__").isNull()
+            | (F.col("__first_ts__") - F.col("__prev_last__") > gap)
+        ).cast("long"),
+    )
+    offsets = decided.select(
+        user_col,
+        "__bkt__",
+        "__first_new__",
+        F.coalesce(
+            F.sum(F.col("__n_new__") + F.col("__first_new__")).over(w_prev), F.lit(0)
+        ).alias("__off__"),
+    )
+
+    out = flagged.join(offsets, [user_col, "__bkt__"]).withColumn(
+        "session_seq",
+        F.col("__off__") + F.col("__first_new__") + F.col("__cum_in__"),
+    )
+    return out.drop(
+        "__bkt__", "__new_in__", "__cum_in__", "__first_new__", "__off__"
+    )
 
 
 def salted_join(

@@ -375,6 +375,7 @@ def knn_join_blocked(
     id_col: str,
     block_col: str,
     k: int = 5,
+    overfetch: int = 8,
 ) -> DataFrame:
     """Corpus-to-corpus k-nearest-neighbors within a blocking key (a
     label, an IVF cell, an LSH bucket): for every vector, the top-k
@@ -382,32 +383,85 @@ def knn_join_blocked(
     neighbor-graph builder behind semantic dedup and
     nearest-neighbor-based data selection.
 
-    Scale: the pairwise term is quadratic ONLY within a block (the
-    block key is the single shuffle key, same shape as
-    dedup_embedding_cosine); the per-id top-k window shuffles on
-    (block, id) which the self-join already co-located. For corpus-
-    scale blocks feed an IVF cell id as ``block_col``."""
-    a = df.select(
-        F.col(block_col).alias("__b__"),
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("__va__"),
+    Two stages, neither quadratic outside a task:
+    1. Candidate generation (one Arrow stage): per block, a numpy
+       matmul (BLAS) scores all pairs in-task, chunked to bound memory
+       at chunk×block floats, and emits only each id's top
+       ``k + overfetch`` neighbor IDS — the O(n²) term never touches a
+       join, a shuffle, or the interpreted HOF evaluator. Shuffle
+       volume is n·(k+overfetch) id pairs, not n·block_size scored
+       rows.
+    2. Exact re-rank (JVM): candidates join their vectors back and the
+       sequential-fold cosine + row_number window run on the linear
+       candidate set — final scores and ranks are bit-identical to the
+       all-pairs formulation (the matmul only has to get the top-k
+       SET right, which ``overfetch`` guarantees up to float64
+       matmul-vs-fold divergence ≫ any real margin).
+
+    Scale: the block key is the only data-volume shuffle key; per-task
+    memory is block_size·dim + chunk·block_size doubles — for blocks
+    past ~100k vectors feed an IVF cell id as ``block_col`` (the
+    documented corpus-scale path)."""
+    nk = int(k + overfetch)
+
+    def gen(pdf):
+        import numpy as np
+        import pandas as _pd
+
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms[:, None]
+        n = len(ids)
+        out_i: list = []
+        out_j: list = []
+        chunk = max(1, min(n, (16 << 20) // max(n, 1)))  # ≤128MB sims
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            sims = Vn[s:e] @ Vn.T
+            for r in range(e - s):
+                sims[r, s + r] = -np.inf  # not self
+            top = min(nk, n - 1)
+            if top <= 0:
+                continue
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            rows = np.repeat(ids[s:e], top)
+            out_i.append(rows)
+            out_j.append(ids[idx].reshape(-1))
+        if not out_i:
+            return _pd.DataFrame({"id": [], "neighbor_id": []}).astype("int64")
+        return _pd.DataFrame(
+            {"id": np.concatenate(out_i), "neighbor_id": np.concatenate(out_j)}
+        )
+
+    cands = (
+        df.select(
+            F.col(block_col).alias("__b__"),
+            F.col(id_col),
+            F.col(vec_col),
+        )
+        .groupBy("__b__")
+        .applyInPandas(gen, "id long, neighbor_id long")
     )
+    a = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__va__"))
     b = df.select(
-        F.col(block_col).alias("__b__"),
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__vb__"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb__")
     )
-    pairs = a.join(b, "__b__").filter(F.col("id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "id",
-        "neighbor_id",
-        F.round(
-            cosine_similarity(
-                F.col("__va__").cast("array<double>"),
-                F.col("__vb__").cast("array<double>"),
-            ),
-            6,
-        ).alias("cosine"),
+    scored = (
+        cands.join(a, "id")
+        .join(b, "neighbor_id")
+        .select(
+            "id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(
+                    F.col("__va__").cast("array<double>"),
+                    F.col("__vb__").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -203,3 +203,49 @@ def test_histogram_buckets(spark):
     df = spark.createDataFrame([(0.5,), (1.5,), (1.7,), (9.9,)], ["x"])
     out = {r["bucket"]: r["n"] for r in R.histogram(df, F.col("x"), 1.0).collect()}
     assert out == {0: 1, 1: 2, 9: 1}
+
+
+def _hot_key_events(spark, n_hot=4000, n_cold=50):
+    # one celebrity key holding ~99% of rows + a few cold keys; ts
+    # values interleave purchases (left) and views (right)
+    rows = []
+    for i in range(n_hot):
+        rows.append((1, i * 10, "L" if i % 3 == 0 else "R", float(i)))
+    for i in range(n_cold):
+        rows.append((2 + (i % 5), 5 + i * 70, "L" if i % 2 == 0 else "R", float(i)))
+    return spark.createDataFrame(rows, "k long, t long, side string, v double")
+
+
+def test_asof_join_bucketed_matches_unbucketed_hot_key(spark):
+    # the skew-safe twin must agree row-for-row with the windowed as-of
+    # join on a corpus dominated by one hot key, across bucket widths
+    # (including widths that leave many empty buckets between rows)
+    ev = _hot_key_events(spark)
+    left = ev.filter(F.col("side") == "L").select("k", "t")
+    right = ev.filter(F.col("side") == "R").select("k", "t", "v")
+    base = R.asof_join(left, right, on="k", left_ts="t", right_ts="t", right_cols=["v"]).collect()
+    for width in (7, 100, 10_000):
+        got = R.asof_join_bucketed(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_cols=["v"], bucket_width=width,
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, base)), width
+
+
+def test_sessionize_bucketed_matches_unbucketed_hot_key(spark):
+    ev = _hot_key_events(spark).withColumn("rid", F.monotonically_increasing_id())
+    base = (
+        R.sessionize(ev, "k", F.col("t"), gap=25, tie_break=[F.col("rid")])
+        .select("k", "t", "rid", "session_seq")
+        .collect()
+    )
+    for width in (7, 100, 10_000):
+        got = (
+            R.sessionize_bucketed(
+                ev, "k", F.col("t"), gap=25, bucket_width=width,
+                tie_break=[F.col("rid")],
+            )
+            .select("k", "t", "rid", "session_seq")
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, base)), width
