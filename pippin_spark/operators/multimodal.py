@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (north-star extension).
 
-The container has no image/audio libraries, so the *decode* step is
-stubbed: ``FAKE_DECODERS`` produce deterministic pseudo-features from
-the bytes (so plumbing is fully testable), and ``decode_media`` raises
-NotImplementedError for real codecs. Everything Spark-side — schema,
+Codec policy: ``fake=True`` (default here) runs a deterministic
+stand-in decoder so the plumbing is fully testable in codec-less
+containers. ``fake=False`` routes images through PIL when it is
+importable on the executors (detected inside the UDF closure at run
+time, never at module import) and raises NotImplementedError
+otherwise; audio/video always require ffmpeg, which has no pure-Python
+fallback, so they stay stubbed. Everything Spark-side — schema,
 partition-preserving mapInPandas, Arrow batch shapes, metadata
-projection — is real and tested.
+projection — is identical on every path.
 
 Scale notes: media bytes ride as BinaryType columns; decode runs as
 mapInPandas so each Arrow batch amortizes Python crossing; byte-heavy
@@ -76,10 +79,12 @@ def attach_fake_media(df: DataFrame, text_col: str, id_col: str, kind: str = "im
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode/feature-extract media via mapInPandas (Arrow-batched).
 
-    fake=False is the real-codec path — STUBBED: raises
-    NotImplementedError on the executors (no PIL/ffmpeg in this
-    container). fake=True runs the deterministic stand-in with the
-    exact same plumbing, schema and batch shape."""
+    fake=True runs the deterministic stand-in. fake=False decodes
+    images with PIL when the executors have it (checked inside the
+    UDF, so a cluster with pillow installed gets the real path with no
+    code change) — feature is an 8-bin grayscale histogram, width and
+    height the real pixel dims. Audio/video need ffmpeg and raise
+    NotImplementedError either way."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # NB: self-contained closure (no pippin_spark imports) so the
@@ -89,6 +94,14 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
 
         import pandas as _pd
 
+        if not fake:
+            try:
+                import io as _io
+
+                from PIL import Image as _Image
+            except ImportError:
+                _Image = None
+
         def _decode(media_id, kind, content):
             digest = _hl.md5(content or b"").digest()
             width = 64 + digest[0] % 192
@@ -97,14 +110,30 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             feature = [round(b / 255.0, 6) for b in digest[:8]]
             return media_id, kind, width, height, duration, feature
 
-        for pdf in batches:
-            if not fake:
+        def _decode_real(media_id, kind, content):
+            if kind != "image":
                 raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not available; "
+                    "real audio/video decode requires ffmpeg — not available; "
                     "use fake=True for the deterministic stand-in"
                 )
+            if _Image is None:
+                raise NotImplementedError(
+                    "real image decode requires PIL — not installed on this "
+                    "executor; use fake=True for the deterministic stand-in"
+                )
+            img = _Image.open(_io.BytesIO(content)).convert("L")
+            width, height = img.size
+            hist = img.histogram()  # 256 gray bins
+            total = float(sum(hist)) or 1.0
+            feature = [
+                round(sum(hist[b * 32 : (b + 1) * 32]) / total, 6) for b in range(8)
+            ]
+            return media_id, kind, width, height, 0, feature
+
+        fn = _decode if fake else _decode_real
+        for pdf in batches:
             rows = [
-                _decode(m, k, c)
+                fn(m, k, c)
                 for m, k, c in zip(pdf["media_id"], pdf["kind"], pdf["content"])
             ]
             yield _pd.DataFrame(
@@ -150,32 +179,51 @@ def resize_images(
     scale you never decode in one stage and resize in another — the
     pixel buffer would cross the Python↔JVM boundary twice). Output
     dims use exact integer math (floor((w·th)/h) etc.) so the op is
-    oracle-checkable; the pixel transform itself is the stubbed step
-    (fake=True passes bytes through; fake=False raises
-    NotImplementedError — no PIL in this container)."""
+    oracle-checkable; fake=True passes bytes through, fake=False
+    decodes + resizes + re-encodes PNG with PIL when the executors
+    have it (NotImplementedError otherwise)."""
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
         import pandas as _pd
 
+        if not fake:
+            try:
+                import io as _io
+
+                from PIL import Image as _Image
+            except ImportError:
+                _Image = None
+
+        def _fit(w: int, h: int):
+            if w <= target_w and h <= target_h:
+                return w, h  # never upscale
+            if w * target_h <= h * target_w:  # height is binding
+                return (w * target_h) // h, target_h
+            return target_w, (h * target_w) // w  # width is binding
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL — not available; "
-                    "use fake=True for the deterministic stand-in"
-                )
             rows = []
             for m, c in zip(pdf["media_id"], pdf["content"]):
-                d = _hl.md5(c or b"").digest()
-                w, h = 64 + d[0] % 192, 64 + d[1] % 192
-                if w <= target_w and h <= target_h:
-                    ow, oh = w, h  # never upscale
-                elif w * target_h <= h * target_w:  # height is binding
-                    ow, oh = (w * target_h) // h, target_h
-                else:  # width is binding
-                    ow, oh = target_w, (h * target_w) // w
-                rows.append((m, w, h, ow, oh, c))
+                if fake:
+                    d = _hl.md5(c or b"").digest()
+                    w, h = 64 + d[0] % 192, 64 + d[1] % 192
+                    ow, oh = _fit(w, h)
+                    out = c
+                else:
+                    if _Image is None:
+                        raise NotImplementedError(
+                            "real image resize requires PIL — not installed on "
+                            "this executor; use fake=True for the stand-in"
+                        )
+                    img = _Image.open(_io.BytesIO(c))
+                    w, h = img.size
+                    ow, oh = _fit(w, h)
+                    buf = _io.BytesIO()
+                    img.resize((ow, oh)).save(buf, format="PNG")
+                    out = buf.getvalue()
+                rows.append((m, w, h, ow, oh, out))
             yield _pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "out_w", "out_h", "content"]
             )

@@ -376,3 +376,51 @@ def test_ngram_megablock_emits_star_pairs(spark, docs):
         rep, "text", "doc_id", threshold=0.5, max_block_size=None
     )
     assert full.count() == 2 * (60 * 59) // 2  # uncapped → full cliques
+
+
+def _pil_available():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _pil_available(), reason="pillow not installed")
+def test_multimodal_real_decode_with_pil(spark):
+    # deployment path: when executors have pillow, fake=False decodes
+    # real image bytes — true pixel dims + 8-bin grayscale histogram
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (320, 200), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png))], "media_id long, kind string, content binary"
+    )
+    row = M.decode_media(media, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (320, 200)
+    assert abs(sum(row["feature"]) - 1.0) < 1e-5  # histogram sums to 1
+    assert len(row["feature"]) == 8
+
+
+@pytest.mark.skipif(not _pil_available(), reason="pillow not installed")
+def test_multimodal_real_resize_with_pil(spark):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (400, 100), (0, 255, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()))],
+        "media_id long, kind string, content binary",
+    )
+    row = M.resize_images(media, 224, 224, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (400, 100)
+    assert (row["out_w"], row["out_h"]) == (224, 56)  # width-binding exact fit
+    got = Image.open(io.BytesIO(bytes(row["content"])))
+    assert got.size == (224, 56)  # re-encoded bytes really are resized

@@ -90,3 +90,47 @@ def test_stateful_running_agg(spark, feed_dir):
     rows = {r["key"]: (r["n"], r["total"], r["maxv"])
             for r in spark.sql("SELECT * FROM t_state").collect()}
     assert rows == {1: (2, 3.0, 2.0), 2: (1, 4.0, 4.0)}
+
+
+def test_stream_interrupt_while_flowing(spark):
+    # live-unbounded FromChannel parity: a rate feed with rows actually
+    # flowing through a stateful agg when Interrupt lands. Statuses must
+    # walk Pending -> Running -> Interrupted, partial results produced
+    # before the stop must survive in the sink, and nothing more may
+    # arrive after the stop returns.
+    import time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "200")
+        .load()
+        .select(F.col("value"), (F.col("value") % 4).alias("k"))
+    )
+    sp = StreamingPipeline(stream)
+    assert sp.status is Status.PENDING  # manual-start parity: no flow yet
+
+    agg = sp.df.groupBy("k").agg(F.count("*").alias("n"))
+    live = StreamingPipeline(agg)
+    live.start(
+        query_name="t_rate_flowing", output_mode="complete", state_partitions=4
+    )
+    assert live.status is Status.RUNNING
+
+    # wait until rows have demonstrably flowed through the agg
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.table("t_rate_flowing").count() > 0:
+            break
+        time.sleep(0.25)
+    rows_before = spark.table("t_rate_flowing").count()
+    assert rows_before > 0, "stream never produced rows"
+    assert live.status is Status.RUNNING
+
+    live.interrupt()  # stop while batches are in flight
+    assert live.status is Status.INTERRUPTED
+    assert not live.query.isActive
+    # the sink keeps what was committed before the stop, and the stream
+    # being stopped means no further growth
+    n1 = spark.table("t_rate_flowing").count()
+    time.sleep(1.0)
+    assert spark.table("t_rate_flowing").count() == n1 >= rows_before
