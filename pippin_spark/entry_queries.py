@@ -3155,6 +3155,92 @@ def q_agg_regression(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 pretraining-pipeline extensions: chunking, data mixing,
+# skew diagnostics, frequency spectrum
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "doc_chunks",
+    # overlapping token windows: chunk 64, stride 48 (16-token overlap)
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, toks, UNNEST(range(0, greatest(len(toks), 1), 48)) AS start
+      FROM d WHERE len(toks) > 0
+    )
+    SELECT doc_id, start // 48 AS chunk_id,
+           len(list_slice(toks, start + 1, start + 64)) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return TXT.chunk_documents(docs, "text", "doc_id", chunk_size=64, stride=48)
+
+
+@_q(
+    "sample_mixture_docs",
+    # data mixing to target proportions: en-heavy 50/12.5×4 over the
+    # skewed lang counts; the binding source caps the budget, every
+    # membership decision is the integer hash predicate
+    SMP.mixture_oracle_sql(
+        "(SELECT doc_id, lang FROM documents)",
+        "doc_id",
+        "lang",
+        {"en": 500_000, "de": 125_000, "zh": 125_000, "fr": 125_000, "es": 125_000},
+    ).replace("SELECT d.*", "SELECT d.doc_id, d.lang"),
+)
+def q_sample_mixture_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "lang")
+    return SMP.sample_mixture(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 500_000, "de": 125_000, "zh": 125_000, "fr": 125_000, "es": 125_000},
+    )
+
+
+@_q(
+    "key_skew_events",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_keys, MAX(n) AS max_rows,
+           ROUND(AVG(n), 6) AS mean_rows,
+           ROUND(quantile_cont(n::DOUBLE, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n::DOUBLE, 0.9), 6) AS p90,
+           ROUND(quantile_cont(n::DOUBLE, 0.99), 6) AS p99
+    FROM c
+    """,
+)
+def q_key_skew_events(spark, sf_dir):
+    # pre-flight skew diagnostic for any shuffle key (here user_id)
+    ev = _t(spark, sf_dir, "events").df
+    return REL.key_skew_stats(ev, "user_id")
+
+
+@_q(
+    "token_freq_spectrum",
+    """
+    WITH t AS (
+      SELECT UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT tok, COUNT(*) AS freq FROM t WHERE tok != '' GROUP BY tok
+    )
+    SELECT freq, COUNT(*) AS n_tokens FROM c GROUP BY freq
+    """,
+)
+def q_token_freq_spectrum(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return TXT.token_freq_spectrum(docs, "text")
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -3183,6 +3269,7 @@ _DRIVER_ROW_PRIORITY = [
     "sample_per_group_docs",
     "split_assign_docs",
     "sample_balance_lang",
+    "sample_mixture_docs",
     # TPC-H shapes added in round 2
     "q4_order_priority",
     "q5_region_revenue",
@@ -3202,39 +3289,43 @@ _DRIVER_ROW_PRIORITY = [
     # ANN / similarity
     "ann_topk_bruteforce",
     "ann_topk_ivf",
-    "ann_topk_ivf_kmeans",
     "ann_topk_lsh",
     "knn_join_labels",
     # pretraining-pipeline ops
     "pack_sequences_docs",
+    "doc_chunks",
     "scd2_user_values",
     "gap_fill_events",
     "merge_changes_orders",
     "asof_join_events_bucketed",
     "sessionize_events_bucketed",
+    "key_skew_events",
     # window extensions
     "window_dist_rank",
-    "window_range_frame",
     "window_first_last",
     # aggregate extensions
     "agg_approx_percentile",
     "agg_median_pandas",
     "agg_regression",
-    "agg_stats_moments",
-    "agg_array_ops",
     "json_extract_props",
     # multimodal plumbing
     "multimodal_decode",
     "multimodal_resize",
-    "multimodal_frame_sample",
     # storage-layout ops
     "bucketed_join_pricing",
     "sink_partitioned_parquet",
     # text extensions
     "text_gopher_filter",
-    "text_top_bigrams",
+    "token_freq_spectrum",
     "emb_label_centroids",
     # --- ~driver-window boundary (first 50 above) ---
+    # demoted family-redundant variants (family repr is in the window)
+    "multimodal_frame_sample",
+    "text_top_bigrams",
+    "ann_topk_ivf_kmeans",
+    "window_range_frame",
+    "agg_stats_moments",
+    "agg_array_ops",
     "text_repetition",
     "text_pii_redact",
     "topk_per_group",

@@ -723,3 +723,24 @@ def gap_fill_locf(
         F.col("__v__").alias(value_col),
         F.last("__v__", ignorenulls=True).over(w).alias("filled"),
     )
+
+
+def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the per-key row-count distribution
+    (n_keys, max, mean, p50/p90/p99) that predicts whether a
+    groupBy/join/window on ``key_col`` has a celebrity-key problem
+    BEFORE burning a cluster run on it.
+
+    Two-level: per-key counts partial-aggregate map-side (the only
+    data-volume shuffle), then one exact-percentile pass over #keys
+    rows — keys-bounded, not row-bounded."""
+    counts = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("__n__"))
+    n = F.col("__n__").cast("double")
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n__").alias("max_rows"),
+        F.round(F.avg(n), 6).alias("mean_rows"),
+        F.round(F.percentile(n, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(n, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(n, F.lit(0.99)), 6).alias("p99"),
+    )

@@ -161,3 +161,70 @@ def sample_balance_oracle_sql(
     return (
         f"({hash_bucket_sql(f'd.{id_col}', salt)}) * c.__n__ < m.__min__ * {_M32}"
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights_ppm: dict,
+    salt: int = 0,
+) -> DataFrame:
+    """Data-mixing sampler: subsample each source so the output's
+    composition matches target weights (parts-per-million ints), at the
+    largest total the corpus supports.
+
+    Given per-source counts c_s and targets w_s, the binding source
+    fixes the output budget B = min_s floor(c_s·10^6 / w_s); each
+    source keeps ~n_s = floor(w_s·B / 10^6) ≤ c_s rows via the
+    engine-portable hash threshold (bucket < n_s·2^32/c_s) — the same
+    pure-integer membership predicate as every sampler here, so the
+    sample is identical on every run/engine/partitioning and the
+    predicate fuses into the scan.
+
+    The per-source counts are a #sources-row aggregate collected to the
+    driver to build the CASE thresholds — the standard tiny-dim
+    pattern, not a data collect. Threshold arithmetic runs in Python
+    (arbitrary precision), so n_s·2^32 cannot overflow at any corpus
+    size."""
+    counts = {
+        r["__g__"]: r["__c__"]
+        for r in df.select(F.col(group_col).alias("__g__"))
+        .groupBy("__g__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .collect()
+    }
+    budget = min(
+        (counts.get(g, 0) * 1_000_000) // w for g, w in weights_ppm.items() if w > 0
+    )
+    pred = F.lit(False)
+    for g, w in weights_ppm.items():
+        c = counts.get(g, 0)
+        if c == 0 or w <= 0:
+            continue
+        n = (w * budget) // 1_000_000
+        thresh = (n * _M32) // c
+        pred = F.when(
+            F.col(group_col) == g, hash_bucket(F.col(id_col), salt) < F.lit(int(thresh))
+        ).otherwise(pred)
+    return df.filter(pred)
+
+
+def mixture_oracle_sql(
+    table: str, id_col: str, group_col: str, weights_ppm: dict, salt: int = 0
+) -> str:
+    """Self-contained DuckDB query computing the identical mixture
+    sample (integer arithmetic end-to-end, same hash)."""
+    values = ", ".join(f"('{g}', {int(w)})" for g, w in weights_ppm.items())
+    return f"""
+    WITH w({group_col}, wppm) AS (VALUES {values}),
+    c AS (SELECT {group_col}, COUNT(*) AS cnt FROM {table} GROUP BY 1),
+    b AS (SELECT MIN(c.cnt * 1000000 // w.wppm) AS budget
+          FROM c JOIN w USING ({group_col}) WHERE w.wppm > 0),
+    t AS (SELECT w.{group_col},
+                 ((w.wppm * b.budget // 1000000) * {_M32}) // c.cnt AS th
+          FROM w JOIN c USING ({group_col}) CROSS JOIN b
+          WHERE w.wppm > 0 AND c.cnt > 0)
+    SELECT d.* FROM {table} d JOIN t USING ({group_col})
+    WHERE ({hash_bucket_sql(f'd.{id_col}', salt)}) < t.th
+    """

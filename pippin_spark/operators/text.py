@@ -311,3 +311,59 @@ def gopher_filter_oracle_sql(text_expr: str = "text") -> str:
         f" AND CAST(len(list_filter({toks}, x -> list_contains({lst}, x))) AS DOUBLE)"
         f"     / len({toks}) >= {GOPHER_MIN_STOPWORD_FRAC}) AS keep"
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 128,
+    stride: int = 96,
+):
+    """Split documents into overlapping token windows (the
+    chunk-with-overlap step feeding context-window-bounded training and
+    embedding pipelines). ``stride < chunk_size`` overlaps consecutive
+    chunks by ``chunk_size - stride`` tokens.
+
+    All native: one split, sequence+posexplode for chunk starts, slice
+    per chunk — no UDF, no shuffle (row-local fan-out of
+    ceil(n_tokens/stride) chunks per doc, linear in corpus tokens).
+    Output: (id, chunk_id, n_tokens, chunk_text)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # blank docs (empty or all-whitespace) produce no chunks — split()
+    # would otherwise hand them one empty-string token
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("__toks__"), n.alias("__n__"))
+        .filter(F.col("__n__") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("__n__") - 1, F.lit(int(stride)))
+    return base.select(
+        id_col,
+        "__toks__",
+        F.posexplode(starts).alias("chunk_id", "__start__"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size(F.slice("__toks__", F.col("__start__") + 1, int(chunk_size))).alias(
+            "n_tokens"
+        ),
+        F.array_join(
+            F.slice("__toks__", F.col("__start__") + 1, int(chunk_size)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def token_freq_spectrum(df, text_col: str):
+    """Corpus frequency spectrum (count-of-counts): how many distinct
+    tokens occur exactly f times — the Zipf diagnostic behind
+    vocabulary sizing and dedup-threshold tuning. Two partial-agg
+    groupBys: tokens shuffle once as (token, count) partials, then the
+    tiny (#distinct frequencies) spectrum aggregates. Exact integers
+    end-to-end."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return counts.groupBy("freq").agg(F.count(F.lit(1)).alias("n_tokens"))

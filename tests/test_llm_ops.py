@@ -424,3 +424,41 @@ def test_multimodal_real_resize_with_pil(spark):
     assert (row["out_w"], row["out_h"]) == (224, 56)  # width-binding exact fit
     got = Image.open(io.BytesIO(bytes(row["content"])))
     assert got.size == (224, 56)  # re-encoded bytes really are resized
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from pippin_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(200))
+    df = spark.createDataFrame([(1, text), (2, "short doc only"), (3, "")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_size=64, stride=48)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1 (200 tokens): starts 0,48,96,144,192 → 5 chunks; the last
+    # two are truncated at the document end (56 and 8 tokens)
+    d1 = [rows[(1, i)] for i in range(5)]
+    assert [r["n_tokens"] for r in d1] == [64, 64, 64, 56, 8]
+    # overlap: chunk k shares its last 16 tokens with chunk k+1's first 16
+    assert d1[0]["chunk_text"].split()[48:] == d1[1]["chunk_text"].split()[:16]
+    # coverage: every token appears in at least one chunk
+    seen = set()
+    for r in d1:
+        seen.update(r["chunk_text"].split())
+    assert len(seen) == 200
+    # short doc → one chunk; empty doc → no chunks
+    assert rows[(2, 0)]["n_tokens"] == 3
+    assert not any(k[0] == 3 for k in rows)
+
+
+def test_token_freq_spectrum_mass_conservation(spark, docs):
+    from pippin_spark.operators.text import token_freq_spectrum, tokens
+    from pyspark.sql import functions as F
+
+    spec = token_freq_spectrum(docs, "text")
+    mass = spec.select(F.sum(F.col("freq") * F.col("n_tokens")).alias("m")).collect()[0]["m"]
+    total = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    assert mass == total
