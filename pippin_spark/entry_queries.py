@@ -3240,6 +3240,118 @@ def q_token_freq_spectrum(spark, sf_dir):
     return TXT.token_freq_spectrum(docs, "text")
 
 
+@_q(
+    "agg_hll_by_group",
+    # mergeable-sketch distinct counts (the 100 TB pattern: a sketch
+    # column per group/partition, unioned later without rescanning):
+    # exact distincts are hash-checked exactly; the HLL estimate must
+    # land within 5% (oracle-independent of sketch internals)
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_in_band
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_hll_by_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    per = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(14))).alias(
+            "__est__"
+        ),
+    )
+    return per.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__est__") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_in_band"),
+    )
+
+
+@_q(
+    "agg_hll_union_merge",
+    # the merge half of the pattern: per-group sketches union into a
+    # global estimate WITHOUT touching rows again — checked against the
+    # exact global distinct
+    """
+    SELECT COUNT(DISTINCT user_id) AS exact_total, TRUE AS merged_in_band
+    FROM events
+    """,
+)
+def q_agg_hll_union_merge(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("__sk__")
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk__"))).alias("__est__")
+    )
+    exact = ev.agg(F.count_distinct(F.col("user_id")).alias("exact_total"))
+    return exact.crossJoin(merged).select(
+        "exact_total",
+        (
+            F.abs(F.col("__est__") - F.col("exact_total"))
+            <= 0.05 * F.col("exact_total")
+        ).alias("merged_in_band"),
+    )
+
+
+@_q(
+    "agg_percentile_by_group",
+    # grouped exact percentiles (per-lang doc-length quartiles)
+    """
+    SELECT lang,
+           ROUND(quantile_cont(n_chars::DOUBLE, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars::DOUBLE, 0.75), 6) AS p75
+    FROM documents GROUP BY lang
+    """,
+)
+def q_agg_percentile_by_group(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    n = F.col("n_chars").cast("double")
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile(n, F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile(n, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(n, F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@_q(
+    "sample_weighted_docs",
+    # A-ES weighted sampling: per-lang top-5 by ln(u)/w, u from the
+    # integer id hash, w = n_chars — the oracle recomputes the exact
+    # same keys (both engines evaluate ln on the platform libm)
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             ln((({SMP.hash_bucket_sql('doc_id')}) + 1) / 4294967296.0)
+               / n_chars AS aes
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY aes DESC, doc_id ASC) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= 5
+    """,
+)
+def q_sample_weighted_docs(spark, sf_dir):
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .df.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+    out = SMP.sample_weighted_topk(
+        docs, "doc_id", "n_chars", k=5, group_col="lang"
+    )
+    return out.select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -3270,6 +3382,7 @@ _DRIVER_ROW_PRIORITY = [
     "split_assign_docs",
     "sample_balance_lang",
     "sample_mixture_docs",
+    "sample_weighted_docs",
     # TPC-H shapes added in round 2
     "q4_order_priority",
     "q5_region_revenue",
@@ -3305,6 +3418,9 @@ _DRIVER_ROW_PRIORITY = [
     "window_first_last",
     # aggregate extensions
     "agg_approx_percentile",
+    "agg_hll_by_group",
+    "agg_hll_union_merge",
+    "agg_percentile_by_group",
     "agg_median_pandas",
     "agg_regression",
     "json_extract_props",

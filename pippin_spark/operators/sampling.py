@@ -228,3 +228,38 @@ def mixture_oracle_sql(
     SELECT d.* FROM {table} d JOIN t USING ({group_col})
     WHERE ({hash_bucket_sql(f'd.{id_col}', salt)}) < t.th
     """
+
+
+def sample_weighted_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets key = ln(u)/w with u a deterministic
+    uniform from the id hash; the k largest keys are the sample —
+    inclusion probability proportional to weight, membership a pure
+    function of (id, weight, salt).
+
+    Scale: global top-k lowers to TakeOrderedAndProject (per-partition
+    heaps, never a single-partition exchange of the input); per-group
+    uses the keyed window. The engine-portability caveat: ln() must
+    agree bit-for-bit between engines for oracle checks — true when
+    both use the platform libm (verified by the strict suite), and
+    irrelevant for production use where only Spark evaluates it."""
+    u = (hash_bucket(F.col(id_col), salt) + 1) / F.lit(float(_M32))
+    key = F.ln(u) / F.col(weight_col)
+    scored = df.withColumn("__aes__", key)
+    order = [F.col("__aes__").desc(), F.col(id_col).asc()]
+    if group_col is not None:
+        w = Window.partitionBy(group_col).orderBy(*order)
+        return (
+            scored.withColumn("__rk__", F.row_number().over(w))
+            .filter(F.col("__rk__") <= k)
+            .drop("__aes__", "__rk__")
+        )
+    top = scored.orderBy(*order).limit(k)
+    return top.drop("__aes__")

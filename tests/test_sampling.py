@@ -135,3 +135,35 @@ def test_sample_mixture_composition_and_determinism(spark):
     # deterministic under repartitioning
     again = sample_mixture(df.repartition(13), "id", "src", w)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_sample_weighted_topk_bias_and_determinism(spark):
+    from pippin_spark.operators.sampling import sample_weighted_topk
+
+    # ids 0..1999; weight 100 for ids < 200, weight 1 otherwise —
+    # heavy items should dominate the sample
+    rows = [(i, 100.0 if i < 200 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sample_weighted_topk(df, "id", "w", k=100)
+    ids = sorted(r["id"] for r in got.collect())
+    assert len(ids) == 100
+    heavy = sum(1 for i in ids if i < 200)
+    # E[heavy] ≈ 97 under A-ES with 100:1 weights over 200/1800 items;
+    # deterministic hash keys make this a fixed number — assert the
+    # qualitative bias generously
+    assert heavy > 60
+    # membership is invariant under repartitioning
+    again = sample_weighted_topk(df.repartition(17), "id", "w", k=100)
+    assert sorted(r["id"] for r in again.collect()) == ids
+
+
+def test_sample_weighted_topk_global_plan_is_take_ordered(spark):
+    from pippin_spark.operators.sampling import sample_weighted_topk
+
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    p = sample_weighted_topk(df, "id", "w", k=10)._sc._jvm.PythonSQLUtils.explainString(
+        sample_weighted_topk(df, "id", "w", k=10)._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in p  # never a single-partition sort
