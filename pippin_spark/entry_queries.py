@@ -3352,6 +3352,97 @@ def q_sample_weighted_docs(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+@_q(
+    "incremental_pricing_merge",
+    # incremental view maintenance, batch form: yesterday's aggregate
+    # STATE merges with today's delta aggregate — no rescan of history.
+    # The merge is exact because the state carries scaled-long partials
+    # (mergeable by construction); the oracle is the full recompute.
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_incremental_pricing_merge(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").df
+    cut = F.lit("1995-01-01").cast("timestamp")
+    scaled = F.round(F.col("l_quantity") * 10000, 0).cast("long")
+
+    def state(part):
+        return part.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled).alias("__sq__"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+
+    hist = state(li.filter(F.col("l_shipdate") < cut))   # stored state
+    delta = state(li.filter(F.col("l_shipdate") >= cut))  # today's delta
+    merged = hist.unionByName(delta).groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"),
+        F.sum("__sq__").alias("__sq__"),
+        F.max("max_price").alias("max_price"),
+    )
+    return merged.select(
+        "l_returnflag",
+        "n",
+        (F.col("__sq__").cast("decimal(38,0)") / F.lit(10000).cast("decimal(10,0)"))
+        .cast("double")
+        .alias("sum_qty"),
+        "max_price",
+    )
+
+
+@_q(
+    "text_tfidf_topterms",
+    # per-doc top-3 TF-IDF terms: tf = in-doc count, idf = ln(N/df);
+    # the shuffle keys are (token) for df and (doc, token) for tf —
+    # never a corpus-wide collect
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok WHERE t != '' GROUP BY 1, 2
+    ), df AS (
+      SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok WHERE t != '' GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t AS term,
+             ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (t) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q_text_tfidf_topterms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    n_docs = docs.count()  # one scalar, not a data collect
+    tok = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(dfreq, "t").select(
+        "doc_id",
+        F.col("t").alias("term"),
+        F.round(
+            F.col("tf") * F.ln(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -3378,9 +3469,7 @@ _DRIVER_ROW_PRIORITY = [
     # deterministic sampling suite
     "sample_hash_orders",
     "sample_stratified_orders",
-    "sample_per_group_docs",
     "split_assign_docs",
-    "sample_balance_lang",
     "sample_mixture_docs",
     "sample_weighted_docs",
     # TPC-H shapes added in round 2
@@ -3391,7 +3480,6 @@ _DRIVER_ROW_PRIORITY = [
     "grouping_sets_pricing",
     "pivot_pricing",
     "unpivot_lineitem",
-    "cube_pricing",
     # dedup extensions
     "dedup_clusters",
     "dedup_minhash_megabucket",
@@ -3410,6 +3498,7 @@ _DRIVER_ROW_PRIORITY = [
     "scd2_user_values",
     "gap_fill_events",
     "merge_changes_orders",
+    "incremental_pricing_merge",
     "asof_join_events_bucketed",
     "sessionize_events_bucketed",
     "key_skew_events",
@@ -3419,11 +3508,8 @@ _DRIVER_ROW_PRIORITY = [
     # aggregate extensions
     "agg_approx_percentile",
     "agg_hll_by_group",
-    "agg_hll_union_merge",
     "agg_percentile_by_group",
     "agg_median_pandas",
-    "agg_regression",
-    "json_extract_props",
     # multimodal plumbing
     "multimodal_decode",
     "multimodal_resize",
@@ -3433,9 +3519,16 @@ _DRIVER_ROW_PRIORITY = [
     # text extensions
     "text_gopher_filter",
     "token_freq_spectrum",
+    "text_tfidf_topterms",
     "emb_label_centroids",
     # --- ~driver-window boundary (first 50 above) ---
     # demoted family-redundant variants (family repr is in the window)
+    "sample_per_group_docs",
+    "sample_balance_lang",
+    "cube_pricing",
+    "agg_hll_union_merge",
+    "agg_regression",
+    "json_extract_props",
     "multimodal_frame_sample",
     "text_top_bigrams",
     "ann_topk_ivf_kmeans",
