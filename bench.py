@@ -59,6 +59,12 @@ HEADLINE = [
     "pack_sequences_docs",
     "text_gopher_filter",
     "streaming_stateful_counts",
+    # round-3 additions
+    "doc_chunks",
+    "text_tfidf_topterms",
+    "sample_mixture_docs",
+    "asof_join_events_bucketed",
+    "agg_hll_by_group",
 ]
 
 

@@ -3443,6 +3443,37 @@ def q_text_tfidf_topterms(spark, sf_dir):
     )
 
 
+@_q(
+    "zorder_parts",
+    # Morton interleave as the 2-D clustering key; identical bit
+    # arithmetic in both engines, no UDF
+    """
+    WITH s AS (
+      SELECT p_partkey, p_size,
+             p_partkey & 65535 AS x0, p_size & 65535 AS y0
+      FROM part
+    ), sp AS (
+      SELECT p_partkey, p_size,
+             ((((((x0 | (x0 << 8)) & 16711935) | (((x0 | (x0 << 8)) & 16711935) << 4)) & 252645135)
+               | ((((((x0 | (x0 << 8)) & 16711935) | (((x0 | (x0 << 8)) & 16711935) << 4)) & 252645135)) << 2)) & 858993459) AS x2,
+             ((((((y0 | (y0 << 8)) & 16711935) | (((y0 | (y0 << 8)) & 16711935) << 4)) & 252645135)
+               | ((((((y0 | (y0 << 8)) & 16711935) | (((y0 | (y0 << 8)) & 16711935) << 4)) & 252645135)) << 2)) & 858993459) AS y2
+      FROM s
+    )
+    SELECT p_partkey,
+           ((x2 | (x2 << 1)) & 1431655765)
+             | (((y2 | (y2 << 1)) & 1431655765) << 1) AS z
+    FROM sp
+    """,
+)
+def q_zorder_parts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").df
+    return part.select(
+        "p_partkey",
+        REL.zorder_key(F.col("p_partkey"), F.col("p_size")).alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -3512,10 +3543,10 @@ _DRIVER_ROW_PRIORITY = [
     "agg_median_pandas",
     # multimodal plumbing
     "multimodal_decode",
-    "multimodal_resize",
     # storage-layout ops
     "bucketed_join_pricing",
     "sink_partitioned_parquet",
+    "zorder_parts",
     # text extensions
     "text_gopher_filter",
     "token_freq_spectrum",
@@ -3523,6 +3554,7 @@ _DRIVER_ROW_PRIORITY = [
     "emb_label_centroids",
     # --- ~driver-window boundary (first 50 above) ---
     # demoted family-redundant variants (family repr is in the window)
+    "multimodal_resize",
     "sample_per_group_docs",
     "sample_balance_lang",
     "cube_pricing",

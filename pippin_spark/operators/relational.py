@@ -744,3 +744,24 @@ def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
         F.round(F.percentile(n, F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile(n, F.lit(0.99)), 6).alias("p99"),
     )
+
+
+def zorder_key(c1: Column, c2: Column) -> Column:
+    """Morton (Z-order) interleave of two 16-bit-truncated non-negative
+    ints — the multi-dimensional clustering key behind data-skipping
+    layouts: sorting/range-partitioning by z keeps rows close on BOTH
+    dimensions, so parquet min/max stats prune 2-D predicates instead
+    of only the leading sort column.
+
+    Pure integer bit arithmetic (the binary-magic-numbers spread),
+    codegen-friendly and bit-identical in any engine — no UDF."""
+
+    def spread(x: Column) -> Column:
+        x = x.cast("bigint").bitwiseAND(F.lit(0xFFFF))
+        x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+        x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    return spread(c1).bitwiseOR(F.shiftleft(spread(c2), 1))

@@ -134,3 +134,48 @@ def test_stream_interrupt_while_flowing(spark):
     n1 = spark.table("t_rate_flowing").count()
     time.sleep(1.0)
     assert spark.table("t_rate_flowing").count() == n1 >= rows_before
+
+
+def test_foreach_batch_upsert_sink(spark, feed_dir):
+    # foreachBatch: the escape hatch for sinks Structured Streaming
+    # lacks natively (MERGE/upsert into a keyed store). Each micro-batch
+    # upserts latest-value-per-user into a parquet "table"; after the
+    # bounded run drains, the table must hold exactly the per-key latest
+    # values — the streaming analog of merge_changes.
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="pippin_upsert_")
+    stream = spark.readStream.schema(SCHEMA).parquet(feed_dir)
+
+    def upsert(batch_df, batch_id):
+        from pyspark.sql import Window
+
+        latest = batch_df.orderBy(F.desc("ts")).dropDuplicates(["user_id"])
+        try:
+            cur = spark.read.parquet(out_dir)
+            merged = (
+                cur.unionByName(latest)
+                .withColumn(
+                    "__rn__",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(F.desc("ts"))
+                    ),
+                )
+                .filter(F.col("__rn__") == 1)
+                .drop("__rn__")
+            )
+        except Exception:
+            merged = latest
+        merged.cache().count()  # decouple from the dir being overwritten
+        merged.write.mode("overwrite").parquet(out_dir)
+        merged.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pippin_ckpt_fb_"))
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {r["user_id"]: r["value"] for r in spark.read.parquet(out_dir).collect()}
+    assert final == {1: 2.0, 2: 4.0}  # latest per user
