@@ -3474,6 +3474,38 @@ def q_zorder_parts(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_lines_docs",
+    # C4-style global line dedup: sentence-per-line construction, then a
+    # repeated line survives only at its lowest (doc, pos); docs
+    # reassemble from surviving lines in order
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(text, '\\. ', CHR(10), 'g') AS t
+      FROM documents
+    ), ls AS (
+      SELECT doc_id, string_split(t, CHR(10)) AS lines FROM d
+    ), l AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, lines[u.i] AS line
+      FROM ls, UNNEST(generate_series(1, len(lines))) AS u(i)
+      WHERE length(lines[u.i]) >= 1
+    ), w AS (
+      SELECT md5(line) AS h, MIN(ROW(doc_id, pos)) AS wp FROM l GROUP BY 1
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM l JOIN w ON md5(l.line) = w.h AND ROW(l.doc_id, l.pos) = w.wp
+    )
+    SELECT doc_id, string_agg(line, CHR(10) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_dedup_lines_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df.select(
+        "doc_id", F.regexp_replace("text", "\\. ", "\n").alias("text")
+    )
+    return DEDUP.dedup_lines(docs, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -3515,7 +3547,7 @@ _DRIVER_ROW_PRIORITY = [
     "dedup_clusters",
     "dedup_minhash_megabucket",
     "dedup_ngram_megablock",
-    "dedup_embedding",
+    "dedup_lines_docs",
     "dedup_incremental_docs",
     "decontaminate_docs",
     # ANN / similarity
@@ -3554,6 +3586,7 @@ _DRIVER_ROW_PRIORITY = [
     "emb_label_centroids",
     # --- ~driver-window boundary (first 50 above) ---
     # demoted family-redundant variants (family repr is in the window)
+    "dedup_embedding",
     "multimodal_resize",
     "sample_per_group_docs",
     "sample_balance_lang",

@@ -1036,3 +1036,50 @@ def dedup_incremental(
     keep = fps.groupBy(fp_col).agg(F.min("__id__").alias("__id__"))
     novel = keep.join(seen_fps.select(fp_col), fp_col, "left_anti")
     return novel.select(F.col("__id__").alias(id_col), fp_col)
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-global line-level deduplication (the C4-style boilerplate
+    scrub): a line that occurs in multiple documents is kept only at its
+    FIRST occurrence (lowest (doc, line-position)); every other copy is
+    dropped and each document is reassembled from its surviving lines
+    in order. Deterministic: the keeper is an argmin, not "whichever
+    task got there first".
+
+    Scale shape: lines shuffle once by line digest (md5 — the digest is
+    what crosses the wire, grouped with map-side partials); the argmin
+    winner set broadcast-joins back against the exploded lines; the
+    reassembly groupBy shuffles (id, pos, line) once. No UDFs, no
+    global windows."""
+    lines = df.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__line__"),
+    ).filter(F.length("__line__") >= min_line_chars)
+    keyed = lines.withColumn("__h__", F.md5(F.col("__line__")))
+    winners = keyed.groupBy("__h__").agg(
+        F.min(F.struct("__id__", "__pos__")).alias("__w__")
+    )
+    kept = keyed.join(
+        winners,
+        (keyed["__h__"] == winners["__h__"])
+        & (keyed["__id__"] == winners["__w__"]["__id__"])
+        & (keyed["__pos__"] == winners["__w__"]["__pos__"]),
+    ).select("__id__", "__pos__", "__line__")
+    return (
+        kept.groupBy("__id__")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos__", "__line__"))),
+                    lambda s: s["__line__"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+        .select(F.col("__id__").alias(id_col), "text")
+    )

@@ -462,3 +462,21 @@ def test_token_freq_spectrum_mass_conservation(spark, docs):
         .count()
     )
     assert mass == total
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    from pippin_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nshared boilerplate\nunique to one"),
+            (2, "shared boilerplate\nunique to two"),
+            (3, "unique to three\nshared boilerplate"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(docs, "text", "doc_id").collect()}
+    # doc 1 owns the first occurrence of the shared line; 2 and 3 lose it
+    assert out[1] == "keep me\nshared boilerplate\nunique to one"
+    assert out[2] == "unique to two"
+    assert out[3] == "unique to three"
