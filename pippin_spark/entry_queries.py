@@ -3506,6 +3506,31 @@ def q_dedup_lines_docs(spark, sf_dir):
     return DEDUP.dedup_lines(docs, "text", "doc_id")
 
 
+@_q(
+    "semantic_dedup_e2e",
+    # end-to-end semantic dedup pipeline: embedding near-dup pairs
+    # (label-blocked cosine >= 0.99) -> greedy keep-lowest-id -> the
+    # surviving corpus, exactly the ops a curation run chains
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.99
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def q_semantic_dedup_e2e(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    pairs = DEDUP.dedup_embedding_cosine(
+        emb, "embedding", "vec_id", "label", threshold=0.99
+    )
+    return DEDUP.dedup_filter(emb, pairs, "vec_id").select("vec_id", "label")
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -3585,6 +3610,8 @@ _DRIVER_ROW_PRIORITY = [
     "text_tfidf_topterms",
     "emb_label_centroids",
     # --- ~driver-window boundary (first 50 above) ---
+    # below-boundary additions (components have window slots already)
+    "semantic_dedup_e2e",
     # demoted family-redundant variants (family repr is in the window)
     "dedup_embedding",
     "multimodal_resize",

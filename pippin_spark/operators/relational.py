@@ -676,7 +676,14 @@ def scd2_intervals(
     ``effective_to`` (the next change's ts for that key, NULL while
     current) and ``is_current``. One shuffle on the key; ``tie_break``
     columns disambiguate equal timestamps (the sessionize lesson:
-    without a total order, lead() is nondeterministic)."""
+    without a total order, lead() is nondeterministic).
+
+    Skew bound: the lead() window partitions by key and AQE cannot
+    split a window partition — per-key volume is the task bound. For a
+    dimension table that is almost always fine (the partition holds one
+    key's CHANGE HISTORY, not its fact rows); if a key can accumulate
+    unbounded change events, apply the asof_join_bucketed pattern
+    (per-bucket lead + cross-bucket first-ts carry) before this op."""
     order = [F.col(ts_col), *(tie_break or [])]
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
     return changes.withColumn("effective_to", F.lead(ts_col).over(w)).withColumn(
