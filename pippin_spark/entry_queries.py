@@ -3532,6 +3532,225 @@ def q_semantic_dedup_e2e(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 TPC-H shape extensions: Q7 (nation-pair volume), Q10 (returned
+# top customers), Q12-adapted (conditional agg), Q14 (promo ratio),
+# Q19 (disjunctive pushdown)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = 'NATION_20' AND cn.n_name = 'NATION_11')
+       OR (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_q7_nation_volume(spark, sf_dir):
+    # TPC-H Q7 shape: the fact table joins FOUR broadcast dims (orders
+    # is fact-sized — it shuffles; everything else broadcasts) with the
+    # nation-pair OR filter applied after both nation joins
+    l = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df
+    c = _t(spark, sf_dir, "customer").df
+    s = _t(spark, sf_dir, "supplier").df
+    n = _t(spark, sf_dir, "nation").df
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("ck"))
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11"))
+            | ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+    ).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@_q(
+    "q10_returned_top_customers",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey, c_name, revenue,
+           ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+    FROM rev QUALIFY rank <= 20
+    """,
+)
+def q_q10_returned_top_customers(spark, sf_dir):
+    # TPC-H Q10 shape: returned-lineitem revenue per customer in a
+    # quarter, global top-20 via TakeOrderedAndProject (never a
+    # single-partition sort of the aggregate)
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").df.filter(F.col("l_returnflag") == "R")
+    rev = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return REL.top_k(
+        rev, 20, [F.col("revenue").desc(), F.col("c_custkey").asc()], rank_col="rank"
+    )
+
+
+@_q(
+    "q12_priority_class",
+    # Q12 shape adapted to this schema (no l_shipmode/commitdate):
+    # conditional aggregation — urgent vs non-urgent order counts per
+    # lineitem status, one pass, CASE folded into the partial agg
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_q12_priority_class(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").df.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").df
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q_q14_promo_revenue(spark, sf_dir):
+    # TPC-H Q14: promo revenue share — conditional decimal-exact sums,
+    # part broadcast into the shipdate-pruned fact scan
+    l = _t(spark, sf_dir, "lineitem").df.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").df
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@_q(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 5 AND 30)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    # TPC-H Q19 shape: OR-of-ANDs across both join sides — each
+    # disjunct's single-side conjuncts (brand/size on part, quantity on
+    # lineitem) are pushable; the cross-side residual evaluates post-join
+    l = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    d1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(5, 30)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return j.filter(d1 | d2 | d3).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -3612,6 +3831,11 @@ _DRIVER_ROW_PRIORITY = [
     # --- ~driver-window boundary (first 50 above) ---
     # below-boundary additions (components have window slots already)
     "semantic_dedup_e2e",
+    "q7_nation_volume",
+    "q10_returned_top_customers",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
     # demoted family-redundant variants (family repr is in the window)
     "dedup_embedding",
     "multimodal_resize",
