@@ -3750,6 +3750,160 @@ def q_q19_disjunctive_revenue(spark, sf_dir):
     )
 
 
+@_q(
+    "window_rolling_median",
+    # exact trailing-7-row median per event_type: an aggregate function
+    # over a bounded ROWS frame (frame cost is O(7) per row, keyed
+    # shuffle only)
+    """
+    SELECT event_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM events
+    """,
+)
+def q_window_rolling_median(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.percentile(F.col("value"), F.lit(0.5)).over(w), 6).alias("med7"),
+    )
+
+
+@_q(
+    "gap_detect_events",
+    # the inverse of gap-fill: which hour buckets are MISSING per type —
+    # dense axis from per-group bounds, anti-join the observed buckets
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hb
+      FROM events
+    ), bounds AS (
+      SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi FROM b GROUP BY 1
+    ), axis AS (
+      SELECT event_type, UNNEST(range(lo, hi + 1)) AS hb FROM bounds
+    )
+    SELECT a.event_type, a.hb AS missing_bucket
+    FROM axis a LEFT JOIN (SELECT DISTINCT event_type, hb FROM b) o
+      ON a.event_type = o.event_type AND a.hb = o.hb
+    WHERE o.hb IS NULL
+    """,
+)
+def q_gap_detect_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    b = ev.select(
+        "event_type",
+        F.expr("ts div 3600000000000").alias("hb"),
+    )
+    bounds = b.groupBy("event_type").agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+    axis = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("hb")
+    )
+    observed = b.distinct()
+    return (
+        axis.join(observed, ["event_type", "hb"], "left_anti")
+        .select("event_type", F.col("hb").alias("missing_bucket"))
+    )
+
+
+@_q(
+    "agg_correlations",
+    # pairwise Pearson correlations across measures in ONE pass (corr
+    # aggregates share the partial-moment machinery)
+    """
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+           ROUND(corr(l_extendedprice, l_tax), 6) AS corr_price_tax
+    FROM lineitem
+    """,
+)
+def q_agg_correlations(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").df
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("corr_price_tax"),
+    )
+
+
+@_q(
+    "funnel_users",
+    # funnel analysis: users whose first view precedes their first
+    # purchase — one conditional-min pass over events, no self-join
+    """
+    SELECT user_id,
+           epoch_us(MIN(CASE WHEN event_type = 'view' THEN ts END)) AS first_view_us,
+           epoch_us(MIN(CASE WHEN event_type = 'purchase' THEN ts END)) AS first_purchase_us
+    FROM events GROUP BY user_id
+    HAVING MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+       AND MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+       AND MIN(CASE WHEN event_type = 'view' THEN ts END)
+           < MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+    """,
+)
+def q_funnel_users(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    fp = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    agg = ev.groupBy("user_id").agg(fv.alias("__fv__"), fp.alias("__fp__"))
+    return (
+        agg.filter(
+            F.col("__fv__").isNotNull()
+            & F.col("__fp__").isNotNull()
+            & (F.col("__fv__") < F.col("__fp__"))
+        )
+        .select(
+            "user_id",
+            F.expr("__fv__ div 1000").alias("first_view_us"),
+            F.expr("__fp__ div 1000").alias("first_purchase_us"),
+        )
+    )
+
+
+@_q(
+    "fuzzy_match_names",
+    # blocked fuzzy matching: same-nation customer-name pairs within
+    # edit distance 2 (native levenshtein both engines; the nation block
+    # bounds the quadratic term, same shape as dedup_embedding)
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_fuzzy_match_names(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").df
+    a = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("na"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("nb"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("na", "nb").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -3836,6 +3990,11 @@ _DRIVER_ROW_PRIORITY = [
     "q12_priority_class",
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
+    "window_rolling_median",
+    "gap_detect_events",
+    "agg_correlations",
+    "funnel_users",
+    "fuzzy_match_names",
     # demoted family-redundant variants (family repr is in the window)
     "dedup_embedding",
     "multimodal_resize",
