@@ -4086,9 +4086,11 @@ def _apply_driver_row_priority() -> None:
     """Rebuild the registration dicts in driver-gate priority order.
 
     Names missing from the priority list (a new query someone forgot to
-    slot) are appended between the rotation block and the parity core —
-    i.e. right after the last explicitly-prioritized unchecked query —
-    so they still have a chance at a driver row."""
+    slot) are placed at the FRONT — a brand-new query has no driver row
+    by definition, so it gets first claim on the window until the
+    exhaustiveness test forces it into an explicit slot. The cost (it
+    displaces one deliberately-chosen query for that run) is bounded
+    by that same test: unslotted queries cannot survive a commit."""
     global ENTRY_QUERIES, ENTRY_ORACLES
     listed = [n for n in _DRIVER_ROW_PRIORITY if n in ENTRY_QUERIES]
     unlisted = [n for n in ENTRY_QUERIES if n not in set(_DRIVER_ROW_PRIORITY)]

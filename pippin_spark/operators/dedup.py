@@ -536,11 +536,18 @@ def dedup_ngram_jaccard(
     construction — that's *why* they're near-dups — so a boilerplate
     corpus concentrates in one block and the in-task pair expansion
     goes O(n²). Blocks larger than ``max_block_size`` emit STAR pairs
-    (block-min id ↔ every other member, O(n) per block), each still
-    exact-Jaccard scored. For a true boilerplate clique the
-    keep-lowest-id cleaned corpus is identical; only the diagnostic
-    pair list is sparser. ``max_block_size=None`` forces full
-    expansion everywhere."""
+    (anchor = lowest-id member with non-empty shingles ↔ every other
+    member, O(n) per block), each still exact-Jaccard scored.
+
+    Guard semantics caveat: the star assumes an oversized block is ONE
+    boilerplate clique. For a true clique the keep-lowest-id cleaned
+    corpus is identical (only the diagnostic pair list is sparser); if
+    a mega-block mixes several distinct near-dup clusters, pairs not
+    involving the anchor's cluster are missed — pick a finer
+    ``block_on`` or set ``max_block_size=None`` when that matters
+    (the LSH sibling does not share this caveat: its buckets are
+    signature-band classes, so an oversized bucket IS a similarity
+    clique by construction)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     if block_on is None:
         block = F.struct(
@@ -587,16 +594,29 @@ def dedup_ngram_jaccard(
                 order = sorted(range(len(ids_l)), key=lambda k: ids_l[k])  # id_a < id_b
                 ids = [ids_l[k] for k in order]
                 shs = [np.asarray(shs_l[k], dtype=np.int64) for k in order]
-                # mega-block guard: star expansion (min-id anchor) caps
-                # this task's pair count at n-1 instead of n(n-1)/2
+                # mega-block guard: star expansion caps this task's
+                # pair count at n-1 instead of n(n-1)/2; the anchor is
+                # the lowest-id member that HAS shingles (an empty-
+                # shingle anchor would score 0 against everything and
+                # silently suppress the whole block)
                 star = max_block_size is not None and len(ids) > max_block_size
-                for i in range(1 if star else len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        inter = np.intersect1d(shs[i], shs[j], assume_unique=True).size
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-                        out_i.append(inter)
-                        out_u.append(shs[i].size + shs[j].size - inter)
+                if star:
+                    a = next((x for x in range(len(ids)) if shs[x].size > 0), 0)
+                    pair_iter = (((a, j) for j in range(len(ids)) if j != a))
+                else:
+                    pair_iter = (
+                        (i, j)
+                        for i in range(len(ids))
+                        for j in range(i + 1, len(ids))
+                    )
+                for i, j in pair_iter:
+                    if i > j:
+                        i, j = j, i
+                    inter = np.intersect1d(shs[i], shs[j], assume_unique=True).size
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_i.append(inter)
+                    out_u.append(shs[i].size + shs[j].size - inter)
             if out_a:
                 yield _pd.DataFrame(
                     {"id_a": out_a, "id_b": out_b, "inter": out_i, "union": out_u}

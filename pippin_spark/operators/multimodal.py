@@ -121,7 +121,13 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                     "real image decode requires PIL — not installed on this "
                     "executor; use fake=True for the deterministic stand-in"
                 )
-            img = _Image.open(_io.BytesIO(content)).convert("L")
+            try:
+                img = _Image.open(_io.BytesIO(content)).convert("L")
+            except Exception:
+                # NULL/empty/corrupt blob: a null feature row, not a
+                # stage-killing executor exception (missing-PIL and
+                # wrong-kind stay loud above — those are config errors)
+                return media_id, kind, None, None, 0, None
             width, height = img.size
             hist = img.histogram()  # 256 gray bins
             total = float(sum(hist)) or 1.0
@@ -200,8 +206,13 @@ def resize_images(
             if w <= target_w and h <= target_h:
                 return w, h  # never upscale
             if w * target_h <= h * target_w:  # height is binding
-                return (w * target_h) // h, target_h
-            return target_w, (h * target_w) // w  # width is binding
+                ow, oh = (w * target_h) // h, target_h
+            else:  # width is binding
+                ow, oh = target_w, (h * target_w) // w
+            # extreme aspect ratios floor to 0 — clamp so the encoder
+            # never sees a zero-sized image (unreachable for the fake
+            # dims, which are bounded 64-255)
+            return max(1, ow), max(1, oh)
 
         for pdf in batches:
             rows = []
@@ -217,12 +228,20 @@ def resize_images(
                             "real image resize requires PIL — not installed on "
                             "this executor; use fake=True for the stand-in"
                         )
-                    img = _Image.open(_io.BytesIO(c))
-                    w, h = img.size
-                    ow, oh = _fit(w, h)
-                    buf = _io.BytesIO()
-                    img.resize((ow, oh)).save(buf, format="PNG")
-                    out = buf.getvalue()
+                    try:
+                        img = _Image.open(_io.BytesIO(c))
+                        w, h = img.size
+                        ow, oh = _fit(w, h)
+                        if img.mode not in ("RGB", "RGBA", "L"):
+                            img = img.convert("RGB")  # CMYK/P → PNG-safe
+                        buf = _io.BytesIO()
+                        img.resize((ow, oh)).save(buf, format="PNG")
+                        out = buf.getvalue()
+                    except Exception:
+                        # undecodable blob: degrade to a null row, never
+                        # kill the stage on one bad image
+                        w = h = ow = oh = None
+                        out = None
                 rows.append((m, w, h, ow, oh, out))
             yield _pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "out_w", "out_h", "content"]

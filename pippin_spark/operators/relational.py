@@ -290,6 +290,7 @@ def asof_join_bucketed(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     lcols = [c for c in left.columns]
+    ties = list(right_tie or [])
     bkt = lambda t: F.floor(F.col(t) / F.lit(int(bucket_width)))  # noqa: E731
 
     tagged_left = left.select(
@@ -298,6 +299,10 @@ def asof_join_bucketed(
         F.lit(1).alias("__is_left__"),
         *[F.col(c) for c in lcols if c != on],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__rt_{i}")
+            for i, c in enumerate(ties)
+        ],
     )
     tagged_right = right.select(
         F.col(on).alias("__k__"),
@@ -305,14 +310,21 @@ def asof_join_bucketed(
         F.lit(0).alias("__is_left__"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"__rt_{i}") for i, c in enumerate(ties)],
     )
     unioned = tagged_left.unionByName(tagged_right).withColumn("__bkt__", bkt("__t__"))
 
     # 1. within-bucket carry: the only window that sees event volume,
-    # partitioned by (key, bucket) so hot keys spread across tasks
+    # partitioned by (key, bucket) so hot keys spread across tasks.
+    # The tie columns participate in the SAME order here as in the
+    # bucket-final argmax below — equal-ts right rows resolve
+    # identically within and across buckets (left rows carry NULL ties,
+    # ordered among themselves by nothing extra, which is fine: only
+    # right rows feed the ignorenulls carry).
+    tie_order = [F.col(f"__rt_{i}").asc_nulls_first() for i in range(len(ties))]
     w_in = (
         Window.partitionBy("__k__", "__bkt__")
-        .orderBy(F.col("__t__").asc(), F.col("__is_left__").asc())
+        .orderBy(F.col("__t__").asc(), F.col("__is_left__").asc(), *tie_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = unioned.select(
@@ -325,14 +337,15 @@ def asof_join_bucketed(
 
     # 2. bucket-final right values: argmax by (ts, tie) per (key,
     # bucket) — a hash aggregate with map-side partials, skew-immune
-    tie = [F.col(c) for c in (right_tie or [])]
     finals = (
         tagged_right.withColumn("__bkt__", bkt("__t__"))
         .groupBy("__k__", "__bkt__")
         .agg(
             F.max_by(
                 F.struct(*[F.col(f"__r_{c}").alias(c) for c in right_cols]),
-                F.struct(F.col("__t__"), *tie),
+                F.struct(
+                    F.col("__t__"), *[F.col(f"__rt_{i}") for i in range(len(ties))]
+                ),
             ).alias("__fin__")
         )
     )

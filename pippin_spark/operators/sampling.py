@@ -186,7 +186,13 @@ def sample_mixture(
     driver to build the CASE thresholds — the standard tiny-dim
     pattern, not a data collect. Threshold arithmetic runs in Python
     (arbitrary precision), so n_s·2^32 cannot overflow at any corpus
-    size."""
+    size.
+
+    A weighted source with ZERO rows in the corpus is excluded from the
+    budget computation (the mix is computed over the sources that
+    exist) — matching ``mixture_oracle_sql``'s inner join, which drops
+    absent groups. If no weighted source has rows, the sample is
+    empty."""
     counts = {
         r["__g__"]: r["__c__"]
         for r in df.select(F.col(group_col).alias("__g__"))
@@ -194,9 +200,12 @@ def sample_mixture(
         .agg(F.count(F.lit(1)).alias("__c__"))
         .collect()
     }
-    budget = min(
-        (counts.get(g, 0) * 1_000_000) // w for g, w in weights_ppm.items() if w > 0
-    )
+    present = [
+        (g, w) for g, w in weights_ppm.items() if w > 0 and counts.get(g, 0) > 0
+    ]
+    if not present:
+        return df.filter(F.lit(False))
+    budget = min((counts[g] * 1_000_000) // w for g, w in present)
     pred = F.lit(False)
     for g, w in weights_ppm.items():
         c = counts.get(g, 0)

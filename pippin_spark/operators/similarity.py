@@ -394,9 +394,13 @@ def knn_join_blocked(
     2. Exact re-rank (JVM): candidates join their vectors back and the
        sequential-fold cosine + row_number window run on the linear
        candidate set — final scores and ranks are bit-identical to the
-       all-pairs formulation (the matmul only has to get the top-k
-       SET right, which ``overfetch`` guarantees up to float64
-       matmul-vs-fold divergence ≫ any real margin).
+       all-pairs formulation. Candidate selection is tie-aware: rows
+       are chosen by (cosine rounded to 6 DESC, neighbor_id ASC) — the
+       SAME ordering the re-rank uses — so a block of exact duplicates
+       (hundreds of cosine-1.0 ties, the semantic-dedup case) still
+       yields the true deterministic top-k; ``overfetch`` only has to
+       absorb float64 matmul-vs-fold divergence, which round-6 already
+       collapses.
 
     Scale: the block key is the only data-volume shuffle key; per-task
     memory is block_size·dim + chunk·block_size doubles — for blocks
@@ -417,18 +421,32 @@ def knn_join_blocked(
         out_i: list = []
         out_j: list = []
         chunk = max(1, min(n, (16 << 20) // max(n, 1)))  # ≤128MB sims
+        top = min(nk, n - 1)
+        # candidate order must match the JVM re-rank's tie-break:
+        # (round(cos, 6) DESC, id ASC). Sorting ids ascending up front
+        # makes every argpartition/argsort tie resolve to lower ids
+        # via stable ordering below.
+        id_order = np.argsort(ids, kind="stable")
+        ids_s = ids[id_order]
+        Vn = Vn[id_order]
         for s in range(0, n, chunk):
             e = min(n, s + chunk)
-            sims = Vn[s:e] @ Vn.T
-            for r in range(e - s):
-                sims[r, s + r] = -np.inf  # not self
-            top = min(nk, n - 1)
             if top <= 0:
                 continue
-            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-            rows = np.repeat(ids[s:e], top)
-            out_i.append(rows)
-            out_j.append(ids[idx].reshape(-1))
+            sims = np.round(Vn[s:e] @ Vn.T, 6)
+            for r in range(e - s):
+                sims[r, s + r] = -np.inf  # not self
+            # exact top-`top` by (score desc, id asc): partition first
+            # (O(n)), then a stable sort of only the partitioned prefix
+            # widened to include every boundary tie
+            part = np.argpartition(-sims, top - 1, axis=1)
+            for r in range(e - s):
+                row = sims[r]
+                cut = row[part[r, top - 1]]
+                cand = np.nonzero(row >= cut)[0]  # ids asc (row order)
+                take = cand[np.argsort(-row[cand], kind="stable")][:top]
+                out_i.append(np.full(len(take), ids_s[s + r]))
+                out_j.append(ids_s[take])
         if not out_i:
             return _pd.DataFrame({"id": [], "neighbor_id": []}).astype("int64")
         return _pd.DataFrame(

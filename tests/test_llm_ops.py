@@ -480,3 +480,22 @@ def test_dedup_lines_first_occurrence_wins(spark):
     assert out[1] == "keep me\nshared boilerplate\nunique to one"
     assert out[2] == "unique to two"
     assert out[3] == "unique to three"
+
+
+def test_knn_join_blocked_exact_under_mass_ties(spark):
+    # 40 identical vectors in one block (cosine 1.0 everywhere) with
+    # k=3, overfetch=2: the true top-3 for every id is the three LOWEST
+    # other ids — tie-aware candidate selection must find them even
+    # though ties vastly outnumber k+overfetch
+    from pippin_spark.operators.similarity import knn_join_blocked
+
+    rows = [(i, "b", [1.0, 2.0, 3.0, 4.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = knn_join_blocked(df, "embedding", "vec_id", "label", k=3, overfetch=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["id"], []).append((r["rank"], r["neighbor_id"]))
+    assert len(got) == 40
+    for i, pairs in got.items():
+        expect = [x for x in (0, 1, 2, 3) if x != i][:3]
+        assert sorted(pairs) == [(r + 1, n) for r, n in enumerate(expect)], (i, pairs)

@@ -249,3 +249,27 @@ def test_sessionize_bucketed_matches_unbucketed_hot_key(spark):
             .collect()
         )
         assert sorted(map(tuple, got)) == sorted(map(tuple, base)), width
+
+
+def test_asof_join_bucketed_equal_ts_right_tie_deterministic(spark):
+    # two right rows at the SAME ts with a tie column: the within-bucket
+    # carry and the cross-bucket finals must resolve ties identically
+    # (max tie wins), for every bucket width and partitioning
+    left = spark.createDataFrame(
+        [(1, 15), (1, 25), (1, 95)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, 1), (1, 10, 200.0, 2), (1, 20, 300.0, 1), (1, 20, 400.0, 2)],
+        "k long, t long, v double, seq long",
+    )
+    for width in (7, 50, 1000):
+        got = {
+            r["t"]: r["v"]
+            for r in R.asof_join_bucketed(
+                left, right, on="k", left_ts="t", right_ts="t",
+                right_cols=["v"], bucket_width=width, right_tie=["seq"],
+            ).collect()
+        }
+        # at-or-before with max-tie winner: t=15 → (10, seq 2) = 200;
+        # t=25 and t=95 → (20, seq 2) = 400 (95 exercises cross-bucket)
+        assert got == {15: 200.0, 25: 400.0, 95: 400.0}, (width, got)

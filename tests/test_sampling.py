@@ -124,10 +124,10 @@ def test_sample_mixture_composition_and_determinism(spark):
     w = {"a": 400_000, "b": 400_000, "c": 200_000}
     got = sample_mixture(df, "id", "src", w)
     by_src = {r["src"]: r["n"] for r in got.groupBy("src").agg(F.count("*").alias("n")).collect()}
-    # per-source counts: c_a=3000, c_b=1500, c_c=500 → budget bound by
-    # c (500*1e6//200000 = 2500000... wait compute): expected target
-    # n_s = w_s*B//1e6 with B = min(c_s*1e6//w_s); hash thresholding
-    # approximates n_s — composition must be within 5% of targets
+    # counts (a,b,c) = (3000, 1500, 500); budget B = min(c_s*1e6//w_s)
+    # = c's 500*1e6//200000 = 2_500_000 → targets n_s = w_s*B//1e6 =
+    # (1000, 1000, 500). The hash threshold approximates n_s
+    # binomially — assert composition within 5% of target shares
     total = sum(by_src.values())
     assert total > 0
     for s, ws in w.items():
@@ -167,3 +167,18 @@ def test_sample_weighted_topk_global_plan_is_take_ordered(spark):
         sample_weighted_topk(df, "id", "w", k=10)._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" in p  # never a single-partition sort
+
+
+def test_sample_mixture_absent_group_matches_oracle_semantics(spark):
+    # a weighted group with zero rows is excluded from the budget (the
+    # oracle's inner join does the same); all-absent → empty sample
+    from pippin_spark.operators.sampling import sample_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)], "id long, src string"
+    )
+    got = sample_mixture(df, "id", "src", {"a": 500_000, "b": 250_000, "zz": 250_000})
+    srcs = {r["src"] for r in got.collect()}
+    assert srcs == {"a", "b"}  # absent 'zz' doesn't zero the budget
+    none = sample_mixture(df, "id", "src", {"zz": 1_000_000})
+    assert none.count() == 0
