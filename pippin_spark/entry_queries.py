@@ -3904,6 +3904,155 @@ def q_fuzzy_match_names(spark, sf_dir):
     )
 
 
+@_q(
+    "nucleus_top_sources",
+    # nucleus (top-p) selection per language: order sources by char
+    # volume desc, keep the smallest prefix reaching 80% share — the
+    # "which sources cover 90% of my tokens" curation primitive
+    """
+    WITH v AS (
+      SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1, 2
+    ), t AS (
+      SELECT lang, source, chars,
+             SUM(chars) OVER (PARTITION BY lang) AS total,
+             SUM(chars) OVER (PARTITION BY lang ORDER BY chars DESC, source
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM v
+    )
+    SELECT lang, source, chars FROM t
+    WHERE (cum - chars) * 10 < total * 8
+    """,
+)
+def q_nucleus_top_sources(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    v = docs.groupBy("lang", "source").agg(F.sum("n_chars").alias("chars"))
+    w_tot = Window.partitionBy("lang")
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("chars"), F.asc("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = v.select(
+        "lang",
+        "source",
+        "chars",
+        F.sum("chars").over(w_tot).alias("__total__"),
+        F.sum("chars").over(w_cum).alias("__cum__"),
+    )
+    # integer comparison (cum-before < 0.8*total without doubles):
+    # keep rows whose cumulative share BEFORE them is under the cutoff
+    return t.filter(
+        (F.col("__cum__") - F.col("chars")) * 10 < F.col("__total__") * 8
+    ).select("lang", "source", "chars")
+
+
+@_q(
+    "winsorize_events",
+    # per-type p1/p99 winsorization: exact group percentiles broadcast
+    # back, values clipped — the outlier-taming step before stats
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id,
+           ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS winsorized
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def q_winsorize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    b = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.01)).alias("__lo__"),
+        F.percentile(F.col("value"), F.lit(0.99)).alias("__hi__"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .select(
+            "event_id",
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("__lo__")), F.col("__hi__")),
+                6,
+            ).alias("winsorized"),
+        )
+    )
+
+
+@_q(
+    "embed_documents",
+    # batch "inference" shape: text → 8-dim embedding in one Arrow
+    # mapInPandas pass (deterministic md5 stand-in for a real encoder —
+    # swap the batch fn for a model; the plumbing is the op). Values
+    # are exact rationals (byte/255 - 0.5 rounded 6) → full SQL oracle.
+    f"""
+    SELECT doc_id,
+           [ROUND(CAST({_MD5_BYTE.format(pos=1)} AS DOUBLE) / 255 - 0.5, 6),
+            ROUND(CAST({_MD5_BYTE.format(pos=3)} AS DOUBLE) / 255 - 0.5, 6),
+            ROUND(CAST({_MD5_BYTE.format(pos=5)} AS DOUBLE) / 255 - 0.5, 6),
+            ROUND(CAST({_MD5_BYTE.format(pos=7)} AS DOUBLE) / 255 - 0.5, 6),
+            ROUND(CAST({_MD5_BYTE.format(pos=9)} AS DOUBLE) / 255 - 0.5, 6),
+            ROUND(CAST({_MD5_BYTE.format(pos=11)} AS DOUBLE) / 255 - 0.5, 6),
+            ROUND(CAST({_MD5_BYTE.format(pos=13)} AS DOUBLE) / 255 - 0.5, 6),
+            ROUND(CAST({_MD5_BYTE.format(pos=15)} AS DOUBLE) / 255 - 0.5, 6)]
+             AS embedding
+    FROM documents
+    """,
+)
+def q_embed_documents(spark, sf_dir):
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "text")
+
+    def embed(batches):
+        import hashlib
+
+        for pdf in batches:
+            embs = [
+                [
+                    round(
+                        hashlib.md5((t or "").encode()).digest()[d] / 255 - 0.5, 6
+                    )
+                    for d in range(8)
+                ]
+                for t in pdf["text"]
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    from pippin_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(docs).mapInPandas(
+        embed, "doc_id long, embedding array<double>"
+    )
+
+
+@_q(
+    "length_bucketed_batches",
+    # inference batching: shard by id hash, quartile docs by length
+    # within each shard (similar-length batches minimize padding waste);
+    # batch id = (shard, quartile)
+    f"""
+    SELECT doc_id,
+           ({SMP.hash_bucket_sql('doc_id')}) % 8 AS shard,
+           NTILE(4) OVER (PARTITION BY ({SMP.hash_bucket_sql('doc_id')}) % 8
+                          ORDER BY n_chars, doc_id) AS len_bucket
+    FROM documents
+    """,
+)
+def q_length_bucketed_batches(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    shard = F.pmod(SMP.hash_bucket(F.col("doc_id")), F.lit(8))
+    w = Window.partitionBy(shard).orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        shard.cast("bigint").alias("shard"),
+        F.ntile(4).over(w).alias("len_bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -3995,6 +4144,10 @@ _DRIVER_ROW_PRIORITY = [
     "agg_correlations",
     "funnel_users",
     "fuzzy_match_names",
+    "nucleus_top_sources",
+    "winsorize_events",
+    "embed_documents",
+    "length_bucketed_batches",
     # demoted family-redundant variants (family repr is in the window)
     "dedup_embedding",
     "multimodal_resize",
