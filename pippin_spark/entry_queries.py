@@ -4053,6 +4053,73 @@ def q_length_bucketed_batches(spark, sf_dir):
     )
 
 
+@_q(
+    "streaming_foreach_upsert",
+    # foreachBatch upsert sink: every micro-batch MERGEs latest-per-user
+    # into a keyed parquet table; after the bounded stream drains, the
+    # table must equal the batch latest-value answer
+    """
+    SELECT user_id, value AS latest_value
+    FROM (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_streaming_foreach_upsert(spark, sf_dir):
+    import tempfile
+
+    stream = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="pippin_fb_upsert_")
+
+    def upsert(batch_df, batch_id):
+        latest = (
+            batch_df.withColumn(
+                "__rn__",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.desc("ts"), F.desc("event_id")
+                    )
+                ),
+            )
+            .filter(F.col("__rn__") == 1)
+            .select("user_id", "value", "ts", "event_id")
+        )
+        try:
+            cur = spark.read.parquet(out_dir)
+            merged = (
+                cur.unionByName(latest)
+                .withColumn(
+                    "__rn__",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(
+                            F.desc("ts"), F.desc("event_id")
+                        )
+                    ),
+                )
+                .filter(F.col("__rn__") == 1)
+                .drop("__rn__")
+            )
+        except Exception:
+            merged = latest
+        merged.cache().count()  # decouple from the dir being overwritten
+        merged.write.mode("overwrite").parquet(out_dir)
+        merged.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pippin_ckpt_fbu_"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir).select(
+        "user_id", F.col("value").alias("latest_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -4148,6 +4215,7 @@ _DRIVER_ROW_PRIORITY = [
     "winsorize_events",
     "embed_documents",
     "length_bucketed_batches",
+    "streaming_foreach_upsert",
     # demoted family-redundant variants (family repr is in the window)
     "dedup_embedding",
     "multimodal_resize",

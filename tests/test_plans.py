@@ -234,3 +234,26 @@ def test_ranked_sort_counts_branch_reuses_range_exchange(spark, qs):
     )
     assert m is not None and m.group(2) == "ReusedExchange"
     assert "AQEShuffleRead" not in m.group(1)
+
+
+def test_round3_plan_shapes(spark, qs):
+    # one sweep of the round-3 additions' load-bearing plan properties
+    def p(name):
+        return plan(qs[name](spark, SF))
+
+    # mixture + chunking: scan-fused, no shuffle anywhere
+    assert "Exchange" not in p("sample_mixture_docs")
+    assert "Exchange" not in p("doc_chunks")
+    # winsorize: the per-type bounds must broadcast back, never shuffle
+    # the fact side for the join
+    wz = p("winsorize_events")
+    assert "BroadcastHashJoin" in wz and "SortMergeJoin" not in wz
+    # batch embedding: exactly one Arrow crossing
+    assert count_nodes(p("embed_documents"), "MapInPandas") == 1
+    # kNN: one grouped-Arrow candidate stage; the re-rank joins are
+    # AQE-broadcastable (no pre-planned sort-merge)
+    knn = p("knn_join_labels")
+    assert count_nodes(knn, "FlatMapGroupsInPandas") == 1
+    # line dedup: digest-keyed aggregation with map-side partials
+    dl = p("dedup_lines_docs")
+    assert "partial" in dl.lower() or "HashAggregate" in dl
