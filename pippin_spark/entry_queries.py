@@ -4120,6 +4120,140 @@ def q_streaming_foreach_upsert(spark, sf_dir):
     )
 
 
+@_q(
+    "quality_quantiles_by_facet",
+    # exact median doc length per facet via GROUPING SETS ((lang),
+    # (source)): percentile under grouping-set expansion — the Expand
+    # multiplies rows only |sets|× before the partial aggregate
+    """
+    SELECT lang, source,
+           CASE WHEN lang IS NULL THEN 1 ELSE 0 END
+             + CASE WHEN source IS NULL THEN 2 ELSE 0 END AS gid,
+           ROUND(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS med_chars,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source))
+    """,
+)
+def q_quality_quantiles_by_facet(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    n = F.col("n_chars").cast("double")
+    out = docs.groupingSets([["lang"], ["source"]], F.col("lang"), F.col("source")).agg(
+        F.round(F.percentile(n, F.lit(0.5)), 6).alias("med_chars"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    gid = (
+        F.when(F.col("lang").isNull(), 1).otherwise(0)
+        + F.when(F.col("source").isNull(), 2).otherwise(0)
+    )
+    return out.select("lang", "source", gid.alias("gid"), "med_chars", "n")
+
+
+@_q(
+    "mad_outlier_events",
+    # robust outliers: |x - median| > 3 * 1.4826 * MAD per event_type —
+    # two exact grouped percentile passes (median, then median absolute
+    # deviation), bounds broadcast back to the fact rows
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_id,
+           CAST(abs(e.value - m.med) > 3 * 1.4826 * d.mad AS BOOLEAN)
+             AS is_outlier
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    """,
+)
+def q_mad_outlier_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("__med__")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("__med__")), F.lit(0.5)).alias(
+            "__mad__"
+        )
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            (
+                F.abs(F.col("value") - F.col("__med__"))
+                > 3 * 1.4826 * F.col("__mad__")
+            ).alias("is_outlier"),
+        )
+    )
+
+
+@_q(
+    "merge_intervals_events",
+    # gaps-and-islands: each event spans [ts, ts+30min); overlapping
+    # spans per user coalesce into maximal intervals — one keyed window
+    # (running max of prior ends marks island starts), then one groupBy
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_ns(ts) AS s, epoch_ns(ts) + 1800000000000 AS e
+      FROM events
+    ), flags AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flags
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(s) AS start_ns, MAX(e) AS end_ns, COUNT(*) AS n_spans
+    FROM isl GROUP BY 1, 2
+    """,
+)
+def q_merge_intervals_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.lit(1_800_000_000_000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flags = iv.select(
+        "user_id",
+        "s",
+        "e",
+        ((F.col("s") > prev_max_e) | prev_max_e.isNull()).cast("long").alias("__new__"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = flags.withColumn("island", F.sum("__new__").over(w_cum))
+    return isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_ns"),
+        F.max("e").alias("end_ns"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -4216,6 +4350,9 @@ _DRIVER_ROW_PRIORITY = [
     "embed_documents",
     "length_bucketed_batches",
     "streaming_foreach_upsert",
+    "quality_quantiles_by_facet",
+    "mad_outlier_events",
+    "merge_intervals_events",
     # demoted family-redundant variants (family repr is in the window)
     "dedup_embedding",
     "multimodal_resize",
