@@ -4299,7 +4299,6 @@ _DRIVER_ROW_PRIORITY = [
     "dedup_incremental_docs",
     "decontaminate_docs",
     # ANN / similarity
-    "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_lsh",
     "knn_join_labels",
@@ -4330,6 +4329,7 @@ _DRIVER_ROW_PRIORITY = [
     # text extensions
     "text_gopher_filter",
     "token_freq_spectrum",
+    "text_top_bigrams",
     "text_tfidf_topterms",
     "emb_label_centroids",
     # --- ~driver-window boundary (first 50 above) ---
@@ -4354,6 +4354,7 @@ _DRIVER_ROW_PRIORITY = [
     "mad_outlier_events",
     "merge_intervals_events",
     # demoted family-redundant variants (family repr is in the window)
+    "ann_topk_bruteforce",  # green driver row in r01
     "dedup_embedding",
     "multimodal_resize",
     "sample_per_group_docs",
@@ -4363,7 +4364,6 @@ _DRIVER_ROW_PRIORITY = [
     "agg_regression",
     "json_extract_props",
     "multimodal_frame_sample",
-    "text_top_bigrams",
     "ann_topk_ivf_kmeans",
     "window_range_frame",
     "agg_stats_moments",
