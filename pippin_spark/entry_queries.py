@@ -4254,6 +4254,75 @@ def q_merge_intervals_events(spark, sf_dir):
     )
 
 
+@_q(
+    "source_from_text",
+    "SELECT doc_id, lang FROM documents",
+)
+def q_source_from_text(spark, sf_dir):
+    # raw text-line source+sink round trip: one string column on disk,
+    # schema imposed by parsing (split) at read — the log-file shape
+    tmp = "/tmp/pippin_spark_text_roundtrip"
+    docs = _t(spark, sf_dir, "documents").df
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("lang")).alias("value")
+    ).write.mode("overwrite").text(tmp)
+    lines = spark.read.text(tmp)
+    parts = F.split(F.col("value"), "\t")
+    return lines.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+    )
+
+
+@_q(
+    "agg_conditional_bools",
+    # conditional/boolean aggregate breadth: count_if + bool_and/bool_or
+    # + every, one partial-agg pass per group
+    """
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_final
+    FROM orders GROUP BY 1
+    """,
+)
+def q_agg_conditional_bools(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+    )
+
+
+@_q(
+    "extract_numbers_stats",
+    # regexp_extract_all → explode → stats: the log-mining shape (pull
+    # every integer token out of free text, aggregate the values)
+    """
+    WITH nums AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, '[0-9]+')) AS n
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_numbers,
+           COUNT(DISTINCT doc_id) AS docs_with_numbers,
+           CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS total
+    FROM nums WHERE length(n) <= 18
+    """,
+)
+def q_extract_numbers_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    nums = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"))).alias("n"),
+    ).filter(F.length("n") <= 18)
+    return nums.agg(
+        F.count(F.lit(1)).alias("n_numbers"),
+        F.count_distinct("doc_id").alias("docs_with_numbers"),
+        F.sum(F.col("n").cast("bigint")).alias("total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -4353,6 +4422,9 @@ _DRIVER_ROW_PRIORITY = [
     "quality_quantiles_by_facet",
     "mad_outlier_events",
     "merge_intervals_events",
+    "source_from_text",
+    "agg_conditional_bools",
+    "extract_numbers_stats",
     # demoted family-redundant variants (family repr is in the window)
     "ann_topk_bruteforce",  # green driver row in r01
     "dedup_embedding",
