@@ -4323,6 +4323,150 @@ def q_extract_numbers_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_media_bytes",
+    # binary-column exact dedup: media blobs group by content digest —
+    # the image/audio twin of text dedup_exact (only 16-byte digests
+    # shuffle, never blobs)
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM (SELECT doc_id, substr(text, 1, 24) AS text FROM documents)
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_media_bytes(spark, sf_dir):
+    # fake media content = utf-8 bytes of a 24-char text prefix (so the
+    # corpus actually contains duplicate blobs); md5 over BINARY in
+    # Spark equals DuckDB's md5 over the same text
+    docs = _t(spark, sf_dir, "documents").df.select(
+        "doc_id", F.substring("text", 1, 24).alias("text")
+    )
+    media = MM.attach_fake_media(docs, "text", "doc_id")
+    return (
+        media.select(F.md5(F.col("content")).alias("fp"), F.col("media_id"))
+        .groupBy("fp")
+        .agg(F.min("media_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+@_q(
+    "emb_standardize",
+    # per-dimension standardization across the corpus: posexplode →
+    # (pos)-keyed moment aggregate (64 rows) → broadcast back → scale.
+    # round-6 absorbs the double fold-order delta in the moments
+    """
+    WITH e AS (
+      SELECT vec_id, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ), m AS (
+      SELECT pos, AVG(v) AS mu, stddev_samp(v) AS sd FROM e GROUP BY pos
+    )
+    SELECT e.vec_id, e.pos - 1 AS pos,
+           ROUND(CASE WHEN m.sd > 0 THEN (e.v - m.mu) / m.sd ELSE 0 END, 6) AS z
+    FROM e JOIN m USING (pos)
+    """,
+)
+def q_emb_standardize(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    m = e.groupBy("pos").agg(
+        F.avg("v").alias("__mu__"), F.stddev_samp("v").alias("__sd__")
+    )
+    return (
+        e.join(F.broadcast(m), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.round(
+                F.when(
+                    F.col("__sd__") > 0,
+                    (F.col("v") - F.col("__mu__")) / F.col("__sd__"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+@_q(
+    "length_decile_docs",
+    # histogram-equalized bucketing: exact corpus decile bounds computed
+    # once (9 values), broadcast, each doc assigned by count-of-bounds-
+    # below — the quantile-bucket join shape
+    """
+    WITH b AS (
+      SELECT [quantile_cont(n_chars::DOUBLE, 0.1), quantile_cont(n_chars::DOUBLE, 0.2),
+              quantile_cont(n_chars::DOUBLE, 0.3), quantile_cont(n_chars::DOUBLE, 0.4),
+              quantile_cont(n_chars::DOUBLE, 0.5), quantile_cont(n_chars::DOUBLE, 0.6),
+              quantile_cont(n_chars::DOUBLE, 0.7), quantile_cont(n_chars::DOUBLE, 0.8),
+              quantile_cont(n_chars::DOUBLE, 0.9)] AS bounds
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(b.bounds, x -> n_chars > x)) AS BIGINT) AS decile
+    FROM documents CROSS JOIN b
+    """,
+)
+def q_length_decile_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    bounds = docs.agg(
+        F.percentile(
+            F.col("n_chars").cast("double"),
+            F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+        ).alias("bounds")
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter("bounds", lambda x: F.col("n_chars") > x)
+            ).cast("bigint").alias("decile"),
+        )
+    )
+
+
+@_q(
+    "dedup_transitive_keep",
+    # transitive-closure dedup: near-dup PAIRS resolve to clusters, and
+    # only each cluster's min-id survives — stricter than the greedy
+    # keep (a doc similar to a dropped doc but not to the keeper is
+    # still dropped); oracle is the recursive-CTE closure
+    _DDB_SHINGLES.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+    ), clusters AS (
+      SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
+    """,
+)
+def q_dedup_transitive_keep(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = DEDUP.dedup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.5)
+    clusters = DEDUP.dedup_clusters(pairs)
+    drops = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return docs.join(
+        drops, docs["doc_id"] == drops["id"], "left_anti"
+    ).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -4425,6 +4569,10 @@ _DRIVER_ROW_PRIORITY = [
     "source_from_text",
     "agg_conditional_bools",
     "extract_numbers_stats",
+    "dedup_media_bytes",
+    "emb_standardize",
+    "length_decile_docs",
+    "dedup_transitive_keep",
     # demoted family-redundant variants (family repr is in the window)
     "ann_topk_bruteforce",  # green driver row in r01
     "dedup_embedding",
