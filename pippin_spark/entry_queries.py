@@ -4467,6 +4467,151 @@ def q_dedup_transitive_keep(spark, sf_dir):
     ).select("doc_id")
 
 
+@_q(
+    "asof_join_forward_events",
+    # forward as-of: the EARLIEST view at-or-after each purchase
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, l.value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT v.value FROM events v
+      WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        AND v.ts >= p.ts
+      ORDER BY v.ts, v.event_id LIMIT 1
+    ) l ON TRUE
+    """,
+)
+def q_asof_join_forward_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = REL.asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+
+
+@_q(
+    "event_transitions",
+    # per-user event-type bigram (transition) counts: one keyed lag
+    # window, then a tiny (type × type) aggregate — the sequence-mining
+    # shape behind session-flow and Markov-model features
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return s.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "retention_cohorts",
+    # cohort retention: users bucketed by first-seen day, counted per
+    # day-offset of later activity — two aggregates and one broadcast
+    # join, never a self-join of the fact table
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(epoch_ns(ts) // 86400000000000) AS cohort_day
+      FROM events GROUP BY 1
+    ), a AS (
+      SELECT DISTINCT e.user_id,
+             epoch_ns(e.ts) // 86400000000000 AS day
+      FROM events e
+    )
+    SELECT f.cohort_day, CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    f = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    a = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        a.join(F.broadcast(f), "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@_q(
+    "streaming_approx_users",
+    # approximate distinct inside a streaming aggregate: HLL per
+    # tumbling hour, exact distincts checked exactly, estimates banded
+    """
+    WITH w AS (
+      SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS window_start,
+             user_id
+      FROM events
+    )
+    SELECT CAST(window_start AS BIGINT) AS window_start,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_in_band
+    FROM w GROUP BY 1
+    """,
+)
+def q_streaming_approx_users(spark, sf_dir):
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("tsc", "1 hour")
+        .groupBy(F.window("tsc", "1 hour"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("__est__"))
+    )
+    from pippin_spark.streaming import StreamingPipeline
+
+    sp = StreamingPipeline(agg)
+    sp.start(
+        query_name="pippin_stream_approx_users",
+        output_mode="update",
+        available_now=True,
+        state_partitions=_stream_parts(spark, sf_dir),
+    )
+    sp.await_termination(120)
+    drained = spark.table("pippin_stream_approx_users")
+    est = drained.select(
+        F.unix_timestamp(F.col("window.start")).cast("bigint").alias("window_start"),
+        F.col("__est__"),
+    )
+    ev = _ev(spark, sf_dir)
+    exact = ev.groupBy(
+        (F.expr("ts div 1000000000 div 3600") * 3600).alias("window_start")
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    return exact.join(est, "window_start", "left").select(
+        "window_start",
+        "exact_users",
+        (
+            F.coalesce(
+                F.abs(F.col("__est__") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users"),
+                F.lit(False),
+            )
+        ).alias("est_in_band"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -4573,6 +4718,10 @@ _DRIVER_ROW_PRIORITY = [
     "emb_standardize",
     "length_decile_docs",
     "dedup_transitive_keep",
+    "asof_join_forward_events",
+    "event_transitions",
+    "retention_cohorts",
+    "streaming_approx_users",
     # demoted family-redundant variants (family repr is in the window)
     "ann_topk_bruteforce",  # green driver row in r01
     "dedup_embedding",
