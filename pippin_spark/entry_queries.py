@@ -4612,6 +4612,46 @@ def q_streaming_approx_users(spark, sf_dir):
     )
 
 
+@_q(
+    "props_key_counts",
+    # semi-structured map ops: parse the JSON props column into a map,
+    # explode its keys, count key occurrence — the schema-discovery
+    # pass over a semi-structured column
+    """
+    SELECT k AS key, COUNT(*) AS n
+    FROM (SELECT UNNEST(json_keys(props)) AS k FROM events)
+    GROUP BY 1
+    """,
+)
+def q_props_key_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        ev.select(F.explode(F.map_keys(m)).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "union_missing_columns",
+    # heterogeneous-schema union (allowMissingColumns): each side's
+    # absent columns null-fill — the multi-snapshot ingestion shape
+    """
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders
+    WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def q_union_missing_columns(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -4722,6 +4762,8 @@ _DRIVER_ROW_PRIORITY = [
     "event_transitions",
     "retention_cohorts",
     "streaming_approx_users",
+    "props_key_counts",
+    "union_missing_columns",
     # demoted family-redundant variants (family repr is in the window)
     "ann_topk_bruteforce",  # green driver row in r01
     "dedup_embedding",

@@ -179,3 +179,44 @@ def test_foreach_batch_upsert_sink(spark, feed_dir):
     q.awaitTermination(120)
     final = {r["user_id"]: r["value"] for r in spark.read.parquet(out_dir).collect()}
     assert final == {1: 2.0, 2: 4.0}  # latest per user
+
+
+def test_checkpoint_restart_processes_only_new_files(spark):
+    # exactly-once across restarts: a second run from the SAME
+    # checkpoint must process only files added since the first run —
+    # the offset log, not the sink, is the source of truth
+    import tempfile
+
+    feed = tempfile.mkdtemp(prefix="pippin_feed_ckpt_")
+    ckpt = tempfile.mkdtemp(prefix="pippin_ckpt_restart_")
+
+    def write_batch(ids, name):
+        spark.createDataFrame([(i,) for i in ids], "id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    out = tempfile.mkdtemp(prefix="pippin_ckpt_out_")
+
+    def run_once():
+        stream = spark.readStream.schema("id long").parquet(feed)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    write_batch(range(0, 5), "a")
+    run_once()
+    first = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert first == list(range(0, 5))
+
+    write_batch(range(5, 9), "b")
+    run_once()
+    # run 2 resumed from the offset log: exactly-once overall — the new
+    # file's rows appended, nothing reprocessed
+    both = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert both == list(range(0, 9))
