@@ -4653,6 +4653,339 @@ def q_union_missing_columns(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion: Q6/Q8/Q13/Q15/Q17/Q21/Q22 shapes. With these the
+# engine covers all 17 of the 22 TPC-H queries expressible over the
+# driver's schema (Q2/Q9/Q11/Q16/Q20 need the partsupp table, which
+# the testdata does not ship — documented in SURVEY.md).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q6_forecast_revenue",
+    # TPC-H Q6: pure scan-side revenue forecast — every predicate is
+    # pushable into the parquet scan (shipdate range + discount band +
+    # quantity cap), zero joins, one map-side-combined global sum
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_q6_forecast_revenue(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").df
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q8_market_share",
+    # TPC-H Q8 shape: national market share — ECONOMY parts sold to
+    # ASIA customers over two years; share of NATION_3 suppliers per
+    # order year. Conditional decimal sums for the ratio.
+    """
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+)
+def q_q8_market_share(spark, sf_dir):
+    # the only shuffle is lineitem⋈orders on orderkey; part, customer,
+    # both nation roles, region, and supplier all broadcast
+    l = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df.filter(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders").df.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer").df
+    n = _t(spark, sf_dir, "nation").df
+    r = _t(spark, sf_dir, "region").df.filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("c_region")
+    )
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    j = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("ck"))
+        .join(F.broadcast(r), F.col("c_region") == r["r_regionkey"])
+        .join(F.broadcast(_t(spark, sf_dir, "supplier").df), l["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+    )
+    return j.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(vol).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    # TPC-H Q13 shape (schema-adapted: the priority filter stands in
+    # for the o_comment NOT LIKE filter — testdata has no comments):
+    # orders-per-customer histogram including zero-order customers
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def q_q13_customer_distribution(spark, sf_dir):
+    # scale shape: aggregate orders FIRST (map-side partial combine on
+    # the fact side), then left-join customer against the much smaller
+    # per-customer counts — never drags customer attributes through
+    # the fact shuffle
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderpriority") != "1-URGENT")
+    ocnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__n__"))
+    per_cust = c.join(ocnt, c["c_custkey"] == ocnt["o_custkey"], "left").select(
+        F.coalesce(F.col("__n__"), F.lit(0)).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "q15_top_supplier",
+    # TPC-H Q15: quarterly revenue view, supplier(s) at the max —
+    # the scalar-subquery max broadcasts into the revenue aggregate
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_q15_top_supplier(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").df.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    # both consumers reuse the same revenue exchange; the 1-row max and
+    # the supplier dim both broadcast — no extra fact pass
+    mx = rev.agg(F.max("total_revenue").alias("__mx__"))
+    s = _t(spark, sf_dir, "supplier").df
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == F.col("__mx__"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "q17_small_quantity",
+    # TPC-H Q17 shape: parts of one brand/size class; lineitem rows
+    # below 20% of that part's average quantity; yearly-ized revenue.
+    # The correlated AVG subquery becomes a per-part aggregate joined
+    # back — both engines use the decimal-sum/count average so the
+    # 0.2*avg comparison is bit-identical.
+    """
+    WITH lp AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#13' AND p.p_size < 10
+    ), stats AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+      FROM lp GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(lp.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lp JOIN stats ON lp.l_partkey = stats.l_partkey
+    WHERE lp.l_quantity < 0.2 * stats.avg_qty
+    """,
+)
+def q_q17_small_quantity(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df.filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") < 10)
+    )
+    lp = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    stats = lp.groupBy("l_partkey").agg(davg("l_quantity", "avg_qty"))
+    # per-part stats are bounded by the brand-filtered part count —
+    # broadcast back instead of reshuffling lp
+    return (
+        lp.join(
+            F.broadcast(stats.withColumnRenamed("l_partkey", "__pk__")),
+            lp["l_partkey"] == F.col("__pk__"),
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "q21_sole_fault_supplier",
+    # TPC-H Q21 shape (schema-adapted: returnflag='R' stands in for
+    # the receipt-after-commit lateness predicate — testdata has no
+    # commit/receipt dates): suppliers in one nation who were the ONLY
+    # supplier with a returned line on a multi-supplier finished order.
+    # The EXISTS / NOT EXISTS pair compiles to per-order supplier
+    # stats joined co-partitioned on orderkey.
+    """
+    WITH ostats AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS nsupp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS nret
+      FROM lineitem GROUP BY 1
+    ), base AS (
+      SELECT s.s_name
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+      JOIN ostats ON ostats.l_orderkey = l1.l_orderkey
+      WHERE l1.l_returnflag = 'R' AND ostats.nsupp > 1 AND ostats.nret = 1
+    )
+    SELECT s_name, numwait, rank FROM (
+      SELECT s_name, COUNT(*) AS numwait,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, s_name) AS rank
+      FROM base GROUP BY 1
+    ) WHERE rank <= 20
+    """,
+)
+def q_q21_sole_fault_supplier(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier").df
+    n = _t(spark, sf_dir, "nation").df.filter(F.col("n_name") == "NATION_7")
+    ostats = l.groupBy(F.col("l_orderkey").alias("__ok__")).agg(
+        F.count_distinct("l_suppkey").alias("nsupp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("nret"),
+    )
+    base = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(ostats, l["l_orderkey"] == F.col("__ok__"))
+        .filter((F.col("nsupp") > 1) & (F.col("nret") == 1))
+    )
+    agg = base.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+    return REL.top_k(
+        agg, 20, [F.col("numwait").desc(), F.col("s_name").asc()], rank_col="rank"
+    )
+
+
+@_q(
+    "q22_dormant_customers",
+    # TPC-H Q22 shape (schema-adapted: c_nationkey stands in for the
+    # phone-prefix country code): well-funded customers in six
+    # countries with no orders at all — scalar-average broadcast +
+    # anti-join against the fact
+    """
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 5, 9, 13, 17, 21)
+      AND c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(c_acctbal)
+        FROM customer
+        WHERE c_acctbal > 0 AND c_nationkey IN (1, 5, 9, 13, 17, 21)
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY 1
+    """,
+)
+def q_q22_dormant_customers(spark, sf_dir):
+    # dormancy is time-bounded (no orders since 1999) — the all-time
+    # variant is vacuously empty on this corpus where every custkey
+    # appears in orders
+    c = _t(spark, sf_dir, "customer").df.filter(
+        F.col("c_nationkey").isin(1, 5, 9, 13, 17, 21)
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal", "__avg__")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .df.filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg__"))
+    dormant = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return dormant.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal", "totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -4738,6 +5071,13 @@ _DRIVER_ROW_PRIORITY = [
     "q12_priority_class",
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q21_sole_fault_supplier",
+    "q22_dormant_customers",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
