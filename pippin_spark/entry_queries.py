@@ -4986,6 +4986,346 @@ def q_q22_dormant_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 2: columnar/binary sources, profiling, bitwise/mode
+# aggregates, cumulative distincts, and an iterative graph operator
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "source_from_orc",
+    # ORC source/sink roundtrip (Spark's second built-in columnar
+    # format): write a pruned projection, read back, aggregate — a row
+    # lost or a value mangled by either side hash-mismatches the
+    # parquet-sourced oracle
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_source_from_orc(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pippin_orc_{tag}/lineitem"
+    (
+        _t(spark, sf_dir, "lineitem")
+        .df.select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "total_qty")
+    )
+
+
+@_q(
+    "source_binary_files",
+    # binaryFile source — the multimodal ingestion path: whole files as
+    # (path, modificationTime, length, content BINARY) rows. The writer
+    # loop below is only the test rig; deployments point this at
+    # existing object-store prefixes. Verified by md5 + byte length per
+    # file against the same text's utf-8 bytes in the oracle.
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_source_binary_files(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/pippin_binsrc_{tag}"
+    os.makedirs(base, exist_ok=True)
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .df.filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(f"{base}/{r['doc_id']}.bin", "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(base)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+@_q(
+    "profile_orders",
+    # dbt-style single-pass data profile: per-column null count, exact
+    # distinct count, numeric and string min/max. The multi-DISTINCT
+    # aggregate compiles to one Expand pass (input ×K columns); at
+    # extreme scale swap exact distincts for the HLL profile
+    # (agg_hll_by_group) — documented trade, same output shape.
+    """
+    SELECT 'o_custkey' AS col,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_profile_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    num_cols = ["o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count_if(F.col(c).isNull()).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+        ]
+    one = o.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__nn").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__mn").cast("double").alias("min_num"),
+            F.col(f"{c}__mx").cast("double").alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        )
+        for c in num_cols
+    ] + [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__nn").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            F.col(f"{c}__mn").alias("min_str"),
+            F.col(f"{c}__mx").alias("max_str"),
+        )
+        for c in str_cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+@_q(
+    "agg_mode_status",
+    # deterministic mode (most frequent value, ties broken
+    # lexicographically) — the builtin mode() is tie-arbitrary in both
+    # engines, so the engine defines mode as count-rank with an explicit
+    # tie-break and the oracle mirrors it
+    """
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
+
+
+@_q(
+    "agg_bitwise",
+    # bitwise aggregate family (bit_and / bit_or / bit_xor) — both
+    # order-insensitive, so partial aggregation composes freely
+    """
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS lines_and,
+           bit_or(l_linenumber) AS lines_or,
+           bit_xor(l_linenumber) AS lines_xor
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_agg_bitwise(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").df
+    return l.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("lines_and"),
+        F.bit_or("l_linenumber").alias("lines_or"),
+        F.bit_xor("l_linenumber").alias("lines_xor"),
+    )
+
+
+@_q(
+    "running_distinct_users",
+    # cumulative distinct count per day WITHOUT a running collect_set:
+    # first-seen flag (row_number=1 per user) → daily new-user counts →
+    # running sum over the tiny per-day aggregate. The global window
+    # runs over #days rows, never the fact table.
+    """
+    WITH firsts AS (
+      SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS rn
+      FROM events
+    ), daily AS (
+      SELECT CAST(FLOOR(tsn / 86400000000000) AS BIGINT) AS day_idx,
+             CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts WHERE rn = 1 GROUP BY 1
+    )
+    SELECT day_idx, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day_idx
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def q_running_distinct_users(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(F.expr("ts div 86400000000000").alias("day_idx"))
+    )
+    daily = firsts.groupBy("day_idx").agg(F.count(F.lit(1)).alias("new_users"))
+    w_cum = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day_idx", "new_users", F.sum("new_users").over(w_cum).alias("cum_users")
+    )
+
+
+@_q(
+    "pagerank_trade_graph",
+    # iterative graph operator: 3 PageRank rounds over the bipartite
+    # customer↔supplier trade graph (edges from lineitem⋈orders, both
+    # directions, weighted by line count). ALL arithmetic is scaled
+    # BIGINT (rank×1e9, integer div) so the fixpoint is bit-identical
+    # regardless of partitioning or add order in either engine — the
+    # float formulation would hash-mismatch on reduction order.
+    """
+    WITH pairs AS (
+      SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS c_node,
+             's' || CAST(l.l_suppkey AS VARCHAR) AS s_node,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT c_node AS src, s_node AS dst, cnt FROM pairs
+      UNION ALL
+      SELECT s_node AS src, c_node AS dst, cnt FROM pairs
+    ), outdeg AS (
+      SELECT src, CAST(SUM(cnt) AS BIGINT) AS deg FROM edges GROUP BY 1
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), r0 AS (
+      SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes
+    ), r1 AS (
+      SELECT n.node,
+             CAST(150000000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM((r.rank * e.cnt) // o.deg) AS BIGINT) AS c
+        FROM edges e
+        JOIN r0 r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+        GROUP BY 1
+      ) s ON s.node = n.node
+    ), r2 AS (
+      SELECT n.node,
+             CAST(150000000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM((r.rank * e.cnt) // o.deg) AS BIGINT) AS c
+        FROM edges e
+        JOIN r1 r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+        GROUP BY 1
+      ) s ON s.node = n.node
+    ), r3 AS (
+      SELECT n.node,
+             CAST(150000000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM((r.rank * e.cnt) // o.deg) AS BIGINT) AS c
+        FROM edges e
+        JOIN r2 r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+        GROUP BY 1
+      ) s ON s.node = n.node
+    )
+    SELECT node, rank FROM r3
+    """,
+)
+def q_pagerank_trade_graph(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df
+    pairs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "cnt"
+    ).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "cnt")
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("cnt").alias("deg"))
+    # fold the out-degree into the edge list ONCE; localCheckpoint cuts
+    # the lineage so three iterations don't re-derive the fact join
+    # (the Pregel loop shape — each round shuffles only node-sized
+    # rank rows onto the edge partitioning)
+    edges_n = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    nodes = edges_n.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    ranks = nodes.select("node", F.lit(1000000000).cast("bigint").alias("rank"))
+    for _ in range(3):
+        contrib = (
+            edges_n.join(ranks, edges_n["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(rank * cnt) div deg").alias("part"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("part").alias("c"))
+        )
+        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (
+                F.lit(150000000).cast("bigint")
+                + F.expr("85 * coalesce(c, 0L) div 100")
+            ).alias("rank"),
+        )
+    return ranks
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -5078,6 +5418,13 @@ _DRIVER_ROW_PRIORITY = [
     "q17_small_quantity",
     "q21_sole_fault_supplier",
     "q22_dormant_customers",
+    "source_from_orc",
+    "source_binary_files",
+    "profile_orders",
+    "agg_mode_status",
+    "agg_bitwise",
+    "running_distinct_users",
+    "pagerank_trade_graph",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
