@@ -257,3 +257,65 @@ def test_round3_plan_shapes(spark, qs):
     # line dedup: digest-keyed aggregation with map-side partials
     dl = p("dedup_lines_docs")
     assert "partial" in dl.lower() or "HashAggregate" in dl
+
+
+def test_tpch_completion_plan_shapes(spark, qs):
+    def p(name):
+        return plan(qs[name](spark, SF))
+
+    # Q6: every predicate reaches the parquet scan; no joins at all
+    q6 = p("q6_forecast_revenue")
+    assert "PushedFilters: [" in q6
+    pushed = q6.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert "Join" not in q6
+    # Q8: seven-table star — every dim broadcasts; the only sort-merge
+    # candidate is the fact⋈orders edge (AQE may broadcast it too)
+    q8 = p("q8_market_share")
+    assert count_nodes(q8, "BroadcastHashJoin") >= 6
+    # Q13: orders aggregate BEFORE the customer join — the fact side
+    # shrinks to per-custkey counts before any join
+    q13 = p("q13_customer_distribution")
+    first_join = min(
+        [q13.find("SortMergeJoin"), q13.find("BroadcastHashJoin")],
+        key=lambda i: i if i >= 0 else 10**9,
+    )
+    assert "HashAggregate" in q13[:first_join] if first_join > 0 else True
+    # Q17: the correlated AVG compiles to a broadcast per-part stats
+    # join (plus the part-filter broadcast) — never a re-shuffle of lp
+    assert count_nodes(p("q17_small_quantity"), "BroadcastHashJoin") >= 2
+    # Q21: EXISTS/NOT EXISTS pair became co-partitioned aggregates —
+    # no nested-loop anywhere
+    assert "NestedLoop" not in p("q21_sole_fault_supplier")
+    # Q22: dormancy is an anti-join, the scalar average a 1-row
+    # broadcast nested loop
+    q22 = p("q22_dormant_customers")
+    assert "LeftAnti" in q22
+
+
+def test_round3_batch2_plan_shapes(spark, qs):
+    def p(name):
+        return plan(qs[name](spark, SF))
+
+    # profile: ONE scan feeding the multi-distinct Expand — never a
+    # scan per column
+    prof = p("profile_orders")
+    assert count_nodes(prof, "Scan parquet") == 1
+    assert count_nodes(prof, "Expand") >= 1
+    # deterministic mode: window runs on the keyed aggregate — no
+    # single-partition exchange anywhere
+    assert "Arguments: SinglePartition" not in p("agg_mode_status")
+    # cumulative distinct users: the only single-partition window is
+    # above the per-day aggregate (≤ #days rows)
+    rdu = p("running_distinct_users")
+    singles = len(re.findall(r"Arguments: SinglePartition", rdu))
+    assert singles <= 1
+    if singles:
+        assert "HashAggregate" in rdu.split("Arguments: SinglePartition")[0]
+    # pagerank: three join rounds, all JVM-side — no Python evaluation
+    pr = p("pagerank_trade_graph")
+    assert "BatchEvalPython" not in pr and "ArrowEvalPython" not in pr
+    assert "NestedLoop" not in pr
+    # sources: the roundtrips actually read their format back
+    assert "orc" in p("source_from_orc").lower()
+    assert "binaryFile".lower() in p("source_binary_files").lower()
