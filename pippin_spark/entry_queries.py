@@ -5326,6 +5326,201 @@ def q_pagerank_trade_graph(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 3: time-series smoothing, map-value stats, rank
+# breadth, schema evolution, csv sink, heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ewma_events",
+    # truncated EWMA (8 lags, alpha=1/2) per user: trailing smoothing
+    # as a fixed expression over LAGs — weights are powers of two so
+    # the float arithmetic is exact and engine-independent
+    """
+    SELECT event_id, user_id,
+           ("""
+    + " + ".join(
+        f"COALESCE(LAG(value, {k}) OVER w * {2.0 ** (-k)!r}, 0.0)" for k in range(8)
+    )
+    + """)
+           / ("""
+    + " + ".join(
+        f"(CASE WHEN LAG(value, {k}) OVER w IS NOT NULL THEN {2.0 ** (-k)!r} ELSE 0.0 END)"
+        for k in range(8)
+    )
+    + """) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    """,
+)
+def q_ewma_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k in range(8):
+        wt = F.lit(2.0 ** (-k))
+        lagv = F.lag("value", k).over(w)
+        term = F.coalesce(lagv * wt, F.lit(0.0))
+        mask = F.when(lagv.isNotNull(), wt).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    return ev.select("event_id", "user_id", (num / den).alias("ewma"))
+
+
+@_q(
+    "props_value_stats",
+    # map-typed column breadth: parse the JSON props into a map,
+    # explode entries, numeric stats per key — map_keys/map_values/
+    # explode over semi-structured data without a fixed schema
+    """
+    SELECT k AS key,
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.' || k) AS DOUBLE))
+                AS BIGINT) AS n_numeric,
+           CAST(SUM(CAST(TRY_CAST(json_extract_string(props, '$.' || k) AS DOUBLE)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MIN(TRY_CAST(json_extract_string(props, '$.' || k) AS DOUBLE))
+                AS DOUBLE) AS vmin,
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.' || k) AS DOUBLE))
+                AS DOUBLE) AS vmax
+    FROM (SELECT UNNEST(json_keys(props)) AS k, props FROM events)
+    GROUP BY 1
+    """,
+)
+def q_props_value_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    m = F.from_json(F.col("props"), "map<string,string>")
+    kv = ev.select(F.explode(m).alias("key", "sval")).select(
+        "key", F.expr("try_cast(sval AS double)").alias("v")
+    )
+    return kv.groupBy("key").agg(
+        F.count("v").alias("n_numeric"),
+        dsum("v", "total"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+
+
+@_q(
+    "window_percent_rank",
+    # relative-rank window breadth: percent_rank + cume_dist per
+    # priority partition with a deterministic tie-break key
+    """
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_percent_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@_q(
+    "source_parquet_evolved",
+    # schema-evolution roundtrip: two parquet batches with different
+    # schemas (v2 adds n_chars), read with mergeSchema — the missing
+    # column null-fills; per-lang counts prove no rows or values were
+    # dropped by the merge
+    """
+    SELECT lang, COUNT(*) AS n, COUNT(n_chars) AS n_with_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS total_chars
+    FROM (
+      SELECT lang, NULL AS n_chars FROM documents
+      UNION ALL
+      SELECT lang, n_chars FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def q_source_parquet_evolved(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/pippin_evolve_{tag}"
+    docs = _t(spark, sf_dir, "documents").df
+    docs.select("doc_id", "lang").write.mode("overwrite").parquet(f"{base}/batch=1")
+    docs.select("doc_id", "lang", "n_chars").write.mode("overwrite").parquet(
+        f"{base}/batch=2"
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch=1", f"{base}/batch=2"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("n_chars").alias("n_with_chars"),
+        dsum("n_chars", "total_chars"),
+    )
+
+
+@_q(
+    "sink_csv_roundtrip",
+    # csv sink+source with quoting/escaping/multiline enabled: the
+    # documents text column survives byte-exact (per-lang md5-digest
+    # count + exact length sum would both break on any mangling)
+    """
+    SELECT lang, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_digests,
+           CAST(SUM(CAST(length(text) AS DECIMAL(18,4))) AS DOUBLE) AS total_len
+    FROM documents GROUP BY 1
+    """,
+)
+def q_sink_csv_roundtrip(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pippin_csv_{tag}/documents"
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "lang", "text")
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("doc_id bigint, lang string, text string")
+        .csv(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_digests"),
+        F.sum(F.length("text").cast("decimal(18,4)")).cast("double").alias("total_len"),
+    )
+
+
+@_q(
+    "heavy_hitters_events",
+    # two-pass Misra-Gries heavy hitters (operators/sketches.py): the
+    # sketch pass is partitioning-dependent but the exact recount of
+    # survivors makes the OUTPUT a pure function of the value multiset
+    # — items with cnt·k > n, integer compare, no float threshold
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+    HAVING COUNT(*) * 8 > (SELECT COUNT(*) FROM events)
+    """,
+)
+def q_heavy_hitters_events(spark, sf_dir):
+    from pippin_spark.operators.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events").df
+    return heavy_hitters(ev, "event_type", k=8)
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -5425,6 +5620,12 @@ _DRIVER_ROW_PRIORITY = [
     "agg_bitwise",
     "running_distinct_users",
     "pagerank_trade_graph",
+    "ewma_events",
+    "props_value_stats",
+    "window_percent_rank",
+    "source_parquet_evolved",
+    "sink_csv_roundtrip",
+    "heavy_hitters_events",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",

@@ -499,3 +499,22 @@ def test_knn_join_blocked_exact_under_mass_ties(spark):
     for i, pairs in got.items():
         expect = [x for x in (0, 1, 2, 3) if x != i][:3]
         assert sorted(pairs) == [(r + 1, n) for r, n in enumerate(expect)], (i, pairs)
+
+
+def test_heavy_hitters_exact_under_adversarial_partitioning(spark):
+    # 3 true heavy hitters (freq > n/k) hidden among 200 distinct light
+    # items, sprayed over 16 partitions so no partition sees a clean
+    # majority; the exact recount must return EXACTLY the true set with
+    # exact counts, k-sketch nondeterminism notwithstanding
+    from pippin_spark.operators.sketches import heavy_hitters
+
+    rows = []
+    for i in range(200):
+        rows.append((f"light_{i}",))
+    rows = rows * 4  # 800 light rows
+    heavy = [("alpha",)] * 300 + [("beta",)] * 250 + [("gamma",)] * 180
+    n = len(rows) + len(heavy)  # 1530
+    k = 8  # threshold n/k = 191.25 -> alpha, beta qualify; gamma (180) not
+    df = spark.createDataFrame(rows + heavy, "item string").repartition(16)
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", k=k).collect()}
+    assert got == {"alpha": 300, "beta": 250}
