@@ -5521,6 +5521,72 @@ def q_heavy_hitters_events(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 4: stream-stream join
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "streaming_stream_stream_join",
+    # stream-STREAM time-interval join: each purchase joins the same
+    # user's clicks from the preceding hour. Both sides watermarked —
+    # the join buffers only rows inside watermark + interval bounds,
+    # so state is bounded on an unbounded feed
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_ns(c.ts) >= epoch_ns(p.ts) - 3600000000000
+     AND epoch_ns(c.ts) <= epoch_ns(p.ts)
+    """,
+)
+def q_streaming_stream_stream_join(spark, sf_dir):
+    import tempfile
+
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("tsc").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("tsc").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
+    )
+    from pippin_spark.streaming import StreamingPipeline
+
+    sp = StreamingPipeline(joined)
+    q = sp.start(
+        sink_format="memory",
+        query_name="pippin_stream_stream_join",
+        output_mode="append",
+        available_now=True,
+        state_partitions=_stream_parts(spark, sf_dir),
+        checkpointLocation=tempfile.mkdtemp(prefix="pippin_ckpt_ssj_"),
+    )
+    q.awaitTermination(180)
+    return spark.table("pippin_stream_stream_join")
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -5626,6 +5692,7 @@ _DRIVER_ROW_PRIORITY = [
     "source_parquet_evolved",
     "sink_csv_roundtrip",
     "heavy_hitters_events",
+    "streaming_stream_stream_join",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
