@@ -65,6 +65,14 @@ HEADLINE = [
     "sample_mixture_docs",
     "asof_join_events_bucketed",
     "agg_hll_by_group",
+    # round-3 batch 2-4 additions
+    "q8_market_share",
+    "q13_customer_distribution",
+    "pagerank_trade_graph",
+    "heavy_hitters_events",
+    "running_distinct_users",
+    "ewma_events",
+    "streaming_stream_stream_join",
 ]
 
 
@@ -150,7 +158,11 @@ def main() -> None:
     # (awaitTermination before returning the drained sink), so the
     # timed region must include the builder call — a noop re-write of
     # the already-drained memory sink would measure a trivial scan.
-    STREAMING = {"streaming_tumbling_window", "streaming_stateful_counts"}
+    STREAMING = {
+        "streaming_tumbling_window",
+        "streaming_stateful_counts",
+        "streaming_stream_stream_join",
+    }
 
     timings: dict[str, float] = {}
     for name in names:

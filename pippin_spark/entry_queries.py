@@ -5587,6 +5587,153 @@ def q_streaming_stream_stream_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 5: as-of tolerance, join-strategy hints, argmax
+# aggregates, sorted sink, text normalization
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "asof_join_tolerance",
+    # as-of join with staleness tolerance (pandas merge_asof
+    # semantics): the matched view must be within 30 minutes or the
+    # carried value nulls out — same single-shuffle union+window plan,
+    # the match timestamp rides along as one more carried column
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           CASE WHEN epoch_ns(p.ts) - epoch_ns(v.ts) <= 1800000000000
+                THEN v.value END AS value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_join_tolerance(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = REL.asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        tolerance=1800000000000,  # 30 min in ns
+    )
+    return out.select("event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "value")
+
+
+@_q(
+    "join_shuffle_hash",
+    # join-strategy hint breadth: SHUFFLE_HASH forces a shuffled hash
+    # join (no sort on either side) — the right choice when both sides
+    # are large but one side's per-partition chunk fits in memory and
+    # sorting the bigger side would dominate. Plan-asserted in
+    # tests/test_plans.py.
+    """
+    SELECT l.l_orderkey, l.l_extendedprice, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'P'
+    """,
+)
+def q_join_shuffle_hash(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderstatus") == "P")
+    return (
+        l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+        .select("l_orderkey", "l_extendedprice", "o_orderpriority")
+    )
+
+
+@_q(
+    "agg_argmax",
+    # argmax/argmin as single-pass struct extrema: max(struct(v, id))
+    # orders lexicographically, so the id tie-break is explicit and the
+    # result deterministic — the builtin max_by is tie-arbitrary
+    """
+    SELECT event_type,
+           CAST(MAX({'value': value, 'event_id': event_id}).value AS DOUBLE)
+             AS max_value,
+           CAST(MAX({'value': value, 'event_id': event_id}).event_id AS BIGINT)
+             AS max_event_id,
+           CAST(MIN({'value': value, 'event_id': event_id}).value AS DOUBLE)
+             AS min_value,
+           CAST(MIN({'value': value, 'event_id': event_id}).event_id AS BIGINT)
+             AS min_event_id
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_argmax(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    pair = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.max(pair).getField("value").alias("max_value"),
+        F.max(pair).getField("event_id").alias("max_event_id"),
+        F.min(pair).getField("value").alias("min_value"),
+        F.min(pair).getField("event_id").alias("min_event_id"),
+    )
+
+
+@_q(
+    "sink_sorted_parquet",
+    # range-partitioned, in-file-sorted parquet sink: files are
+    # key-disjoint (repartitionByRange) and internally sorted
+    # (sortWithinPartitions) so parquet row-group min/max stats give
+    # real data skipping on the sort key at read time
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders WHERE o_totalprice > 50000 GROUP BY 1
+    """,
+)
+def q_sink_sorted_parquet(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pippin_sorted_{tag}/orders_by_price"
+    (
+        _t(spark, sf_dir, "orders")
+        .df.repartitionByRange(8, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_totalprice") > 50000)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@_q(
+    "text_unicode_clean",
+    # text normalization gate: collapse whitespace runs, strip
+    # C0 control chars, trim — pure Column regexps, fused into the
+    # scan (no UDF, no shuffle)
+    """
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text, '[\\x00-\\x1F]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS clean,
+           CAST(length(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                '[\\x00-\\x1F]', '', 'g'), '\\s+', ' ', 'g'))) AS BIGINT)
+             AS clean_len
+    FROM documents
+    """,
+)
+def q_text_unicode_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"[\x00-\x1F]", ""), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id", clean.alias("clean"), F.length(clean).cast("bigint").alias("clean_len")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -5693,6 +5840,11 @@ _DRIVER_ROW_PRIORITY = [
     "sink_csv_roundtrip",
     "heavy_hitters_events",
     "streaming_stream_stream_join",
+    "asof_join_tolerance",
+    "join_shuffle_hash",
+    "agg_argmax",
+    "sink_sorted_parquet",
+    "text_unicode_clean",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",

@@ -188,9 +188,16 @@ def asof_join(
     right_ts: str,
     right_cols: Optional[Sequence[str]] = None,
     direction: str = "backward",
+    tolerance: Optional[int] = None,
 ) -> DataFrame:
     """As-of join (most-recent right row at or before each left row) —
     an operator Spark lacks natively; reference lacks joins entirely.
+
+    ``tolerance`` (same units as the ts columns) nulls the carried
+    right values when the matched right row is further than that from
+    the left row — pandas merge_asof's tolerance semantics. The match
+    timestamp is carried alongside the values, so this is a projection
+    on the same single-shuffle plan, not an extra pass.
 
     Spark-first implementation (no UDF, single shuffle): tag and union
     both sides, hash-partition by key, sort by time within partition,
@@ -210,20 +217,28 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     lcols = [c for c in left.columns]
+    # (carried name, source column on the right) — the match timestamp
+    # rides along as one more carried value when a tolerance is set
+    carry = [(c, c) for c in right_cols]
+    if tolerance is not None:
+        carry.append(("__mts__", right_ts))
 
     tagged_left = left.select(
         F.col(on).alias("__k__"),
         F.col(left_ts).alias("__t__"),
         F.lit(1).alias("__is_left__"),
         *[F.col(c) for c in lcols if c != on],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        *[
+            F.lit(None).cast(right.schema[src].dataType).alias(f"__r_{name}")
+            for name, src in carry
+        ],
     )
     tagged_right = right.select(
         F.col(on).alias("__k__"),
         F.col(right_ts).alias("__t__"),
         F.lit(0).alias("__is_left__"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.col(src).alias(f"__r_{name}") for name, src in carry],
     )
     unioned = tagged_left.unionByName(tagged_right)
     if direction == "backward":
@@ -234,8 +249,8 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = [
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in right_cols
+            F.last(f"__r_{name}", ignorenulls=True).over(w).alias(f"__c_{name}")
+            for name, _ in carry
         ]
     else:
         w = (
@@ -244,15 +259,24 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carried = [
-            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in right_cols
+            F.first(f"__r_{name}", ignorenulls=True).over(w).alias(f"__c_{name}")
+            for name, _ in carry
         ]
     out = unioned.select("*", *carried).filter(F.col("__is_left__") == 1)
+    if tolerance is None:
+        in_band = F.lit(True)
+    elif direction == "backward":
+        in_band = F.col("__t__") - F.col("__c___mts__") <= F.lit(tolerance)
+    else:
+        in_band = F.col("__c___mts__") - F.col("__t__") <= F.lit(tolerance)
     return out.select(
         F.col("__k__").alias(on),
         F.col("__t__").alias(left_ts),
         *[F.col(c) for c in lcols if c not in (on, left_ts)],
-        *[F.col(f"__c_{c}").alias(c) for c in right_cols],
+        *[
+            F.when(in_band, F.col(f"__c_{c}")).alias(c)
+            for c in right_cols
+        ],
     )
 
 

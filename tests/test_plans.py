@@ -319,3 +319,25 @@ def test_round3_batch2_plan_shapes(spark, qs):
     # sources: the roundtrips actually read their format back
     assert "orc" in p("source_from_orc").lower()
     assert "binaryFile".lower() in p("source_binary_files").lower()
+
+
+def test_round3_batch5_plan_shapes(spark, qs):
+    def p(name):
+        return plan(qs[name](spark, SF))
+
+    # the SHUFFLE_HASH hint must actually produce a shuffled hash join
+    # (no sort on either side, no broadcast despite the small side)
+    jsh = p("join_shuffle_hash")
+    assert "ShuffledHashJoin" in jsh
+    assert "SortMergeJoin" not in jsh
+    # tolerance as-of join: same single-shuffle union+window plan as
+    # the base as-of — no join node appears
+    tol = p("asof_join_tolerance")
+    assert "SortMergeJoin" not in tol and "NestedLoop" not in tol
+    # text normalization is scan-fused: no UDF, no exchange
+    tuc = p("text_unicode_clean")
+    assert "Exchange" not in tuc
+    assert "ArrowEvalPython" not in tuc and "BatchEvalPython" not in tuc
+    # argmax: one aggregate pass, no window, no join
+    agm = p("agg_argmax")
+    assert count_nodes(agm, "Window") == 0 and "Join" not in agm
