@@ -5734,6 +5734,112 @@ def q_text_unicode_clean(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 6: JSONL interchange sink, file-lineage metadata,
+# small-file compaction
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sink_jsonl_roundtrip",
+    # JSON-lines roundtrip — the training-data interchange format:
+    # write one JSON object per row, read back with an explicit schema
+    # (no inference scan); digests prove text survives JSON escaping
+    """
+    SELECT lang, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_digests,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_sink_jsonl_roundtrip(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pippin_jsonl_{tag}/documents"
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "lang", "n_chars", "text")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, n_chars bigint, text string"
+    ).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_digests"),
+        dsum("n_chars", "total_chars"),
+    )
+
+
+@_q(
+    "source_file_lineage",
+    # hidden _metadata column: after a hive-partitioned write, recover
+    # each row's provenance from _metadata.file_path alone and prove it
+    # agrees with the partition value — the lineage/debugging primitive
+    # for multi-source ingestion
+    """
+    SELECT o_orderstatus AS status, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q_source_file_lineage(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pippin_lineage_{tag}/orders"
+    _t(spark, sf_dir, "orders").df.write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    back = spark.read.parquet(path).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"o_orderstatus=([^/]+)/", 1
+        ).alias("status")
+    )
+    return back.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "sink_compacted_parquet",
+    # small-file compaction: a 64-file write (the streaming/incremental
+    # ingest pathology) is coalesced to size-targeted output files in
+    # one pass — coalesce, not repartition, so compaction moves no data
+    # between executors; _metadata proves the file count dropped
+    """
+    SELECT lang, COUNT(*) AS n, CAST(1 AS BIGINT) AS n_files
+    FROM documents GROUP BY 1
+    """,
+)
+def q_sink_compacted_parquet(spark, sf_dir):
+    import math
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    fragged = f"/tmp/pippin_compact_{tag}/fragged"
+    compact = f"/tmp/pippin_compact_{tag}/compact"
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "lang", "text")
+    docs.repartition(64).write.mode("overwrite").parquet(fragged)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(fragged, f))
+        for f in os.listdir(fragged)
+        if f.endswith(".parquet")
+    )
+    target_files = max(1, math.ceil(total_bytes / (128 << 20)))
+    (
+        spark.read.parquet(fragged)
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(compact)
+    )
+    back = spark.read.parquet(compact)
+    n_files = back.select(
+        F.count_distinct(F.col("_metadata.file_name")).alias("n_files")
+    )
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(n_files))
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -5845,6 +5951,9 @@ _DRIVER_ROW_PRIORITY = [
     "agg_argmax",
     "sink_sorted_parquet",
     "text_unicode_clean",
+    "sink_jsonl_roundtrip",
+    "source_file_lineage",
+    "sink_compacted_parquet",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",

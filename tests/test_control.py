@@ -206,3 +206,23 @@ def test_timeout_survives_concurrent_async_completion(spark):
     with pytest.raises((PipelineTimeoutError, PipelineInterruptedError)):
         slow_fut.get_with_timeout(25.0)
     assert s.pipeline.status in (Status.TIMED_OUT, Status.INTERRUPTED)
+
+
+def test_observation_metrics_ride_the_action(spark):
+    # Spark's Observation API is the zero-cost analog of the
+    # reference's per-stage status/metrics hooks: metrics accumulate
+    # inside the same job (no second scan), and are available after
+    # the terminal action completes
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as SF
+
+    obs = Observation("pipeline_metrics")
+    s = Pipeline.from_slice(spark, [1, 2, 3, 4, 5])
+    observed = s.df.observe(
+        obs,
+        SF.count(SF.lit(1)).alias("rows_seen"),
+        SF.sum("value").alias("value_sum"),
+    )
+    total = observed.agg(SF.sum("value")).collect()[0][0]
+    assert total == 15
+    assert obs.get == {"rows_seen": 5, "value_sum": 15}
