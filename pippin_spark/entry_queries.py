@@ -5840,6 +5840,151 @@ def q_sink_compacted_parquet(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 7: raw-SQL entry point, corrupt-record ingestion,
+# trigram LM counts
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sql_query_api",
+    # raw-SQL entry point parity: the engine's tables registered as
+    # temp views and queried through spark.sql — identical text to the
+    # oracle, proving a user can drive the engine in plain ANSI SQL
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_query_api(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").df.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@_q(
+    "source_json_corrupt",
+    # PERMISSIVE ingestion of a dirty JSONL feed: 7 malformed lines
+    # land in _corrupt_record instead of failing the read — the
+    # web-scale "never die on one bad record" contract; counts prove
+    # no good row was dropped or misclassified
+    """
+    SELECT COUNT(*) AS n_good, CAST(7 AS BIGINT) AS n_corrupt FROM documents
+    """,
+)
+def q_source_json_corrupt(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pippin_corrupt_{tag}/feed"
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "lang")
+    docs.write.mode("overwrite").json(path)
+    with open(f"{path}/zz_corrupt.json", "w") as f:
+        for i in range(7):
+            f.write(f'{{"doc_id": {i}, "lang": broken-not-json\n')
+    back = spark.read.schema(
+        "doc_id bigint, lang string, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    # cache() before splitting on _corrupt_record: Spark documents that
+    # a bare filter on the corrupt column alone is disallowed (the
+    # parser would need raw rows it no longer has)
+    back = back.cache()
+    return back.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+    )
+
+
+@_q(
+    "ngram_lm_counts",
+    # trigram language-model counts with exact conditional
+    # probabilities: integer trigram/bigram-context counts (shuffle
+    # carries only n-gram keys), probability = one BIGINT/BIGINT
+    # double division — deterministic in both engines; top-25 by count
+    # with a full lexicographic tie-break
+    """
+    WITH toks AS (
+      SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY ord) AS pos
+      FROM (
+        SELECT doc_id,
+               UNNEST(l) AS tok,
+               generate_subscripts(l, 1) AS ord
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+              FROM documents)
+      ) WHERE tok <> ''
+    ), tri AS (
+      SELECT doc_id, tok AS w1,
+             LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      FROM toks
+    ), tri_counts AS (
+      SELECT w1, w2, w3, COUNT(*) AS tri_cnt
+      FROM tri WHERE w3 IS NOT NULL GROUP BY 1, 2, 3
+    ), bi_counts AS (
+      SELECT w1, w2, CAST(SUM(tri_cnt) AS BIGINT) AS bi_cnt
+      FROM tri_counts GROUP BY 1, 2
+    )
+    SELECT w1, w2, w3, tri_cnt, cond_p, rank FROM (
+      SELECT t.w1, t.w2, t.w3, t.tri_cnt,
+             CAST(t.tri_cnt AS DOUBLE) / b.bi_cnt AS cond_p,
+             ROW_NUMBER() OVER (ORDER BY t.tri_cnt DESC, t.w1, t.w2, t.w3)
+               AS rank
+      FROM tri_counts t JOIN bi_counts b ON t.w1 = b.w1 AND t.w2 = b.w2
+    ) WHERE rank <= 25
+    """,
+)
+def q_ngram_lm_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        F.col("tok").alias("w1"),
+        F.lead("tok", 1).over(w).alias("w2"),
+        F.lead("tok", 2).over(w).alias("w3"),
+    ).filter(F.col("w3").isNotNull())
+    tri_counts = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("tri_cnt"))
+    # context totals derive from the trigram counts (tiny), never a
+    # second corpus pass
+    bi_counts = tri_counts.groupBy("w1", "w2").agg(F.sum("tri_cnt").alias("bi_cnt"))
+    joined = tri_counts.join(bi_counts, ["w1", "w2"]).select(
+        "w1",
+        "w2",
+        "w3",
+        "tri_cnt",
+        (F.col("tri_cnt").cast("double") / F.col("bi_cnt")).alias("cond_p"),
+    )
+    return REL.top_k(
+        joined,
+        25,
+        [
+            F.col("tri_cnt").desc(),
+            F.col("w1").asc(),
+            F.col("w2").asc(),
+            F.col("w3").asc(),
+        ],
+        rank_col="rank",
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -5954,6 +6099,9 @@ _DRIVER_ROW_PRIORITY = [
     "sink_jsonl_roundtrip",
     "source_file_lineage",
     "sink_compacted_parquet",
+    "sql_query_api",
+    "source_json_corrupt",
+    "ngram_lm_counts",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
