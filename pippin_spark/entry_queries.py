@@ -5985,6 +5985,117 @@ def q_ngram_lm_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 8: end-to-end pretraining prep, event-order QA
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pretrain_prep_e2e",
+    # the full curation chain in ONE declared query: token-count →
+    # length gate → exact dedup (min-id keeper) → hash-shard packing →
+    # per-sequence stats. Every stage is the scale-shaped form used by
+    # its standalone query (digest-keyed dedup shuffle, sharded packing
+    # window — never global); the oracle replays the chain as CTEs
+    """
+    WITH tc AS (
+      SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ), gated AS (
+      SELECT * FROM tc WHERE n_tok BETWEEN 10 AND 5000
+    ), keeper AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+    ), corpus AS (
+      SELECT g.doc_id, g.n_tok FROM gated g
+      JOIN keeper k ON g.doc_id = k.doc_id
+    ), sharded AS (
+      SELECT doc_id, n_tok,
+             (((((doc_id) + 0) % 2147483647) * 2654435761) % 4294967296) % 8
+               AS shard
+      FROM corpus
+    ), packed AS (
+      SELECT shard, n_tok,
+             (SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+               // 2048 AS seq_id
+      FROM sharded
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def q_pretrain_prep_e2e(spark, sf_dir):
+    from pippin_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").df
+    toks = F.split(F.col("text"), r"\s+")
+    n_tok = F.size(F.filter(toks, lambda x: x != "")).cast("bigint")
+    tc = docs.select("doc_id", "text", n_tok.alias("n_tok"))
+    gated = tc.filter(F.col("n_tok").between(10, 5000))
+    # exact dedup, min-id keeper: digest-only shuffle then a broadcast
+    # semi-join back (the dedup_exact pattern)
+    keepers = gated.groupBy(F.md5("text").alias("__d__")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    # no broadcast hint: the keeper set is corpus-scale, so the semi
+    # join must stay shuffleable (AQE broadcasts it when it is small)
+    corpus = gated.join(keepers.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "n_tok"
+    )
+    packed = pack_sequences(
+        corpus, "doc_id", F.col("n_tok"), target_len=2048, num_shards=8
+    )
+    return (
+        packed.groupBy(
+            F.col("shard").cast("bigint").alias("shard"),
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+@_q(
+    "order_violations",
+    # ingestion QA: fraction of events whose event-time runs backwards
+    # relative to arrival order (event_id) — the out-of-orderness
+    # metric that sizes streaming watermarks
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND tsn < prev_ts
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM (
+      SELECT user_id, epoch_ns(ts) AS tsn,
+             LAG(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS prev_ts
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def q_order_violations(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")), 1
+            ).otherwise(0)
+        ).alias("n_violations"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -6102,6 +6213,8 @@ _DRIVER_ROW_PRIORITY = [
     "sql_query_api",
     "source_json_corrupt",
     "ngram_lm_counts",
+    "pretrain_prep_e2e",
+    "order_violations",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
