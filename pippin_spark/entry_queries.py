@@ -6096,6 +6096,126 @@ def q_order_violations(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 9: LOCF imputation, BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "impute_locf_events",
+    # last-observation-carried-forward imputation: 'error' events are
+    # treated as missing and take the user's most recent good value —
+    # one keyed window, ignore-nulls last_value in both engines
+    """
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_filled
+    FROM events
+    """,
+)
+def q_impute_locf_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(good, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+@_q(
+    "bm25_topk",
+    # BM25 retrieval scoring for a fixed query (k1=1.2, b=0.75): term
+    # and document statistics are integer counts; the float formula is
+    # the identical expression tree in both engines, rounded to 6
+    # decimals before ranking to absorb last-ulp libm divergence.
+    # Shuffles carry only (doc, term) count pairs, never text.
+    """
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ('join', 'hash', 'scan') GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT t.doc_id,
+             SUM(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl))
+             ) AS score
+      FROM tf t
+      JOIN df d ON t.tok = d.tok
+      JOIN dl l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1
+    )
+    SELECT doc_id, score_r, rank FROM (
+      SELECT doc_id, ROUND(score, 6) AS score_r,
+             ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin("join", "hash", "scan"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    ranked = scored.select("doc_id", F.round("score", 6).alias("score_r"))
+    return REL.top_k(
+        ranked, 20, [F.col("score_r").desc(), F.col("doc_id").asc()], rank_col="rank"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -6215,6 +6335,8 @@ _DRIVER_ROW_PRIORITY = [
     "ngram_lm_counts",
     "pretrain_prep_e2e",
     "order_violations",
+    "impute_locf_events",
+    "bm25_topk",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
