@@ -6216,6 +6216,113 @@ def q_bm25_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 10: time-hierarchy rollup, discrete percentile, TWAP
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "rollup_time_events",
+    # calendar-hierarchy ROLLUP (year → month → grand total) over the
+    # event feed: the grouping-set expansion multiplies only the tiny
+    # per-(year,month) pre-aggregate, same policy as rollup_pricing
+    """
+    SELECT y, m, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+      SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+             CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+             value
+      FROM events
+    )
+    GROUP BY ROLLUP (y, m)
+    """,
+)
+def q_rollup_time_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    base = ev.select(
+        F.year(ts).cast("bigint").alias("y"),
+        F.month(ts).cast("bigint").alias("m"),
+        "value",
+    )
+    return base.rollup("y", "m").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total")
+    )
+
+
+@_q(
+    "agg_percentile_disc",
+    # discrete percentile (an actual corpus value, not interpolated):
+    # the p90 element is the row at rank ceil(0.9·n) under a total
+    # order with id tie-break — both engines use the explicit rank
+    # formula, sidestepping builtin interpolation differences
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority, o_totalprice AS p90_disc
+    FROM ranked WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+    """,
+)
+def q_agg_percentile_disc(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(0.9 * F.col("n")).cast("bigint")
+    ).select("o_orderpriority", F.col("o_totalprice").alias("p90_disc"))
+
+
+@_q(
+    "twap_events",
+    # time-weighted average value per user: each observation holds
+    # until the next one (dt from lead), weight = exact integer nanos,
+    # value·dt accumulates in DECIMAL so the ratio is order-independent
+    """
+    WITH seg AS (
+      SELECT user_id, value,
+             LEAD(epoch_ns(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) - epoch_ns(ts) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)) * dt) AS DOUBLE)
+                 / CAST(SUM(dt) AS DOUBLE), 9) AS twap
+    FROM seg WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY 1
+    """,
+)
+def q_twap_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (F.lead("ts").over(w) - F.col("ts")).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    # the weighted sums are exact decimals; the only engine divergence
+    # is the wide-decimal→double conversion (1 ulp), absorbed by
+    # rounding the ratio to 9 decimals in both engines
+    return seg.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)") * F.col("dt")).cast("double")
+            / F.sum("dt").cast("double"),
+            9,
+        ).alias("twap")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -6337,6 +6444,9 @@ _DRIVER_ROW_PRIORITY = [
     "order_violations",
     "impute_locf_events",
     "bm25_topk",
+    "rollup_time_events",
+    "agg_percentile_disc",
+    "twap_events",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
