@@ -6323,6 +6323,146 @@ def q_twap_events(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 11: per-source caps, expectation validation, snapshot
+# diff, ordered array histories
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cap_docs_per_source",
+    # per-source quota: keep at most 10 docs per source, chosen by the
+    # deterministic id-hash order (not arrival order) so membership is
+    # engine/partitioning-invariant — the data-mixing cap primitive
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY (((doc_id % 2147483647) * 2654435761) % 4294967296),
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def q_cap_docs_per_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    hkey = (
+        (F.col("doc_id") % F.lit(2147483647)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    w = Window.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id")
+    )
+
+
+@_q(
+    "expect_orders",
+    # dbt-style expectation suite in one pass: each rule is a
+    # conditional count over the same scan — no rule gets its own job
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(count_if(o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+             AS bad_status,
+           CAST(count_if(o_totalprice <= 0) AS BIGINT) AS bad_price,
+           CAST(count_if(o_orderdate < TIMESTAMP '1990-01-01'
+                      OR o_orderdate > TIMESTAMP '2005-01-01') AS BIGINT)
+             AS bad_date,
+           CAST(count_if(o_custkey IS NULL) AS BIGINT) AS null_custkey
+    FROM orders
+    """,
+)
+def q_expect_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bad_status"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("bad_price"),
+        F.count_if(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") > F.lit("2005-01-01").cast("timestamp"))
+        ).alias("bad_date"),
+        F.count_if(F.col("o_custkey").isNull()).alias("null_custkey"),
+    )
+
+
+@_q(
+    "snapshot_diff_orders",
+    # table-diff between two snapshots (the CDC-less change feed): a
+    # single full-outer join on the key classifies every row as
+    # added / removed / changed / unchanged — counts per class
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ), snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    )
+    SELECT CASE
+             WHEN a.o_orderkey IS NULL THEN 'added'
+             WHEN b.o_orderkey IS NULL THEN 'removed'
+             WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+             ELSE 'unchanged' END AS change,
+           COUNT(*) AS n
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_snapshot_diff_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    snap_a = o.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    ).select(F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("va"))
+    snap_b = o.filter(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("vb"),
+    )
+    j = snap_a.join(snap_b, F.col("ka") == F.col("kb"), "full_outer")
+    change = (
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("va") != F.col("vb"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "user_event_history",
+    # ordered array output: each user's first 20 event types in exact
+    # (ts, event_id) order as an array column — built by sorting the
+    # collected struct array AFTER the aggregate (collect_list order is
+    # undefined; the sort makes it deterministic), never a window
+    """
+    SELECT user_id,
+           (list(event_type ORDER BY epoch_ns(ts), event_id))[1:20] AS history
+    FROM events GROUP BY 1
+    """,
+)
+def q_user_event_history(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    packed = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.slice(
+            F.transform(packed, lambda s: s.getField("event_type")), 1, 20
+        ).alias("history")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -6447,6 +6587,10 @@ _DRIVER_ROW_PRIORITY = [
     "rollup_time_events",
     "agg_percentile_disc",
     "twap_events",
+    "cap_docs_per_source",
+    "expect_orders",
+    "snapshot_diff_orders",
+    "user_event_history",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
