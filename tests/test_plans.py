@@ -341,3 +341,63 @@ def test_round3_batch5_plan_shapes(spark, qs):
     # argmax: one aggregate pass, no window, no join
     agm = p("agg_argmax")
     assert count_nodes(agm, "Window") == 0 and "Join" not in agm
+
+
+def test_round3_late_batch_plan_shapes(spark, qs):
+    def p(name):
+        return plan(qs[name](spark, SF))
+
+    # expectation suite: every rule in ONE aggregate over one scan
+    exp = p("expect_orders")
+    assert count_nodes(exp, "Scan parquet") == 1
+    # LOCF imputation: one keyed window, no join, no Python
+    locf = p("impute_locf_events")
+    assert "Join" not in locf and "EvalPython" not in locf
+    # BM25: text never shuffles — no Exchange may carry the text
+    # column (only (doc, term) count tuples cross the wire)
+    bm = p("bm25_topk")
+    for frag in bm.split("Exchange")[1:]:
+        assert "text#" not in frag.splitlines()[0]
+    # snapshot diff: exactly one join (full outer), classified in a
+    # post-join projection, then a tiny aggregate
+    sd = p("snapshot_diff_orders")
+    assert (
+        count_nodes(sd, "SortMergeJoin")
+        + count_nodes(sd, "BroadcastHashJoin")
+        + count_nodes(sd, "ShuffledHashJoin")
+        == 1
+    )
+    # ordered history: aggregate-then-sort, never a per-row window
+    hist = p("user_event_history")
+    assert count_nodes(hist, "Window") == 0
+    # TWAP: one keyed window + one aggregate, no join
+    tw = p("twap_events")
+    assert "Join" not in tw
+
+
+def test_asof_tolerance_edges(spark):
+    # exactly-at-tolerance matches survive; one tick beyond nulls out;
+    # left rows with no prior right row stay null
+    from pippin_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 70, 7.0), (1, 189, 9.0)], "k long, t long, v double"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_cols=["v"], tolerance=30,
+    )
+    got = {r["tag"]: r["v"] for r in out.collect()}
+    # a: t=100, latest right at 70, distance 30 == tolerance -> kept
+    # b: t=200, latest right at 189, distance 11 -> kept
+    # c: no right rows for k=2 -> null
+    assert got == {"a": 7.0, "b": 9.0, "c": None}
+    out2 = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_cols=["v"], tolerance=29,
+    )
+    got2 = {r["tag"]: r["v"] for r in out2.collect()}
+    assert got2 == {"a": None, "b": 9.0, "c": None}
