@@ -6463,6 +6463,168 @@ def q_user_event_history(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 12: multiset ops, vocabulary coverage, dup-cluster
+# distribution, language rebalancing plan
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "set_intersect_all",
+    # multiset INTERSECT ALL (bag semantics — min of per-side
+    # multiplicities), the dual of the existing distinct-set intersect
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_intersect_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@_q(
+    "set_except_all",
+    # multiset EXCEPT ALL: per-key multiplicity subtraction
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_except_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
+
+
+@_q(
+    "vocab_coverage",
+    # tokenizer vocabulary sizing: top-100 tokens by exact count with
+    # the cumulative corpus coverage each prefix of the vocabulary
+    # buys. The cumsum window runs over the 100 survivors of a
+    # TakeOrdered top-k, never the token table; coverage is one
+    # BIGINT/BIGINT division.
+    """
+    WITH counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY 1
+    ), total AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts
+    ), topk AS (
+      SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM counts
+    )
+    SELECT t.tok, t.cnt, t.rank,
+           ROUND(CAST(SUM(t.cnt) OVER (ORDER BY t.rank
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / s.n_total, 9)
+             AS coverage
+    FROM topk t CROSS JOIN total s
+    WHERE t.rank <= 100
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    top = REL.top_k(
+        counts, 100, [F.col("cnt").desc(), F.col("tok").asc()], rank_col="rank"
+    )
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            "tok",
+            "cnt",
+            "rank",
+            F.round(
+                F.sum("cnt").over(w).cast("double") / F.col("n_total"), 9
+            ).alias("coverage"),
+        )
+    )
+
+
+@_q(
+    "dup_cluster_sizes",
+    # duplicate-cluster size distribution: how much of the corpus sits
+    # in exact-dup groups of each size — the dedup savings estimate,
+    # computed from digest counts alone (text never shuffles twice)
+    """
+    SELECT sz, COUNT(*) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sz FROM documents GROUP BY md5(text)
+    )
+    GROUP BY 1
+    """,
+)
+def q_dup_cluster_sizes(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    sizes = docs.groupBy(F.md5("text").alias("__d__")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
+@_q(
+    "lang_rebalance_plan",
+    # data-mixing plan: per-language keep-rates that equalize the mix
+    # toward a uniform target — rate = min(1, target/n), expected kept
+    # counts floored to integers; the plan is pure arithmetic over the
+    # per-language aggregate (rows = #languages)
+    """
+    WITH by_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ), tgt AS (
+      SELECT CAST(SUM(n) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS target_n
+      FROM by_lang
+    )
+    SELECT b.lang, b.n,
+           ROUND(LEAST(1.0, CAST(t.target_n AS DOUBLE) / b.n), 9) AS keep_rate,
+           LEAST(b.n, t.target_n) AS expected_kept
+    FROM by_lang b CROSS JOIN tgt t
+    """,
+)
+def q_lang_rebalance_plan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    by_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tgt = by_lang.agg(
+        F.expr("CAST(sum(n) AS BIGINT) div count(1)").alias("target_n")
+    )
+    return by_lang.join(F.broadcast(tgt)).select(
+        "lang",
+        "n",
+        F.round(
+            F.least(F.lit(1.0), F.col("target_n").cast("double") / F.col("n")), 9
+        ).alias("keep_rate"),
+        F.least(F.col("n"), F.col("target_n")).alias("expected_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -6591,6 +6753,11 @@ _DRIVER_ROW_PRIORITY = [
     "expect_orders",
     "snapshot_diff_orders",
     "user_event_history",
+    "set_intersect_all",
+    "set_except_all",
+    "vocab_coverage",
+    "dup_cluster_sizes",
+    "lang_rebalance_plan",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
