@@ -6625,6 +6625,95 @@ def q_lang_rebalance_plan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 13: Spark-4 Python API surface — custom DataSource,
+# Python UDTF
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "source_custom_python",
+    # custom Python DataSource (pippin_spark/sources.py): the driver
+    # plans 8 InputPartitions, each executor generates its split
+    # independently, and the deterministic Knuth-hash content lets the
+    # whole generator replay in SQL over range(n) — the FromChannel/
+    # custom-generator analog as a first-class Spark source
+    """
+    SELECT lang, COUNT(*) AS n, CAST(SUM(score) AS BIGINT) AS total_score
+    FROM (
+      SELECT 'lang_' || CAST(i % 5 AS VARCHAR) AS lang,
+             (i * 2654435761) % 4294967296 AS score
+      FROM range(0, 5000) t(i)
+    )
+    GROUP BY 1
+    """,
+)
+def q_source_custom_python(spark, sf_dir):
+    from pippin_spark.sources import SyntheticDocsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticDocsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("pippin_synth")
+        .option("n", "5000")
+        .option("parts", "8")
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("score").alias("total_score")
+    )
+
+
+@_q(
+    "udtf_sentences",
+    # Python UDTF (table function) — the row-expanding escape hatch
+    # when flatMap semantics need arbitrary Python per row. Documented
+    # slow path: row-at-a-time pickling, no Arrow; reach for it only
+    # when explode/split compositions genuinely cannot express the
+    # expansion (here they could — that equivalence IS the oracle)
+    """
+    SELECT doc_id, pos, sentence FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS pos,
+             sentence
+      FROM (
+        SELECT doc_id, TRIM(' ' FROM s) AS sentence, ord FROM (
+          SELECT doc_id, UNNEST(l) AS s, generate_subscripts(l, 1) AS ord
+          FROM (SELECT doc_id, string_split(text, '.') AS l
+                FROM documents WHERE doc_id < 100)
+        )
+      ) WHERE sentence <> ''
+    )
+    """,
+)
+def q_udtf_sentences(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            pos = 0
+            for seg in text.split("."):
+                seg = seg.strip(" ")
+                if seg:
+                    pos += 1
+                    yield pos, seg
+
+    spark.udtf.register("pippin_split_sentences", SplitSentences)
+    _t(spark, sf_dir, "documents").df.filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("pippin_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM pippin_udtf_docs d,
+             LATERAL pippin_split_sentences(d.doc_id, d.text) s
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -6758,6 +6847,8 @@ _DRIVER_ROW_PRIORITY = [
     "vocab_coverage",
     "dup_cluster_sizes",
     "lang_rebalance_plan",
+    "source_custom_python",
+    "udtf_sentences",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
