@@ -375,6 +375,53 @@ def test_round3_late_batch_plan_shapes(spark, qs):
     assert "Join" not in tw
 
 
+def test_partition_pruning_on_hive_sink(spark, qs):
+    # a filter on the partition column of a hive-partitioned table
+    # must prune at PLANNING time (PartitionFilters on the scan), not
+    # read-and-discard — the 100 TB contract of partitioned layouts
+    qs["sink_partitioned_parquet"](spark, SF)  # materializes the sink
+    import os
+
+    tag = os.path.basename(SF.rstrip("/"))
+    path = f"/tmp/pippin_sink_{tag}/orders_by_priority"
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    p = plan(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m is not None and "o_orderpriority" in m.group(1)
+
+
+def test_dynamic_partition_pruning_kicks_in(spark):
+    # joining a partitioned fact with a filtered dim must inject a
+    # dynamicpruning subquery on the fact scan: only the partitions
+    # the dim filter selects are read at runtime
+    import os
+
+    tag = os.path.basename(SF.rstrip("/"))
+    path = f"/tmp/pippin_dpp_{tag}/orders_by_status"
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    # the dim must come from a real source WITH a selective filter —
+    # DPP only plans a pruning subquery when the build side has a
+    # predicate worth pushing across the join
+    dim = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .distinct()
+    )
+    joined = fact.join(dim, fact["o_orderstatus"] == dim["st"]).groupBy(
+        "prio"
+    ).count()
+    p = plan(joined)
+    assert "dynamicpruning" in p.lower(), p[:2000]
+
+
 def test_asof_tolerance_edges(spark):
     # exactly-at-tolerance matches survive; one tick beyond nulls out;
     # left rows with no prior right row stay null
