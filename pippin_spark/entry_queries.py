@@ -6714,6 +6714,70 @@ def q_udtf_sentences(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 14: recursive CTEs, SQL scalar functions
+# ---------------------------------------------------------------------------
+
+# one SQL text, two engines: Spark 4's WITH RECURSIVE runs the
+# IDENTICAL query the DuckDB oracle runs — BFS min-depth over the
+# event-type transition graph, bounded at 4 hops (the recursion is
+# over the ~5-node distinct-edge graph, never the fact table)
+_RECURSIVE_REACH_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT event_type AS src, next_type AS dst FROM (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS next_type
+        FROM events
+      ) WHERE next_type IS NOT NULL
+    ),
+    reach(node, depth) AS (
+      SELECT 'signup' AS node, 0 AS depth
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.depth < 4
+    )
+    SELECT node, CAST(MIN(depth) AS BIGINT) AS min_depth
+    FROM reach GROUP BY 1
+"""
+
+
+@_q("recursive_cte_reach", _RECURSIVE_REACH_SQL)
+def q_recursive_cte_reach(spark, sf_dir):
+    _t(spark, sf_dir, "events").df.createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+@_q(
+    "sql_scalar_udf",
+    # SQL scalar function (CREATE FUNCTION ... RETURN expr): the
+    # user-defined abstraction stays a catalyst expression — inlined
+    # into codegen, no Python, no serialization boundary. The oracle
+    # inlines the same body.
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_sql_scalar_udf(spark, sf_dir):
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pippin_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    _t(spark, sf_dir, "lineitem").df.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(pippin_disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY 1
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -6849,6 +6913,8 @@ _DRIVER_ROW_PRIORITY = [
     "lang_rebalance_plan",
     "source_custom_python",
     "udtf_sentences",
+    "recursive_cte_reach",
+    "sql_scalar_udf",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
