@@ -6778,6 +6778,69 @@ def q_sql_scalar_udf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 15: array set algebra, calendar-function breadth
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "user_type_setops",
+    # array set algebra over per-user behavior profiles: the distinct
+    # event-type set per user, intersected/subtracted against a target
+    # segment definition — arrays sorted so the values hash stably
+    """
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS all_types,
+           list_sort(list_intersect(list_distinct(list(event_type)),
+                                    ['click', 'purchase'])) AS funnel_types,
+           list_sort(list_filter(list_distinct(list(event_type)),
+                     x -> NOT list_contains(['click', 'purchase'], x)))
+             AS other_types
+    FROM events GROUP BY 1
+    """,
+)
+def q_user_type_setops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    types = F.array_sort(F.collect_set("event_type"))
+    target = F.array(F.lit("click"), F.lit("purchase"))
+    return ev.groupBy("user_id").agg(
+        types.alias("all_types"),
+        F.array_sort(F.array_intersect(types, target)).alias("funnel_types"),
+        F.array_sort(F.array_except(types, target)).alias("other_types"),
+    )
+
+
+@_q(
+    "date_breadth_orders",
+    # calendar-function breadth: truncation, quarter, end-of-month,
+    # and integer month arithmetic — all engine-pair-safe forms (the
+    # fractional months_between variants differ across engines and are
+    # deliberately avoided)
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
+             AS months_since_1995
+    FROM orders
+    """,
+)
+def q_date_breadth_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        (
+            (F.year(d) - 1995) * 12 + F.month(d) - 1
+        ).cast("bigint").alias("months_since_1995"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -6915,6 +6978,8 @@ _DRIVER_ROW_PRIORITY = [
     "udtf_sentences",
     "recursive_cte_reach",
     "sql_scalar_udf",
+    "user_type_setops",
+    "date_breadth_orders",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
