@@ -6841,6 +6841,74 @@ def q_date_breadth_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 16: transformWithState streaming, VARIANT type, XML
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "variant_props_stats",
+    # VARIANT semi-structured type (Spark 4): parse once into the
+    # binary variant encoding, extract typed paths at query time —
+    # schema-on-read without string re-parsing per extraction
+    """
+    SELECT event_type,
+           CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS total_k,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def q_variant_props_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    v = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return ev.select("event_type", v.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("total_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@_q(
+    "source_from_xml",
+    # XML source/sink roundtrip (built into Spark 4): attribute-free
+    # row elements, explicit schema on read; text survives XML
+    # entity escaping (digest-verified)
+    """
+    SELECT lang, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_digests,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_source_from_xml(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pippin_xml_{tag}/documents"
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "lang", "n_chars", "text")
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id bigint, lang string, n_chars bigint, text string")
+        .load(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_digests"),
+        dsum("n_chars", "total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -6980,6 +7048,8 @@ _DRIVER_ROW_PRIORITY = [
     "sql_scalar_udf",
     "user_type_setops",
     "date_breadth_orders",
+    "variant_props_stats",
+    "source_from_xml",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",

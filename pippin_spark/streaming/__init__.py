@@ -186,3 +186,78 @@ def stateful_running_agg(
             update, out_schema, state_schema, "update", timeout_conf
         )
     )
+
+
+def tws_running_agg(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``stateful_running_agg``'s twin on Spark 4's
+    ``transformWithStateInPandas`` (the successor API): state is a
+    named ValueState in the executor state store instead of the single
+    opaque GroupState tuple, timers/list/map state are available, and
+    state schema can evolve between runs. Same (count, sum, max)
+    semantics over pre-scaled longs; emits the updated state per key
+    per micro-batch.
+
+    Scale: identical to applyInPandasWithState — keyed state store
+    partitions, no driver state, per-batch shuffle of that batch only.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.LongType()),
+            T.StructField("maxv", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.LongType()),
+            T.StructField("maxv", T.LongType()),
+        ]
+    )
+
+    class _RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            if self._agg.exists():
+                n, total, maxv = self._agg.get()
+            else:
+                n, total, maxv = 0, 0, None
+            for pdf in rows:
+                vals = pdf["__v__"]
+                n += int(vals.count())
+                total += int(vals.sum())
+                if len(vals):
+                    m = int(vals.max())
+                    maxv = m if maxv is None else max(maxv, m)
+            self._agg.update((n, total, maxv))
+            yield _pd.DataFrame(
+                {"key": [key[0]], "n": [n], "total": [total], "maxv": [maxv]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_df.select(F.col(key_col).alias("__k__"), F.col(value_col).alias("__v__"))
+        .groupBy("__k__")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningAgg(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -220,3 +220,57 @@ def test_checkpoint_restart_processes_only_new_files(spark):
     # file's rows appended, nothing reprocessed
     both = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert both == list(range(0, 9))
+
+
+def test_tws_running_agg_matches_batch(spark, sf_dir):
+    # transformWithStateInPandas (Spark 4's arbitrary-stateful
+    # successor API): same (count, sum, max) semantics as
+    # stateful_running_agg. Its driver-side schema worker needs the
+    # protobuf package, which this container does not ship — the
+    # operator is deployment-ready and this test runs wherever
+    # protobuf is installed (mirrors the PIL-gated multimodal path).
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from pippin_spark.streaming import StreamingPipeline, tws_running_agg
+    from pippin_spark.pipeline import ensure_epoch_ns
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", F.round(F.col("value") * 10000, 0).cast("long").alias("sv"))
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = StreamingPipeline(tws_running_agg(stream, "user_id", "sv")).start(
+            sink_format="memory",
+            query_name="pippin_tws_test",
+            output_mode="update",
+            available_now=True,
+            state_partitions=4,
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {r["key"]: (r["n"], r["total"]) for r in spark.table("pippin_tws_test").collect()}
+    exact = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("t"),
+        )
+        .collect()
+    }
+    assert got == exact
