@@ -6909,6 +6909,99 @@ def q_source_from_xml(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 17: cross join, NOT-IN subquery, leave-one-out
+# target encoding
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_cross",
+    # explicit cartesian product of two tiny dims — the only join
+    # shape where a nested-loop is the right plan
+    """
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").df.select("r_name")
+    n = _t(spark, sf_dir, "nation").df.select("n_name")
+    return r.crossJoin(n)
+
+
+@_q(
+    "not_in_customers",
+    # NOT IN subquery: decorrelates to a null-aware anti join — the
+    # form whose three-valued NULL semantics differ from NOT EXISTS
+    # (one NULL in the subquery empties the result); custkey is
+    # non-null here so the result matches the anti-join reading
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    """,
+)
+def q_not_in_customers(spark, sf_dir):
+    _t(spark, sf_dir, "customer").df.createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").df.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+        """
+    )
+
+
+@_q(
+    "target_encode_loo",
+    # leave-one-out target encoding (the ML-prep form that avoids
+    # self-leakage): each row's encoding is (group_sum - own) /
+    # (group_n - 1), computed from ONE per-group aggregate broadcast
+    # back — exact decimal sums, never a per-row window over the fact
+    """
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+               AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey,
+           ROUND(CAST(g.s - CAST(o.o_totalprice AS DECIMAL(18,4)) AS DOUBLE)
+                 / (g.n - 1), 6) AS loo_mean
+    FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+    WHERE g.n > 1
+    """,
+)
+def q_target_encode_loo(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    g = o.groupBy(F.col("o_orderpriority").alias("__p__")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        o.join(F.broadcast(g), o["o_orderpriority"] == F.col("__p__"))
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            F.round(
+                (F.col("s") - F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / (F.col("n") - 1),
+                6,
+            ).alias("loo_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -7050,6 +7143,9 @@ _DRIVER_ROW_PRIORITY = [
     "date_breadth_orders",
     "variant_props_stats",
     "source_from_xml",
+    "join_cross",
+    "not_in_customers",
+    "target_encode_loo",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
