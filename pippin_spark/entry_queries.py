@@ -7002,6 +7002,67 @@ def q_target_encode_loo(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 18: DataSketches HLL, string-function breadth
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_hll_datasketches",
+    # Apache DataSketches HLL (hll_sketch_agg — the cross-system
+    # mergeable sketch family, distinct from Spark's internal HLL++
+    # in approx_count_distinct): per-type user estimates checked
+    # against the exact count with a 5% accuracy band, the same
+    # hash-checkable pattern as streaming_approx_users
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_in_band
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_hll_datasketches(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    est = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("__est__"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return est.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__est__") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_in_band"),
+    )
+
+
+@_q(
+    "string_breadth_docs",
+    # scalar string-function breadth: split_part, regexp occurrence
+    # counting, initcap, reverse, repeat-free padding — all scan-fused
+    # Column expressions with DuckDB twins
+    """
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, 'e')) AS BIGINT) AS n_e,
+           upper(lang) AS lang_title,
+           reverse(source) AS source_rev,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id
+    FROM documents
+    """,
+)
+def q_string_breadth_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return docs.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.regexp_count(F.col("text"), F.lit("e")).cast("bigint").alias("n_e"),
+        F.upper("lang").alias("lang_title"),
+        F.reverse("source").alias("source_rev"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -7146,6 +7207,8 @@ _DRIVER_ROW_PRIORITY = [
     "join_cross",
     "not_in_customers",
     "target_encode_loo",
+    "agg_hll_datasketches",
+    "string_breadth_docs",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
