@@ -7063,6 +7063,75 @@ def q_string_breadth_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 19: native session_window, month-over-month growth
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "session_window_native",
+    # Spark's BUILT-IN session_window (vs the hand-rolled gap-flag
+    # sessionize_events — both declared so the two stay provably
+    # equivalent): 30-min gap, micros precision in both engines, a
+    # session closes when gap >= the duration (hence >= in the oracle)
+    """
+    WITH flags AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                    OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flags GROUP BY user_id
+    """,
+)
+def q_session_window_native(spark, sf_dir):
+    ev = _ev(spark, sf_dir).withColumn(
+        "tsc", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    per_session = ev.groupBy(
+        "user_id", F.session_window("tsc", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
+@_q(
+    "mom_revenue_growth",
+    # month-over-month growth: the reporting shape — exact decimal
+    # monthly sums, then lag/ratio over the ~#months post-aggregate
+    """
+    WITH m AS (
+      SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS month_idx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month_idx, revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month_idx))
+                 / LAG(revenue) OVER (ORDER BY month_idx), 6) AS mom_growth
+    FROM m
+    """,
+)
+def q_mom_revenue_growth(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    d = F.col("o_orderdate")
+    m = o.groupBy(
+        ((F.year(d) - 1995) * 12 + F.month(d) - 1).cast("bigint").alias("month_idx")
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = Window.orderBy("month_idx")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month_idx",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -7209,6 +7278,8 @@ _DRIVER_ROW_PRIORITY = [
     "target_encode_loo",
     "agg_hll_datasketches",
     "string_breadth_docs",
+    "session_window_native",
+    "mom_revenue_growth",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
