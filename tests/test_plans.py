@@ -422,6 +422,56 @@ def test_dynamic_partition_pruning_kicks_in(spark):
     assert "dynamicpruning" in p.lower(), p[:2000]
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    # the 100 TB celebrity-key story: one key carrying most of the
+    # rows must be SPLIT by AQE's skew-join handling at runtime, not
+    # processed by one straggler task. Thresholds are lowered so the
+    # effect is observable at test scale; the assertion is on the
+    # executed (adaptive) plan's skew markers.
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # coalescing first would merge the small partitions into the
+        # skew-detection median; column pruning would shrink the hot
+        # partition below threshold (hence the pad columns survive
+        # into the aggregate below)
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 200_000).select(
+            (F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("rpad"),
+        )
+        j = hot.join(right, "k").agg(
+            F.sum(F.length("pad")).alias("s"),
+            F.sum(F.length("rpad")).alias("r"),
+        )
+        j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        final = p.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:3000]
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_asof_tolerance_edges(spark):
     # exactly-at-tolerance matches survive; one tick beyond nulls out;
     # left rows with no prior right row stay null
