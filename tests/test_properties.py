@@ -123,3 +123,68 @@ def test_hash_bucket_engine_portable(spark, ids, salt):
     got_py = {i: (((i + salt) % _M31) * _KNUTH) % _M32 for i in ids}
     assert got_spark == got_py
     assert got_duck == got_py
+
+
+@given(
+    xs=st.lists(
+        st.sampled_from([f"v{i}" for i in range(12)]), min_size=1, max_size=60
+    ),
+    k=st.integers(min_value=2, max_value=8),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_heavy_hitters_property(spark, xs, k, parts):
+    # for ANY multiset, partition count, and k: the output is exactly
+    # the items with count*k > n, with exact counts — the MG sketch's
+    # partitioning-dependence must never leak into the result
+    from collections import Counter
+
+    from pippin_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(x,) for x in xs], "item string").repartition(parts)
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", k=k).collect()}
+    n = len(xs)
+    expect = {v: c for v, c in Counter(xs).items() if c * k > n}
+    assert got == expect
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+                   min_size=1, max_size=20),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000),
+                              st.integers(-100, 100)),
+                    min_size=0, max_size=20),
+    tol=st.integers(min_value=0, max_value=500),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_tolerance_property(spark, lefts, rights, tol):
+    # as-of with tolerance == plain-Python scan: latest right at-or-
+    # before, nulled when staler than tol. Right-side ties broken by
+    # taking the LAST in (ts, value) sort order (matches the window's
+    # deterministic tie-break on the carried value ordering).
+    from pippin_spark.operators.relational import asof_join
+
+    lefts = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    ldf = spark.createDataFrame(lefts, "k long, t long, lid long")
+    # one right row per (k, t): with equal timestamps the window's
+    # order among right rows is undefined, so the spec would be
+    # nondeterministic too — dedup keeps the max-v row
+    best = {}
+    for rk, rt, rv in rights:
+        best[(rk, rt)] = max(rv, best.get((rk, rt), rv))
+    rights = sorted((rk, rt, rv) for (rk, rt), rv in best.items())
+    rdf = spark.createDataFrame(rights, "k long, t long, v long") if rights else (
+        spark.createDataFrame([], "k long, t long, v long")
+    )
+    out = asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t",
+                    right_cols=["v"], tolerance=tol)
+    got = {r["lid"]: r["v"] for r in out.collect()}
+    for k, t, lid in lefts:
+        cands = [(rt, rv) for rk, rt, rv in rights if rk == k and rt <= t]
+        if not cands:
+            assert got[lid] is None, (lid, got[lid])
+            continue
+        rt, rv = max(cands)
+        assert got[lid] == (rv if t - rt <= tol else None), (lid, got[lid])
