@@ -6176,20 +6176,23 @@ def q_impute_locf_events(spark, sf_dir):
 )
 def q_bm25_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df
-    toks = docs.select(
+    arr = F.split(F.lower(F.col("text")), r"\s+")
+    # doc length from the token ARRAY in the scan projection — the
+    # explode path would shuffle every (doc, token) pair corpus-wide
+    # just to count per doc
+    dl = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+        F.size(F.filter(arr, lambda x: x != "")).cast("bigint").alias("dlen"),
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = (
-        toks.filter(F.col("tok").isin("join", "hash", "scan"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(arr).alias("tok"),
+    ).filter(F.col("tok").isin("join", "hash", "scan"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "tok")
