@@ -373,6 +373,11 @@ def test_round3_late_batch_plan_shapes(spark, qs):
     # TWAP: one keyed window + one aggregate, no join
     tw = p("twap_events")
     assert "Join" not in tw
+    # per-source cap: rank<=N must push down as WindowGroupLimit on
+    # BOTH sides of the exchange (map-side per-partition heaps, then
+    # the final per-key limit) — never a full sort of each group
+    cap = p("cap_docs_per_source")
+    assert count_nodes(cap, "WindowGroupLimit") == 2
 
 
 def test_partition_pruning_on_hive_sink(spark, qs):
