@@ -7135,6 +7135,43 @@ def q_mom_revenue_growth(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 20: catalog CTAS surface
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "catalog_ctas",
+    # CREATE TABLE AS SELECT through the session catalog (external
+    # location so nothing lands in the repo/warehouse dir), read back
+    # via spark.table — the catalog-managed half of the sink surface
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_catalog_ctas(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table = f"pippin_ctas_{tag}"
+    _t(spark, sf_dir, "orders").df.createOrReplaceTempView("orders_src")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"""
+        CREATE TABLE {table}
+        USING PARQUET LOCATION '/tmp/pippin_ctas_{tag}'
+        AS SELECT o_orderpriority,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                    AS total
+           FROM orders_src GROUP BY 1
+        """
+    )
+    return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -7283,6 +7320,7 @@ _DRIVER_ROW_PRIORITY = [
     "string_breadth_docs",
     "session_window_native",
     "mom_revenue_growth",
+    "catalog_ctas",
     "window_rolling_median",
     "gap_detect_events",
     "agg_correlations",
