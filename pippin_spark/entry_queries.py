@@ -5802,7 +5802,7 @@ def q_source_file_lineage(spark, sf_dir):
     # one pass — coalesce, not repartition, so compaction moves no data
     # between executors; _metadata proves the file count dropped
     """
-    SELECT lang, COUNT(*) AS n, CAST(1 AS BIGINT) AS n_files
+    SELECT lang, COUNT(*) AS n, TRUE AS files_ok
     FROM documents GROUP BY 1
     """,
 )
@@ -5829,8 +5829,13 @@ def q_sink_compacted_parquet(spark, sf_dir):
         .parquet(compact)
     )
     back = spark.read.parquet(compact)
+    # compare the observed file count against the size-derived target
+    # (a boolean, not a hardcoded 1 — corpora over 128 MB legitimately
+    # compact to more than one file)
     n_files = back.select(
-        F.count_distinct(F.col("_metadata.file_name")).alias("n_files")
+        (
+            F.count_distinct(F.col("_metadata.file_name")) == F.lit(target_files)
+        ).alias("files_ok")
     )
     return (
         back.groupBy("lang")
@@ -6180,10 +6185,13 @@ def q_bm25_topk(spark, sf_dir):
     # doc length from the token ARRAY in the scan projection — the
     # explode path would shuffle every (doc, token) pair corpus-wide
     # just to count per doc
+    # dlen > 0 filter matches the oracle's token-derived doc set: an
+    # empty/whitespace-only doc contributes no tokens there, so it
+    # must not count toward n_docs/avgdl here either
     dl = docs.select(
         "doc_id",
         F.size(F.filter(arr, lambda x: x != "")).cast("bigint").alias("dlen"),
-    )
+    ).filter(F.col("dlen") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -7153,10 +7161,15 @@ def q_mom_revenue_growth(spark, sf_dir):
 def q_catalog_ctas(spark, sf_dir):
     import os
 
+    import shutil
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     table = f"pippin_ctas_{tag}"
     _t(spark, sf_dir, "orders").df.createOrReplaceTempView("orders_src")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # DROP on an EXTERNAL table removes only catalog metadata; CTAS
+    # refuses a non-empty LOCATION, so clear the prior run's files
+    shutil.rmtree(f"/tmp/pippin_ctas_{tag}", ignore_errors=True)
     spark.sql(
         f"""
         CREATE TABLE {table}

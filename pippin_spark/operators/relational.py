@@ -193,11 +193,14 @@ def asof_join(
     """As-of join (most-recent right row at or before each left row) —
     an operator Spark lacks natively; reference lacks joins entirely.
 
-    ``tolerance`` (same units as the ts columns) nulls the carried
-    right values when the matched right row is further than that from
-    the left row — pandas merge_asof's tolerance semantics. The match
-    timestamp is carried alongside the values, so this is a projection
-    on the same single-shuffle plan, not an extra pass.
+    ``tolerance`` (same units as the ts columns) nulls a carried right
+    value when the row that VALUE came from is further than that from
+    the left row. Because this operator's base semantics are
+    carry-forward of the latest non-null value (last ignorenulls, per
+    column), the staleness check binds each value to its own source
+    timestamp via a (t, v) struct — not to the timestamp of the
+    as-of row, which may hold NULL for that column. Same
+    single-shuffle plan, no extra pass.
 
     Spark-first implementation (no UDF, single shuffle): tag and union
     both sides, hash-partition by key, sort by time within partition,
@@ -217,28 +220,50 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     lcols = [c for c in left.columns]
-    # (carried name, source column on the right) — the match timestamp
-    # rides along as one more carried value when a tolerance is set
-    carry = [(c, c) for c in right_cols]
-    if tolerance is not None:
-        carry.append(("__mts__", right_ts))
+
+    from pyspark.sql import types as _T
+
+    if tolerance is None:
+        carried_type = {c: right.schema[c].dataType for c in right_cols}
+        carried_src = {c: F.col(c) for c in right_cols}
+    else:
+        # each value is carried WITH its own timestamp as one struct,
+        # null when the value is null — so last(ignorenulls) skips
+        # null-value rows entirely and the staleness check applies to
+        # the timestamp of the value actually returned (a separate
+        # match-timestamp column would let an in-band NULL-valued row
+        # vouch for an arbitrarily stale older value)
+        ts_type = right.schema[right_ts].dataType
+        carried_type = {
+            c: _T.StructType(
+                [
+                    _T.StructField("t", ts_type),
+                    _T.StructField("v", right.schema[c].dataType),
+                ]
+            )
+            for c in right_cols
+        }
+        carried_src = {
+            c: F.when(
+                F.col(c).isNotNull(),
+                F.struct(F.col(right_ts).alias("t"), F.col(c).alias("v")),
+            )
+            for c in right_cols
+        }
 
     tagged_left = left.select(
         F.col(on).alias("__k__"),
         F.col(left_ts).alias("__t__"),
         F.lit(1).alias("__is_left__"),
         *[F.col(c) for c in lcols if c != on],
-        *[
-            F.lit(None).cast(right.schema[src].dataType).alias(f"__r_{name}")
-            for name, src in carry
-        ],
+        *[F.lit(None).cast(carried_type[c]).alias(f"__r_{c}") for c in right_cols],
     )
     tagged_right = right.select(
         F.col(on).alias("__k__"),
         F.col(right_ts).alias("__t__"),
         F.lit(0).alias("__is_left__"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
-        *[F.col(src).alias(f"__r_{name}") for name, src in carry],
+        *[carried_src[c].alias(f"__r_{c}") for c in right_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
     if direction == "backward":
@@ -249,8 +274,8 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = [
-            F.last(f"__r_{name}", ignorenulls=True).over(w).alias(f"__c_{name}")
-            for name, _ in carry
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
         ]
     else:
         w = (
@@ -259,24 +284,26 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carried = [
-            F.first(f"__r_{name}", ignorenulls=True).over(w).alias(f"__c_{name}")
-            for name, _ in carry
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
         ]
     out = unioned.select("*", *carried).filter(F.col("__is_left__") == 1)
-    if tolerance is None:
-        in_band = F.lit(True)
-    elif direction == "backward":
-        in_band = F.col("__t__") - F.col("__c___mts__") <= F.lit(tolerance)
-    else:
-        in_band = F.col("__c___mts__") - F.col("__t__") <= F.lit(tolerance)
+
+    def value_of(c):
+        if tolerance is None:
+            return F.col(f"__c_{c}")
+        carried_t = F.col(f"__c_{c}").getField("t")
+        if direction == "backward":
+            in_band = F.col("__t__") - carried_t <= F.lit(tolerance)
+        else:
+            in_band = carried_t - F.col("__t__") <= F.lit(tolerance)
+        return F.when(in_band, F.col(f"__c_{c}").getField("v"))
+
     return out.select(
         F.col("__k__").alias(on),
         F.col("__t__").alias(left_ts),
         *[F.col(c) for c in lcols if c not in (on, left_ts)],
-        *[
-            F.when(in_band, F.col(f"__c_{c}")).alias(c)
-            for c in right_cols
-        ],
+        *[value_of(c).alias(c) for c in right_cols],
     )
 
 

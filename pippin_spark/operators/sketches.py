@@ -66,8 +66,11 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     )
     total = src.agg(F.count(F.lit(1)).alias("__n__"))
     counts = (
+        # null-safe match: NULL can be a legitimate heavy hitter (it
+        # survives the sketch as a None counter), and a plain equi-join
+        # would silently drop it from the recount
         src.join(F.broadcast(candidates.withColumnRenamed(col, "__cand__")),
-                 F.col(col) == F.col("__cand__"), "left_semi")
+                 F.col(col).eqNullSafe(F.col("__cand__")), "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -34,6 +34,8 @@ class SyntheticDocsReader(DataSourceReader):
         self.parts = max(1, int(options.get("parts", 8)))
 
     def partitions(self):
+        if self.n <= 0:
+            return [_RangePartition(0, 0)]  # empty source, one no-op split
         step = -(-self.n // self.parts)  # ceil
         return [
             _RangePartition(lo, min(lo + step, self.n))

@@ -237,10 +237,12 @@ def tws_running_agg(
             else:
                 n, total, maxv = 0, 0, None
             for pdf in rows:
-                vals = pdf["__v__"]
+                # dropna BEFORE int conversion: pandas renders nullable
+                # longs as float64 NaN, and int(NaN) raises
+                vals = pdf["__v__"].dropna()
                 n += int(vals.count())
-                total += int(vals.sum())
                 if len(vals):
+                    total += int(vals.sum())
                     m = int(vals.max())
                     maxv = m if maxv is None else max(maxv, m)
             self._agg.update((n, total, maxv))

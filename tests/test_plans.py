@@ -503,3 +503,15 @@ def test_asof_tolerance_edges(spark):
     )
     got2 = {r["tag"]: r["v"] for r in out2.collect()}
     assert got2 == {"a": None, "b": 9.0, "c": None}
+    # regression (review finding): an in-band right row whose VALUE is
+    # null must not let an out-of-band older value pass the tolerance
+    # gate — staleness binds to the value's own timestamp
+    left3 = spark.createDataFrame([(1, 12, "x")], "k long, t long, tag string")
+    right3 = spark.createDataFrame(
+        [(1, 0, 5.0), (1, 10, None)], "k long, t long, v double"
+    )
+    out3 = asof_join(
+        left3, right3, on="k", left_ts="t", right_ts="t",
+        right_cols=["v"], tolerance=5,
+    )
+    assert out3.collect()[0]["v"] is None
