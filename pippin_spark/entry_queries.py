@@ -4087,7 +4087,15 @@ def q_streaming_foreach_upsert(spark, sf_dir):
             .filter(F.col("__rn__") == 1)
             .select("user_id", "value", "ts", "event_id")
         )
-        try:
+        # "first batch" is decided by LOOKING at the directory, never by
+        # swallowing read errors — a transient failure reading real
+        # accumulated state must propagate, not silently reset the table
+        import os as _os
+
+        has_state = _os.path.isdir(out_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(out_dir)
+        )
+        if has_state:
             cur = spark.read.parquet(out_dir)
             merged = (
                 cur.unionByName(latest)
@@ -4102,11 +4110,13 @@ def q_streaming_foreach_upsert(spark, sf_dir):
                 .filter(F.col("__rn__") == 1)
                 .drop("__rn__")
             )
-        except Exception:
+        else:
             merged = latest
-        merged.cache().count()  # decouple from the dir being overwritten
+        # localCheckpoint (eager) truly materializes the merge before
+        # the overwrite deletes its input — a cache can be evicted and
+        # recomputed from the half-deleted directory
+        merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(out_dir)
-        merged.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(upsert)
@@ -4260,8 +4270,12 @@ def q_merge_intervals_events(spark, sf_dir):
 )
 def q_source_from_text(spark, sf_dir):
     # raw text-line source+sink round trip: one string column on disk,
-    # schema imposed by parsing (split) at read — the log-file shape
-    tmp = "/tmp/pippin_spark_text_roundtrip"
+    # schema imposed by parsing (split) at read — the log-file shape.
+    # Per-run temp dir: a shared path races concurrent sessions (one
+    # overwrites while the other's lazy read scans it)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="pippin_text_roundtrip_")
     docs = _t(spark, sf_dir, "documents").df
     docs.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("lang")).alias("value")
@@ -4486,10 +4500,14 @@ def q_asof_join_forward_events(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", F.col("event_id").alias("view_id")
+    )
+    # right_tie pins equal-timestamp views to the min event_id — the
+    # same tie-break the oracle's ORDER BY v.ts, v.event_id expresses
     out = REL.asof_join(
         purchases, views, on="user_id", left_ts="ts", right_ts="ts",
-        right_cols=["value"], direction="forward",
+        right_cols=["value"], direction="forward", right_tie=["view_id"],
     )
     return out.select(
         "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
@@ -4583,9 +4601,12 @@ def q_streaming_approx_users(spark, sf_dir):
     from pippin_spark.streaming import StreamingPipeline
 
     sp = StreamingPipeline(agg)
+    # complete mode like the other windowed-aggregate streams: update
+    # mode re-emits a window per micro-batch that touches it, so a
+    # multi-file feed would duplicate rows in the memory sink
     sp.start(
         query_name="pippin_stream_approx_users",
-        output_mode="update",
+        output_mode="complete",
         available_now=True,
         state_partitions=_stream_parts(spark, sf_dir),
     )

@@ -704,8 +704,16 @@ def dedup_clusters(
         changed = new_labels.filter(F.col("__chg__")).limit(1).count()
         labels = new_labels.drop("__chg__")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # exhausting max_iter with labels still moving means components
+    # wider than the round budget exist; silently returning unconverged
+    # labels would under-deduplicate (non-minimal cluster ids), so fail
+    # loudly and point at the remedy
+    raise RuntimeError(
+        f"dedup_clusters did not converge within max_iter={max_iter} rounds: "
+        "a component's diameter exceeds the budget. Raise max_iter or use "
+        "alternating large-star/small-star for huge-diameter graphs."
+    )
 
 
 # ---------------------------------------------------------------------------

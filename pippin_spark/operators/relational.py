@@ -189,6 +189,7 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     direction: str = "backward",
     tolerance: Optional[int] = None,
+    right_tie: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """As-of join (most-recent right row at or before each left row) —
     an operator Spark lacks natively; reference lacks joins entirely.
@@ -201,6 +202,13 @@ def asof_join(
     timestamp via a (t, v) struct — not to the timestamp of the
     as-of row, which may hold NULL for that column. Same
     single-shuffle plan, no extra pass.
+
+    ``right_tie`` makes equal-timestamp right rows deterministic (the
+    window otherwise orders only by time, so the carried value among
+    ties is partitioning-dependent): forward matches take the MINIMAL
+    tie key at the matched timestamp, backward matches the MAXIMAL
+    (the latest-written row wins). Same columns its bucketed twin
+    already accepts.
 
     Spark-first implementation (no UDF, single shuffle): tag and union
     both sides, hash-partition by key, sort by time within partition,
@@ -251,12 +259,17 @@ def asof_join(
             for c in right_cols
         }
 
+    ties = list(right_tie or [])
     tagged_left = left.select(
         F.col(on).alias("__k__"),
         F.col(left_ts).alias("__t__"),
         F.lit(1).alias("__is_left__"),
         *[F.col(c) for c in lcols if c != on],
         *[F.lit(None).cast(carried_type[c]).alias(f"__r_{c}") for c in right_cols],
+        *[
+            F.lit(None).cast(right.schema[tc].dataType).alias(f"__tie_{i}__")
+            for i, tc in enumerate(ties)
+        ],
     )
     tagged_right = right.select(
         F.col(on).alias("__k__"),
@@ -264,13 +277,16 @@ def asof_join(
         F.lit(0).alias("__is_left__"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
         *[carried_src[c].alias(f"__r_{c}") for c in right_cols],
+        *[F.col(tc).alias(f"__tie_{i}__") for i, tc in enumerate(ties)],
     )
     unioned = tagged_left.unionByName(tagged_right)
+    tie_order = [F.col(f"__tie_{i}__").asc() for i in range(len(ties))]
     if direction == "backward":
-        # right rows sort before left rows at equal ts → "at or before"
+        # right rows sort before left rows at equal ts → "at or before";
+        # last() among equal-(ts) right rows then takes the MAX tie key
         w = (
             Window.partitionBy("__k__")
-            .orderBy(F.col("__t__").asc(), F.col("__is_left__").asc())
+            .orderBy(F.col("__t__").asc(), F.col("__is_left__").asc(), *tie_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = [
@@ -280,7 +296,7 @@ def asof_join(
     else:
         w = (
             Window.partitionBy("__k__")
-            .orderBy(F.col("__t__").asc(), F.col("__is_left__").desc())
+            .orderBy(F.col("__t__").asc(), F.col("__is_left__").desc(), *tie_order)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carried = [

@@ -190,7 +190,7 @@ def test_checkpoint_restart_processes_only_new_files(spark):
     feed = tempfile.mkdtemp(prefix="pippin_feed_ckpt_")
     ckpt = tempfile.mkdtemp(prefix="pippin_ckpt_restart_")
 
-    def write_batch(ids, name):
+    def write_batch(ids):
         spark.createDataFrame([(i,) for i in ids], "id long").coalesce(1).write.mode(
             "append"
         ).parquet(feed)
@@ -209,12 +209,12 @@ def test_checkpoint_restart_processes_only_new_files(spark):
         )
         q.awaitTermination(60)
 
-    write_batch(range(0, 5), "a")
+    write_batch(range(0, 5))
     run_once()
     first = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert first == list(range(0, 5))
 
-    write_batch(range(5, 9), "b")
+    write_batch(range(5, 9))
     run_once()
     # run 2 resumed from the offset log: exactly-once overall — the new
     # file's rows appended, nothing reprocessed
