@@ -429,6 +429,29 @@ def test_dynamic_partition_pruning_kicks_in(spark):
     assert "dynamicpruning" in p.lower(), p[:2000]
 
 
+def test_cbo_stats_enable_broadcast(spark):
+    # cost-based optimization surface: ANALYZE TABLE COMPUTE STATISTICS
+    # records sizeInBytes in the catalog, and a table KNOWN to be small
+    # then broadcasts without any hint — the stats-driven half of join
+    # planning (hints and AQE cover the other paths)
+    import uuid
+
+    t = f"pippin_stats_{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(f"{SF}/nation.parquet").write.saveAsTable(t)
+    try:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        desc = spark.sql(f"DESCRIBE EXTENDED {t}").collect()
+        stats_row = [r for r in desc if r["col_name"] == "Statistics"]
+        assert stats_row and "bytes" in stats_row[0]["data_type"]
+        big = spark.read.parquet(f"{SF}/customer.parquet")
+        j = big.join(
+            spark.table(t), big["c_nationkey"] == F.col("n_nationkey")
+        )
+        assert "BroadcastHashJoin" in plan(j)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_aqe_skew_join_splits_hot_partition(spark):
     # the 100 TB celebrity-key story: one key carrying most of the
     # rows must be SPLIT by AQE's skew-join handling at runtime, not
