@@ -3488,15 +3488,22 @@ def q_zorder_parts(spark, sf_dir):
     ), l AS (
       SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, lines[u.i] AS line
       FROM ls, UNNEST(generate_series(1, len(lines))) AS u(i)
-      WHERE length(lines[u.i]) >= 1
     ), w AS (
-      SELECT md5(line) AS h, MIN(ROW(doc_id, pos)) AS wp FROM l GROUP BY 1
+      SELECT md5(line) AS h, MIN(ROW(doc_id, pos)) AS wp
+      FROM l WHERE length(line) >= 1 GROUP BY 1
     ), kept AS (
       SELECT l.doc_id, l.pos, l.line
       FROM l JOIN w ON md5(l.line) = w.h AND ROW(l.doc_id, l.pos) = w.wp
+      WHERE length(l.line) >= 1
+      UNION ALL
+      SELECT doc_id, pos, line FROM l WHERE length(line) < 1
+    ), agg AS (
+      SELECT doc_id, string_agg(line, CHR(10) ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
     )
-    SELECT doc_id, string_agg(line, CHR(10) ORDER BY pos) AS text
-    FROM kept GROUP BY doc_id
+    SELECT ids.doc_id, COALESCE(agg.text, '') AS text
+    FROM (SELECT DISTINCT doc_id FROM documents) ids
+    LEFT JOIN agg ON ids.doc_id = agg.doc_id
     """,
 )
 def q_dedup_lines_docs(spark, sf_dir):

@@ -65,12 +65,18 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lowercased text (native HOFs:
     sequence → transform → slice → array_join)."""
     toks = F.split(F.trim(F.regexp_replace(F.lower(text_col), "\\s+", " ")), " ")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    k = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.array_distinct(grams)
+    # guard BEFORE sequence(): for a doc with < n tokens the greatest()
+    # trick yields sequence(1, 0) == the DESCENDING array [1, 0], and
+    # slice(toks, 0, n) is a runtime error — short docs get an empty
+    # shingle set instead (same guard word_ngrams uses)
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 _LONG_MAX = (1 << 63) - 1
@@ -382,7 +388,25 @@ def lsh_candidates(
     (dropped buckets are near-duplicate *cliques*; handle them as
     groups, not pairs)."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = df.select(
+    # fail LOUDLY when the banding overruns the signature: an
+    # out-of-range slice hashes the empty string identically for every
+    # doc, silently collapsing the corpus into one mega-bucket per
+    # overflowing band (the sibling signature builder raises on the
+    # analogous misconfiguration at build time; the signature column
+    # length is only knowable here at run time)
+    need = bands * rows_per_band
+    guard = F.assert_true(
+        F.size(F.col(sig_col)) >= F.lit(need),
+        F.concat(
+            F.lit(f"lsh_candidates: bands*rows_per_band={need} exceeds "
+                  "signature length "),
+            F.size(F.col(sig_col)).cast("string"),
+        ),
+    )
+    # where(), not an unused projected column — column pruning would
+    # silently remove an unreferenced assert; assert_true yields NULL
+    # on success so the filter keeps every valid row
+    banded = df.where(guard.isNull()).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
@@ -822,9 +846,16 @@ def dedup_simhash(
     emitted pair — disappears. Buckets beyond ``max_bucket_size``
     (near-dup *cliques* — boilerplate classes) can be dropped, as in
     :func:`lsh_candidates`."""
+    import numpy as _np
     import pandas as pd
 
     popcount = _popcount64
+    # values of DROPPED (oversized) buckets per chunk — the exactly-
+    # once suppression must not credit a lower chunk whose bucket was
+    # never expanded, or pairs sharing that chunk vanish from every
+    # bucket. Populated below when max_bucket_size is set; bounded by
+    # the number of mega-buckets (boilerplate classes), inherently few.
+    over_vals = {c: _np.empty(0, dtype=_np.uint64) for c in range(4)}
 
     def expand(pdfs):
         import numpy as np
@@ -849,10 +880,20 @@ def dedup_simhash(
                     r, c = r[keep], c[keep]
                     xv = x[r, c]
                     # exactly-once: skip pairs already emitted by a
-                    # lower identical chunk
+                    # lower identical chunk — unless that chunk's
+                    # bucket was dropped as oversized (it emitted
+                    # nothing, so this bucket must keep the pair)
                     dup = np.zeros(len(r), dtype=bool)
                     for cp in range(int(chunk)):
-                        dup |= ((xv >> np.uint64(16 * cp)) & np.uint64(0xFFFF)) == 0
+                        same = (
+                            (xv >> np.uint64(16 * cp)) & np.uint64(0xFFFF)
+                        ) == np.uint64(0)
+                        if over_vals[cp].size:
+                            shared = (
+                                sig[r + s] >> np.uint64(16 * cp)
+                            ) & np.uint64(0xFFFF)
+                            same &= ~np.isin(shared, over_vals[cp])
+                        dup |= same
                     r, c = r[~dup], c[~dup]
                     out_a.append(ids[r + s])
                     out_b.append(ids[c + s])
@@ -894,6 +935,19 @@ def dedup_simhash(
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
+        # checkpoint so the oversized-scan and the expansion share one
+        # computation of the signature subtree
+        buckets = buckets.localCheckpoint(eager=False)
+        dropped = (
+            buckets.filter(F.size("ids") > max_bucket_size)
+            .select("chunk", "ch")
+            .collect()  # ≤ #mega-buckets rows — driver-safe by nature
+        )
+        for c in range(4):
+            over_vals[c] = _np.array(
+                sorted(r["ch"] for r in dropped if r["chunk"] == c),
+                dtype=_np.uint64,
+            )
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return buckets.mapInPandas(expand, "id_a long, id_b long, hamming int")
 
@@ -909,7 +963,11 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    # zero-norm guard: a zero vector (padding row, failed encoder) has
+    # undefined cosine — define it as 0 rather than dividing by zero,
+    # which under Spark 4's default ANSI mode kills the whole job
+    denom = na * nb
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 def dedup_embedding_cosine(
@@ -1087,8 +1145,13 @@ def dedup_lines(
     lines = df.select(
         F.col(id_col).alias("__id__"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__line__"),
-    ).filter(F.length("__line__") >= min_line_chars)
-    keyed = lines.withColumn("__h__", F.md5(F.col("__line__")))
+    )
+    # lines below min_line_chars are EXEMPT from dedup (kept verbatim
+    # in every document) — they are too short to be boilerplate
+    # evidence, and deleting them would mangle every doc's structure
+    short = lines.filter(F.length("__line__") < min_line_chars)
+    longl = lines.filter(F.length("__line__") >= min_line_chars)
+    keyed = longl.withColumn("__h__", F.md5(F.col("__line__")))
     winners = keyed.groupBy("__h__").agg(
         F.min(F.struct("__id__", "__pos__")).alias("__w__")
     )
@@ -1098,8 +1161,9 @@ def dedup_lines(
         & (keyed["__id__"] == winners["__w__"]["__id__"])
         & (keyed["__pos__"] == winners["__w__"]["__pos__"]),
     ).select("__id__", "__pos__", "__line__")
-    return (
-        kept.groupBy("__id__")
+    assembled = (
+        kept.unionByName(short)
+        .groupBy("__id__")
         .agg(
             F.array_join(
                 F.transform(
@@ -1109,5 +1173,15 @@ def dedup_lines(
                 "\n",
             ).alias("text")
         )
-        .select(F.col("__id__").alias(id_col), "text")
+    )
+    # every input document survives — one whose lines were all
+    # duplicate-dropped comes back with empty text, not silently
+    # missing (downstream joins on id must not lose rows)
+    ids = df.select(F.col(id_col).alias("__id__")).distinct()
+    return (
+        ids.join(assembled, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
     )

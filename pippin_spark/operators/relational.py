@@ -402,18 +402,26 @@ def asof_join_bucketed(
         ],
     )
 
-    # 2. bucket-final right values: argmax by (ts, tie) per (key,
-    # bucket) — a hash aggregate with map-side partials, skew-immune
+    # 2. bucket-final right values: PER-COLUMN argmax by (ts, tie) per
+    # (key, bucket), restricted to rows where that column is non-null
+    # (max_by skips null-ordering rows) — a whole-row argmax would
+    # propagate a NULL held by the bucket's latest row across buckets,
+    # where asof_join's ignorenulls carry would have kept the earlier
+    # value. Hash aggregate with map-side partials, skew-immune.
+    ord_struct = F.struct(
+        F.col("__t__"), *[F.col(f"__rt_{i}") for i in range(len(ties))]
+    )
     finals = (
         tagged_right.withColumn("__bkt__", bkt("__t__"))
         .groupBy("__k__", "__bkt__")
         .agg(
-            F.max_by(
-                F.struct(*[F.col(f"__r_{c}").alias(c) for c in right_cols]),
-                F.struct(
-                    F.col("__t__"), *[F.col(f"__rt_{i}") for i in range(len(ties))]
-                ),
-            ).alias("__fin__")
+            *[
+                F.max_by(
+                    F.col(f"__r_{c}"),
+                    F.when(F.col(f"__r_{c}").isNotNull(), ord_struct),
+                ).alias(f"__fin_{c}")
+                for c in right_cols
+            ]
         )
     )
     # the carry axis must cover every bucket seen on EITHER side — a
@@ -432,7 +440,7 @@ def asof_join_bucketed(
         "__k__",
         "__bkt__",
         *[
-            F.last(F.col("__fin__")[c], ignorenulls=True).over(w_x).alias(f"__inc_{c}")
+            F.last(F.col(f"__fin_{c}"), ignorenulls=True).over(w_x).alias(f"__inc_{c}")
             for c in right_cols
         ],
     )

@@ -29,8 +29,12 @@ STOPWORDS = {
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of lowercased text."""
-    return F.split(F.lower(col), "\\s+")
+    """Whitespace tokens of lowercased text — trimmed and empty-free:
+    split alone turns leading/trailing whitespace into empty-string
+    tokens that inflate every derived count (token_count('') was 1)."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), "\\s+"), lambda x: x != ""
+    )
 
 
 def token_count(col: Column) -> Column:
