@@ -518,3 +518,78 @@ def test_heavy_hitters_exact_under_adversarial_partitioning(spark):
     df = spark.createDataFrame(rows + heavy, "item string").repartition(16)
     got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", k=k).collect()}
     assert got == {"alpha": 300, "beta": 250}
+
+
+def test_cosine_zero_vector_is_zero_not_crash(spark):
+    # ANSI mode (Spark 4 default) turned the unguarded division into a
+    # job-killing DIVIDE_BY_ZERO for any zero embedding
+    from pyspark.sql import functions as F
+
+    from pippin_spark.operators.dedup import cosine_similarity
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(cosine_similarity(F.col("a"), F.col("b"))).collect()]
+    assert got == [0.0, 1.0]
+
+
+def test_shingles_short_doc_empty_not_crash(spark):
+    from pyspark.sql import functions as F
+
+    from pippin_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([("hello world",), ("a b c d",)], "text string")
+    got = [r[0] for r in df.select(shingles(F.col("text"), 3)).collect()]
+    assert got[0] == []
+    assert got[1] == ["a b c", "b c d"]
+
+
+def test_lsh_candidates_rejects_band_overrun(spark):
+    from pippin_spark.operators.dedup import lsh_candidates
+
+    df = spark.createDataFrame(
+        [(1, list(range(8))), (2, list(range(8, 16)))], "id long, sig array<long>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exceeds signature length|ASSERT"):
+        lsh_candidates(df, "id", bands=4, rows_per_band=4).collect()
+
+
+def test_dedup_lines_exempts_short_and_keeps_empty_docs(spark):
+    from pippin_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\n\nshared line"),
+            (2, "shared line"),            # fully deduplicated away
+            (3, "x\n\nx"),                 # short lines under min kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(docs, "text", "doc_id", min_line_chars=2).collect()}
+    # doc 2 survives with empty text; empty + sub-min lines intact
+    assert set(out) == {1, 2, 3}
+    assert out[1] == "keep me\n\nshared line"
+    assert out[2] == ""
+    assert out[3] == "x\n\nx"
+
+
+def test_asof_bucketed_null_value_parity(spark):
+    # a bucket's LATEST right row holding NULL must not erase the
+    # earlier value when carried across buckets (review finding)
+    from pippin_spark.operators.relational import asof_join, asof_join_bucketed
+
+    left = spark.createDataFrame([(1, 3700)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, None)], "k long, t long, x double"
+    )
+    a = asof_join(left, right, on="k", left_ts="t", right_ts="t", right_cols=["x"])
+    b = asof_join_bucketed(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_cols=["x"], bucket_width=3600,
+    )
+    assert a.collect()[0]["x"] == 5.0
+    assert b.collect()[0]["x"] == 5.0
