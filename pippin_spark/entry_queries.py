@@ -1588,6 +1588,33 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return MM.frame_sample(media, every_ms=1000)
 
 
+@_q(
+    "multimodal_audio_chunk",
+    # audio-kind plumbing parity (image decode/resize, video
+    # frame-sample, audio chunking): decode → overlapping chunk windows
+    # via native sequence/explode. duration_ms = md5 bytes 2-3 of the
+    # content, same stand-in codec as the oracle's hex-substr trick.
+    """
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             CAST(('0x' || substr(md5(text), 5, 4)) AS INT) AS duration_ms
+      FROM documents
+    ), s AS (
+      SELECT media_id, duration_ms,
+             unnest(generate_series(0, duration_ms, 2500)) AS chunk_start_ms
+      FROM a
+    )
+    SELECT media_id, chunk_start_ms,
+           least(chunk_start_ms + 5000, duration_ms) AS chunk_end_ms
+    FROM s
+    """,
+)
+def q_multimodal_audio_chunk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    media = MM.attach_fake_media(docs, "text", "doc_id", kind="audio")
+    return MM.audio_chunks(media, chunk_ms=5000, hop_ms=2500)
+
+
 # ---------------------------------------------------------------------------
 # relational coverage: join variants, set ops, grouping sets, windows
 # (SURVEY §2.5 — all absent from the reference; engine extensions)
@@ -1625,6 +1652,45 @@ def q_join_anti(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").df.select("o_custkey")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_acctbal"
+    )
+
+
+@_q(
+    "join_bloom_prefilter",
+    # explicit runtime-filter pattern: build a 2^20-bit bloom from the
+    # urgent-order keys (distributed bit_or build, one 128 KiB row),
+    # broadcast it, drop non-matching lineitem rows BEFORE the fact
+    # shuffle, then the exact shuffle join — bloom false positives are
+    # swallowed by the join, so the result is exactly the plain join
+    # (= this oracle). The case it models at 100 TB: dim-key set too
+    # big to broadcast raw, fact mostly unmatched.
+    f"""
+    SELECT l_returnflag,
+           {SQL_DSUM('l_extendedprice', 'revenue')},
+           COUNT(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom_prefilter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .df.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bitmap = REL.bloom_bitmap(o, "o_orderkey")
+    survivors = REL.bloom_prefilter(li, "l_orderkey", bitmap)
+    # shuffle-hash hint: stand-in for the big-dim case the pattern
+    # targets (broadcast would make the bloom redundant)
+    joined = survivors.join(
+        o.hint("shuffle_hash"), survivors.l_orderkey == o.o_orderkey, "inner"
+    )
+    return joined.groupBy("l_returnflag").agg(
+        dsum("l_extendedprice", "revenue"), F.count(F.lit(1)).alias("n")
     )
 
 
@@ -7227,6 +7293,9 @@ def q_catalog_ctas(spark, sf_dir):
 # core keeps its relative order at the back. tests/test_entry.py
 # asserts this list stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    # round-3 continuation additions (no driver rows yet)
+    "join_bloom_prefilter",
+    "multimodal_audio_chunk",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

@@ -166,6 +166,27 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def audio_chunks(df: DataFrame, chunk_ms: int = 5000, hop_ms: int = 2500) -> DataFrame:
+    """Audio chunking plan (ASR/pretraining prep): decode audio metadata
+    (one mapInPandas pass — duration is the stubbed codec's output, the
+    plumbing is the real distributed op), then expand each clip into
+    overlapping chunk windows with native sequence/explode — no join,
+    no second scan, no per-chunk Python crossing. Completes the
+    image (decode/resize) / video (frame_sample) / audio triple over
+    the same MEDIA_SCHEMA."""
+    feats = decode_media(df.filter(F.col("kind") == "audio"))
+    start = F.explode(
+        F.sequence(F.lit(0), F.col("duration_ms"), F.lit(hop_ms))
+    ).alias("chunk_start_ms")
+    return feats.select("media_id", F.col("duration_ms"), start).select(
+        "media_id",
+        "chunk_start_ms",
+        F.least(
+            F.col("chunk_start_ms") + F.lit(chunk_ms), F.col("duration_ms")
+        ).alias("chunk_end_ms"),
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

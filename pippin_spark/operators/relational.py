@@ -860,3 +860,67 @@ def zorder_key(c1: Column, c2: Column) -> Column:
         return x
 
     return spread(c1).bitwiseOR(F.shiftleft(spread(c2), 1))
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str, num_bits: int = 1 << 20,
+                 num_hashes: int = 3) -> DataFrame:
+    """Distributed bloom-filter build: ONE row holding the filter as a
+    map<word_idx, 64-bit word> (sparse — absent word = 0).
+
+    Spark injects runtime bloom filters itself only when the build side
+    passes planner heuristics (`spark.sql.optimizer.runtime.bloomFilter.*`);
+    this is the same pattern made explicit and composable, for the case
+    where the dim-key set is too big to broadcast raw (100M keys = GBs)
+    but its bitmap is tiny (2^20 bits = 128 KiB).
+
+    Build is fully distributed: each key emits `num_hashes` bit
+    positions (xxhash64 with distinct literal seeds), positions
+    partial-aggregate map-side into words via bit_or, and only the
+    ≤ num_bits/64 sparse words reach the final single-row
+    map_from_entries — the driver never sees per-key data.
+    """
+    pos_cols = [
+        F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+    words = (
+        keys.select(F.explode(F.array(*pos_cols)).alias("__pos__"))
+        .select(
+            F.expr("__pos__ div 64").alias("__w__"),
+            # SQL shiftleft: the Python API's numBits must be a literal
+            # int, the SQL form takes a column
+            F.expr("shiftleft(1L, cast(__pos__ % 64 as int))").alias("__b__"),
+        )
+        .groupBy("__w__")
+        .agg(F.bit_or("__b__").alias("__word__"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__w__", "__word__"))).alias("__bloom__")
+    )
+
+
+def bloom_prefilter(fact: DataFrame, fact_key: str, bitmap: DataFrame,
+                    num_bits: int = 1 << 20, num_hashes: int = 3) -> DataFrame:
+    """Probe side of the explicit runtime filter: broadcast the one-row
+    bitmap, keep only fact rows whose key hits ALL `num_hashes` bloom
+    positions. Pure codegen expressions (map element_at + bit tests) —
+    no UDF, no shuffle; false positives are fine because the caller
+    follows with the exact join. At 100 TB this drops the unmatched
+    bulk of the fact table BEFORE its shuffle."""
+    probed = fact.crossJoin(F.broadcast(bitmap))
+    pos_names = [f"__bp{i}__" for i in range(num_hashes)]
+    probed = probed.withColumns(
+        {
+            n: F.pmod(F.xxhash64(F.lit(i), F.col(fact_key)), F.lit(num_bits))
+            for i, n in enumerate(pos_names)
+        }
+    )
+    cond = F.lit(True)
+    for n in pos_names:
+        # SQL shiftright (column shift amount); absent word = all-zero
+        hit = F.expr(
+            f"(shiftright(coalesce(element_at(__bloom__, {n} div 64), 0L),"
+            f" cast({n} % 64 as int)) & 1) = 1"
+        )
+        cond = cond & hit
+    return probed.filter(cond).drop("__bloom__", *pos_names)

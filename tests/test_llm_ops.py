@@ -593,3 +593,25 @@ def test_asof_bucketed_null_value_parity(spark):
     )
     assert a.collect()[0]["x"] == 5.0
     assert b.collect()[0]["x"] == 5.0
+
+
+def test_audio_chunks_bounds_and_hop(spark, docs):
+    media = M.attach_fake_media(docs.limit(3), "text", "doc_id", kind="audio")
+    feats = {r["media_id"]: r["duration_ms"] for r in M.decode_media(media).collect()}
+    rows = M.audio_chunks(media, chunk_ms=5000, hop_ms=2500).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["chunk_start_ms"], r["chunk_end_ms"]))
+    for mid, chunks in by_id.items():
+        dur = feats[mid]
+        starts = sorted(s for s, _ in chunks)
+        # hop grid, inclusive of the last grid point ≤ duration
+        assert starts == list(range(0, dur + 1, 2500))[: len(starts)]
+        assert len(starts) == dur // 2500 + 1
+        for s, e in chunks:
+            assert e == min(s + 5000, dur)
+
+
+def test_audio_chunks_ignores_non_audio(spark, docs):
+    media = M.attach_fake_media(docs.limit(2), "text", "doc_id", kind="video")
+    assert M.audio_chunks(media).count() == 0

@@ -540,3 +540,17 @@ def test_asof_tolerance_edges(spark):
         right_cols=["v"], tolerance=5,
     )
     assert out3.collect()[0]["v"] is None
+
+
+def test_bloom_prefilter_plan_shape(spark, qs):
+    # the explicit runtime filter must be pure codegen: no Python eval
+    # anywhere, the one-row bitmap arrives by broadcast, and the fact
+    # scan reads only the 3 projected columns
+    p = plan(qs["join_bloom_prefilter"](spark, SF))
+    assert "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "ShuffledHashJoin" in p  # the exact join the bloom feeds
+    schemas = re.findall(r"ReadSchema: (\S+)", p)
+    li = [s for s in schemas if "l_extendedprice" in s]
+    # fact scan projects exactly the 3 used columns — no full-row read
+    assert li and all(s.count(":") == 3 for s in li)

@@ -273,3 +273,26 @@ def test_asof_join_bucketed_equal_ts_right_tie_deterministic(spark):
         # at-or-before with max-tie winner: t=15 → (10, seq 2) = 200;
         # t=25 and t=95 → (20, seq 2) = 400 (95 exercises cross-bucket)
         assert got == {15: 200.0, 25: 400.0, 95: 400.0}, (width, got)
+
+
+def test_bloom_prefilter_no_false_negatives_and_effective(spark):
+    # membership: every built key must survive (bloom has no false
+    # negatives); effectiveness: with 100 of 10k keys built, the
+    # 2^20-bit filter must drop almost all of the unmatched bulk
+    keys = spark.range(1, 101).select(F.col("id").alias("k"))
+    fact = spark.range(1, 10001).select(F.col("id").alias("fk"))
+    bitmap = R.bloom_bitmap(keys, "k")
+    surv = R.bloom_prefilter(fact, "fk", bitmap)
+    got = {r["fk"] for r in surv.collect()}
+    assert set(range(1, 101)) <= got
+    # expected FP rate at m=2^20, n=100, k=3 is ~0 — allow slack
+    assert len(got) < 200
+
+
+def test_bloom_prefilter_join_exactness(spark):
+    # false positives must be swallowed by the follow-up exact join
+    keys = spark.createDataFrame([(7,), (42,)], "k long")
+    fact = spark.range(0, 1000).select(F.col("id").alias("fk"), (F.col("id") * 2).alias("v"))
+    surv = R.bloom_prefilter(fact, "fk", R.bloom_bitmap(keys, "k"))
+    joined = surv.join(keys, surv.fk == keys.k, "inner").select("fk", "v")
+    assert sorted((r["fk"], r["v"]) for r in joined.collect()) == [(7, 14), (42, 84)]
