@@ -1433,6 +1433,37 @@ def q_emb_quantize(spark, sf_dir):
 
 
 @_q(
+    "emb_random_projection",
+    # signed random projection 64→16: the ±1 sign matrix is a pure
+    # function of (j, i) via md5 parity, so the oracle recomputes it in
+    # SQL; products are exact sign flips, summed in integer nanounits
+    # (order-insensitive), divided back once — bit-identical engines.
+    """
+    WITH e AS (
+      SELECT vec_id, UNNEST(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), s AS (
+      SELECT j, i0,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                                CAST(i0 AS VARCHAR)), 1, 1)) AS INT)
+                       % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM range(0, 16) t1(j), range(0, 64) t2(i0)
+    )
+    SELECT e.vec_id, s.j,
+           CAST(SUM(CAST(ROUND(CAST(e.x AS DOUBLE) * s.sgn * 1000000000.0, 0)
+                         AS BIGINT)) AS DOUBLE) / 1000000000.0 AS val
+    FROM e JOIN s ON e.i = s.i0 + 1
+    GROUP BY e.vec_id, s.j
+    """,
+)
+def q_emb_random_projection(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    return SIM.random_projection(emb, "embedding", "vec_id", in_dim=64, out_dim=16)
+
+
+@_q(
     "window_ntile",
     """
     SELECT o_orderkey,
@@ -7296,6 +7327,7 @@ _DRIVER_ROW_PRIORITY = [
     # round-3 continuation additions (no driver rows yet)
     "join_bloom_prefilter",
     "multimodal_audio_chunk",
+    "emb_random_projection",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

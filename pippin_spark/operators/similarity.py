@@ -486,3 +486,48 @@ def knn_join_blocked(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 16,
+) -> DataFrame:
+    """Signed (±1) random projection — the classic cheap
+    dimensionality reduction (Achlioptas 2003: ±1 entries preserve
+    pairwise distances like Gaussian projections) used before ANN
+    indexing / clustering when the full embedding width is overkill.
+
+    The sign matrix is a PURE FUNCTION of (j, i) via md5 parity, so
+    any engine can recompute it — no state to ship, no RNG to seed.
+    Arithmetic is oracle-exact: each product is ±x (sign flip, no
+    rounding), scaled to integer nanounits and summed as BIGINT (order
+    insensitive), divided back once — identical in any engine.
+
+    Scale: one narrow map stage, zero shuffle, zero UDF; the sign
+    matrix rides in the plan as out_dim literal arrays (in_dim floats
+    each), never broadcast or joined. Output is long form
+    (id, j, val) — pivot to arrays downstream if needed.
+    """
+    import hashlib
+
+    def sign(j: int, i: int) -> float:
+        return 1.0 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    entries = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(sign(j, i)) for i in range(in_dim)])
+        prods = F.zip_with(
+            v, signs, lambda x, s: F.round(x * s * F.lit(1e9), 0).cast("long")
+        )
+        tot = F.aggregate(prods, F.lit(0).cast("long"), lambda a, b: a + b)
+        entries.append(
+            F.struct(
+                F.lit(j).cast("bigint").alias("j"),
+                (tot.cast("double") / F.lit(1e9)).alias("val"),
+            )
+        )
+    return df.select(F.col(id_col), F.inline(F.array(*entries)))

@@ -615,3 +615,37 @@ def test_audio_chunks_bounds_and_hop(spark, docs):
 def test_audio_chunks_ignores_non_audio(spark, docs):
     media = M.attach_fake_media(docs.limit(2), "text", "doc_id", kind="video")
     assert M.audio_chunks(media).count() == 0
+
+
+def test_random_projection_preserves_relative_distance(spark):
+    # JL sanity on a rigged corpus: near-duplicate pair vs an opposite
+    # pair — the projected distance must keep the ordering by a wide
+    # margin (signed ±1 projections preserve pairwise distances)
+    from pippin_spark.operators.similarity import random_projection
+
+    base = [1.0] * 16
+    near = [1.0] * 15 + [0.9]
+    far = [-1.0] * 16
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id long, embedding array<float>"
+    )
+    proj = {}
+    for r in random_projection(df, in_dim=16, out_dim=8).collect():
+        proj.setdefault(r["vec_id"], {})[r["j"]] = r["val"]
+    assert set(proj) == {0, 1, 2} and all(len(v) == 8 for v in proj.values())
+
+    def dist2(a, b):
+        return sum((a[j] - b[j]) ** 2 for j in range(8))
+
+    assert dist2(proj[0], proj[1]) < dist2(proj[0], proj[2]) / 10
+
+
+def test_random_projection_plan_is_narrow(spark):
+    # one map stage: no exchange, no Python eval — the sign matrix
+    # rides in the plan as literals
+    from pippin_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame([(0, [1.0] * 16)], "vec_id long, embedding array<float>")
+    out = random_projection(df, in_dim=16, out_dim=4)
+    p = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in p and "EvalPython" not in p
