@@ -73,6 +73,11 @@ HEADLINE = [
     "running_distinct_users",
     "ewma_events",
     "streaming_stream_stream_join",
+    # round-3 continuation additions
+    "join_bloom_prefilter",
+    "emb_random_projection",
+    "multimodal_audio_chunk",
+    "text_lm_score",
 ]
 
 

@@ -6114,6 +6114,64 @@ def q_ngram_lm_counts(spark, sf_dir):
     )
 
 
+@_q(
+    "text_lm_score",
+    # CCNet-style LM quality scoring: train a Laplace-smoothed bigram
+    # word LM on the 80% training split (doc_id % 10 < 8), score every
+    # HELD-OUT doc by mean conditional probability. Exact integer
+    # arithmetic: per-bigram p stored as (cnt+1)*1e9 div (ctx+V) —
+    # bigint floor division, order-insensitive long sums, ONE double
+    # division at the end. Spark side: bigrams by array-zip (no token
+    # window shuffle), broadcast LM, map-side-complete per-doc
+    # partials (the only shuffle is one row per doc).
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS l
+      FROM documents
+    ), train_pairs AS (
+      SELECT l[i] AS w1, l[i + 1] AS w2 FROM (
+        SELECT l, UNNEST(generate_series(1, len(l) - 1)) AS i
+        FROM toks WHERE doc_id % 10 < 8
+      )
+    ), counts AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM train_pairs GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt FROM counts GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT w2) + 1 AS v FROM counts
+    ), held_pairs AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM (
+        SELECT doc_id, l, UNNEST(generate_series(1, len(l) - 1)) AS i
+        FROM toks WHERE doc_id % 10 >= 8
+      )
+    ), scored AS (
+      SELECT h.doc_id,
+             (COALESCE(c.cnt, 0) + 1) * 1000000000
+               // (COALESCE(x.ctx_cnt, 0) + v.v) AS p
+      FROM held_pairs h
+      LEFT JOIN counts c ON h.w1 = c.w1 AND h.w2 = c.w2
+      LEFT JOIN ctx x ON h.w1 = x.w1
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(p) AS BIGINT) AS score_scaled,
+           CAST(SUM(p) AS DOUBLE) / COUNT(*) / 1000000000.0 AS avg_cond_p
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_lm_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    counts = TXT.lm_bigram_counts(
+        docs.filter(F.col("doc_id") % 10 < 8), "text"
+    )
+    return TXT.lm_score_docs(
+        docs.filter(F.col("doc_id") % 10 >= 8), counts, "text", "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-3 batch 8: end-to-end pretraining prep, event-order QA
 # ---------------------------------------------------------------------------
@@ -7328,6 +7386,7 @@ _DRIVER_ROW_PRIORITY = [
     "join_bloom_prefilter",
     "multimodal_audio_chunk",
     "emb_random_projection",
+    "text_lm_score",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

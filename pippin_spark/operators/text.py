@@ -371,3 +371,105 @@ def token_freq_spectrum(df, text_col: str):
     )
     counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     return counts.groupBy("freq").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model scoring (CCNet-style quality filtering)
+# ---------------------------------------------------------------------------
+
+def _ws_token_array(col: Column) -> Column:
+    """Whitespace token array, lowercased, empties removed — the shared
+    tokenization contract with the DuckDB oracles (same regex both
+    engines, proven by ngram_lm_counts)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+_BIGRAM_PAIRS = (
+    "filter(transform(__toks__, (t, i) -> "
+    "struct(t as w1, try_element_at(__toks__, i + 2) as w2)), "
+    "p -> p.w2 is not null)"
+)
+
+
+def lm_bigram_counts(docs, text_col: str = "text", min_count: int = 1):
+    """Train a bigram word LM: (w1, w2, cnt) counts over the corpus.
+
+    Scale design: bigrams are generated by zipping each document's
+    token ARRAY against itself (`transform` + `try_element_at`) — a
+    narrow, per-row expression — NOT by exploding tokens and running a
+    `lead` window per doc_id, which would shuffle the entire token
+    stream before a single count happened. The only shuffle here
+    carries (w1, w2) partial counts, already combined map-side.
+
+    ``min_count`` prunes rare bigrams AFTER context totals are derived
+    (callers derive contexts from the unpruned counts), keeping the
+    broadcast LM small at corpus scale: a 100 TB corpus has ~10^10
+    distinct bigrams raw but only ~10^7 above min_count=5.
+    """
+    toks = docs.select(_ws_token_array(F.col(text_col)).alias("__toks__"))
+    pairs = (
+        toks.select(F.explode(F.expr(_BIGRAM_PAIRS)).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= min_count)
+    return counts
+
+
+def lm_score_docs(docs, counts, text_col: str = "text",
+                  id_col: str = "doc_id", scale: int = 10 ** 9):
+    """Score documents by mean Laplace-smoothed bigram probability
+    against a trained LM — the CCNet-style "does this look like the
+    reference corpus" quality signal, in exact integer arithmetic.
+
+    Per bigram: p = (cnt+1) / (ctx_cnt + V), V = |vocab|+1 (OOV class).
+    Stored as ``(cnt+1)*scale div (ctx_cnt+V)`` — integer floor
+    division, bit-identical in Spark and DuckDB regardless of plan
+    shape, summed per doc as exact longs; ONE double division at the
+    end. (Long bound: needs (cnt+1)*scale < 2^63, i.e. per-bigram
+    count < 9.2e9 at scale=1e9 — at larger corpora lower ``scale``;
+    ANSI mode makes an overflow loud, never silent.)
+
+    Scale design: the LM (counts + contexts + vocab scalar) is
+    broadcast — the fact-side token stream never shuffles for the
+    lookup; bigrams of one doc stay in one partition (narrow array
+    zip + explode), so the per-doc partial aggregate is map-side
+    complete and the final shuffle carries ONE row per document.
+    """
+    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
+    vocab = counts.select("w2").distinct().agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("v")
+    )
+    toks = docs.select(
+        F.col(id_col), _ws_token_array(F.col(text_col)).alias("__toks__")
+    )
+    big = toks.select(
+        F.col(id_col), F.explode(F.expr(_BIGRAM_PAIRS)).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    scored = (
+        big.join(F.broadcast(counts), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"(coalesce(cnt, 0L) + 1L) * {scale}L"
+                " div (coalesce(ctx_cnt, 0L) + v)"
+            ).alias("__p__"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__p__").alias("score_scaled"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "score_scaled",
+        (
+            F.col("score_scaled").cast("double")
+            / F.col("n_bigrams")
+            / F.lit(float(scale))
+        ).alias("avg_cond_p"),
+    )

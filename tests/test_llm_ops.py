@@ -649,3 +649,53 @@ def test_random_projection_plan_is_narrow(spark):
     out = random_projection(df, in_dim=16, out_dim=4)
     p = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_lm_score_matches_plain_python(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (4, "a cat and a dog"),
+        (8, "the cat sat quietly"),
+        (9, "zebra quantum flux"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = X.lm_bigram_counts(docs.filter(F.col("doc_id") % 10 < 8))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score_scaled"])
+        for r in X.lm_score_docs(
+            docs.filter(F.col("doc_id") % 10 >= 8), counts
+        ).collect()
+    }
+    # plain-python reference: Laplace-smoothed bigram LM on docs 0,1,4
+    from collections import Counter
+    train = [t for i, s in rows if i % 10 < 8 for t in [s.lower().split()]]
+    big = Counter()
+    for toks in train:
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    ctx = Counter()
+    for (a, _), c in big.items():
+        ctx[a] += c
+    v = len({b for _, b in big}) + 1
+    exp = {}
+    for i, s in rows:
+        if i % 10 < 8:
+            continue
+        toks = s.lower().split()
+        ps = [
+            (big.get((a, b), 0) + 1) * 10 ** 9 // (ctx.get(a, 0) + v)
+            for a, b in zip(toks, toks[1:])
+        ]
+        exp[i] = (len(ps), sum(ps))
+    assert got == exp
+
+
+def test_lm_min_count_prunes_but_contexts_precede_pruning(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y x y x z")], "doc_id long, text string"
+    )
+    counts = X.lm_bigram_counts(docs, min_count=2)
+    got = {(r["w1"], r["w2"]): r["cnt"] for r in counts.collect()}
+    # (x,y)=2 survives; (y,x)=2 survives; (x,z)=1 pruned
+    assert got == {("x", "y"): 2, ("y", "x"): 2}

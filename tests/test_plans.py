@@ -554,3 +554,13 @@ def test_bloom_prefilter_plan_shape(spark, qs):
     li = [s for s in schemas if "l_extendedprice" in s]
     # fact scan projects exactly the 3 used columns — no full-row read
     assert li and all(s.count(":") == 3 for s in li)
+
+
+def test_lm_score_plan_shape(spark, qs):
+    # the LM lookup must ride broadcast joins (the token stream never
+    # shuffles for it), and bigram generation must be the narrow
+    # array-zip — no per-doc Window over the exploded token stream
+    p = plan(qs["text_lm_score"](spark, SF))
+    assert count_nodes(p, "Window") == 0
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in p
