@@ -865,7 +865,7 @@ def zorder_key(c1: Column, c2: Column) -> Column:
 def bloom_bitmap(keys: DataFrame, key_col: str, num_bits: int = 1 << 20,
                  num_hashes: int = 3) -> DataFrame:
     """Distributed bloom-filter build: ONE row holding the filter as a
-    map<word_idx, 64-bit word> (sparse — absent word = 0).
+    DENSE array<bigint> of num_bits/64 words.
 
     Spark injects runtime bloom filters itself only when the build side
     passes planner heuristics (`spark.sql.optimizer.runtime.bloomFilter.*`);
@@ -876,13 +876,23 @@ def bloom_bitmap(keys: DataFrame, key_col: str, num_bits: int = 1 << 20,
     Build is fully distributed: each key emits `num_hashes` bit
     positions (xxhash64 with distinct literal seeds), positions
     partial-aggregate map-side into words via bit_or, and only the
-    ≤ num_bits/64 sparse words reach the final single-row
-    map_from_entries — the driver never sees per-key data.
+    ≤ num_bits/64 words reach the final single-row array — the driver
+    never sees per-key data. The array is DENSE (a zero row per word
+    index is unioned in before the bit_or) because the probe side does
+    element_at per fact row: on an array that is O(1), while Spark's
+    map element_at is a LINEAR scan of the map — the sparse-map form
+    of this filter cost ~4.5 s on a 600k-row probe at sf0.1 vs ~0.5 s
+    dense, and the gap widens with fact size.
     """
+    assert num_bits % 64 == 0, "num_bits must be a multiple of 64"
+    n_words = num_bits // 64
     pos_cols = [
         F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(num_bits))
         for i in range(num_hashes)
     ]
+    zeros = keys.sparkSession.range(n_words).select(
+        F.col("id").alias("__w__"), F.lit(0).cast("long").alias("__b__")
+    )
     words = (
         keys.select(F.explode(F.array(*pos_cols)).alias("__pos__"))
         .select(
@@ -891,11 +901,15 @@ def bloom_bitmap(keys: DataFrame, key_col: str, num_bits: int = 1 << 20,
             # int, the SQL form takes a column
             F.expr("shiftleft(1L, cast(__pos__ % 64 as int))").alias("__b__"),
         )
+        .unionByName(zeros)
         .groupBy("__w__")
         .agg(F.bit_or("__b__").alias("__word__"))
     )
     return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("__w__", "__word__"))).alias("__bloom__")
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__w__", "__word__"))),
+            lambda s: s["__word__"],
+        ).alias("__bloom__")
     )
 
 
@@ -903,10 +917,10 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, bitmap: DataFrame,
                     num_bits: int = 1 << 20, num_hashes: int = 3) -> DataFrame:
     """Probe side of the explicit runtime filter: broadcast the one-row
     bitmap, keep only fact rows whose key hits ALL `num_hashes` bloom
-    positions. Pure codegen expressions (map element_at + bit tests) —
-    no UDF, no shuffle; false positives are fine because the caller
-    follows with the exact join. At 100 TB this drops the unmatched
-    bulk of the fact table BEFORE its shuffle."""
+    positions. Pure codegen expressions (O(1) array element_at + bit
+    tests) — no UDF, no shuffle; false positives are fine because the
+    caller follows with the exact join. At 100 TB this drops the
+    unmatched bulk of the fact table BEFORE its shuffle."""
     probed = fact.crossJoin(F.broadcast(bitmap))
     pos_names = [f"__bp{i}__" for i in range(num_hashes)]
     probed = probed.withColumns(
@@ -917,9 +931,10 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, bitmap: DataFrame,
     )
     cond = F.lit(True)
     for n in pos_names:
-        # SQL shiftright (column shift amount); absent word = all-zero
+        # dense array is 1-based; word index always < num_bits/64 by
+        # construction, so the ANSI in-range guarantee holds
         hit = F.expr(
-            f"(shiftright(coalesce(element_at(__bloom__, {n} div 64), 0L),"
+            f"(shiftright(element_at(__bloom__, cast({n} div 64 as int) + 1),"
             f" cast({n} % 64 as int)) & 1) = 1"
         )
         cond = cond & hit
