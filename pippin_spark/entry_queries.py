@@ -3611,6 +3611,43 @@ def q_dedup_lines_docs(spark, sf_dir):
 
 
 @_q(
+    "dedup_span_stats",
+    # suffix-array-style substring dedup signal, windowed: 40-char
+    # windows on a 20-char stride grid; a window is "duplicated" when
+    # its exact text occurs in >= 2 distinct docs. Per doc: total
+    # windows, cross-doc duplicated windows, exact ppm fraction.
+    # Spark side shuffles only (doc, span-digest) distinct rows — the
+    # raw spans never cross the wire
+    """
+    WITH wins AS (
+      SELECT doc_id, md5(substr(text, p + 1, 40)) AS h FROM (
+        SELECT doc_id, text,
+               UNNEST(generate_series(0, length(text) - 40, 20)) AS p
+        FROM documents
+      )
+    ), pair AS (
+      SELECT doc_id, h, COUNT(*) AS n_inst FROM wins GROUP BY 1, 2
+    ), span AS (
+      SELECT h, COUNT(*) AS n_docs FROM pair GROUP BY 1
+    )
+    SELECT doc_id, n_windows, n_dup_windows,
+           n_dup_windows * 1000000 // n_windows AS dup_ppm
+    FROM (
+      SELECT p.doc_id,
+             CAST(SUM(p.n_inst) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN s.n_docs >= 2 THEN p.n_inst ELSE 0 END)
+                  AS BIGINT) AS n_dup_windows
+      FROM pair p JOIN span s ON p.h = s.h
+      GROUP BY p.doc_id
+    )
+    """,
+)
+def q_dedup_span_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return DEDUP.dedup_span_stats(docs, "text", "doc_id")
+
+
+@_q(
     "semantic_dedup_e2e",
     # end-to-end semantic dedup pipeline: embedding near-dup pairs
     # (label-blocked cosine >= 0.99) -> greedy keep-lowest-id -> the
@@ -7387,6 +7424,7 @@ _DRIVER_ROW_PRIORITY = [
     "multimodal_audio_chunk",
     "emb_random_projection",
     "text_lm_score",
+    "dedup_span_stats",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

@@ -1185,3 +1185,75 @@ def dedup_lines(
             F.coalesce(F.col("text"), F.lit("")).alias("text"),
         )
     )
+
+
+def dedup_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_chars: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Exact repeated-substring detection, the windowed approximation of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): slide fixed-width character
+    windows over each document on a stride grid and flag every window
+    whose exact text also occurs in ANOTHER document. Per doc it
+    reports total windows, cross-doc duplicated windows, and the
+    duplicated fraction — the signal that drives span-level scrubbing
+    and boilerplate triage where line/doc-level dedup is too coarse.
+
+    Scale shape: window extraction is a narrow per-row sequence/explode
+    (no join, no second scan); instance counts pre-aggregate per
+    (doc, window-digest) so the first shuffle carries one row per
+    DISTINCT (doc, span) — md5 digests, never the raw 40-char spans;
+    the window-level distinct-doc count and the join back are both on
+    the digest key. At corpus scale the digest behaves like the
+    line-dedup digest: collisions are 2^-128-improbable, and a
+    verify-on-digest-match pass can be appended if exactness against
+    adversarial input is required. Output fraction is exact integer
+    arithmetic (ppm floor division)."""
+    # docs shorter than one window yield no windows: ANSI sequence()
+    # errors on stop < start with a positive step, so gate it
+    grid = F.when(
+        F.length(F.col(text_col)) >= window_chars,
+        F.sequence(
+            F.lit(0),
+            F.length(F.col(text_col)) - F.lit(window_chars),
+            F.lit(stride),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(grid).alias("__p__"),
+        F.col(text_col).alias("__t__"),
+    ).select(
+        "__id__",
+        F.md5(
+            F.expr(f"substring(__t__, __p__ + 1, {window_chars})")
+        ).alias("__h__"),
+    )
+    pair = wins.groupBy("__id__", "__h__").agg(
+        F.count(F.lit(1)).alias("__n_inst__")
+    )
+    span = pair.groupBy("__h__").agg(
+        F.count(F.lit(1)).alias("__n_docs__")
+    )
+    per_doc = (
+        pair.join(span, "__h__")
+        .groupBy("__id__")
+        .agg(
+            F.sum("__n_inst__").alias("n_windows"),
+            F.sum(
+                F.when(F.col("__n_docs__") >= 2, F.col("__n_inst__")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup_windows"),
+        )
+    )
+    return per_doc.select(
+        F.col("__id__").alias(id_col),
+        "n_windows",
+        "n_dup_windows",
+        F.expr("n_dup_windows * 1000000L div n_windows").alias("dup_ppm"),
+    )

@@ -699,3 +699,40 @@ def test_lm_min_count_prunes_but_contexts_precede_pruning(spark):
     got = {(r["w1"], r["w2"]): r["cnt"] for r in counts.collect()}
     # (x,y)=2 survives; (y,x)=2 survives; (x,z)=1 pruned
     assert got == {("x", "y"): 2, ("y", "x"): 2}
+
+
+def test_span_stats_cross_doc_only(spark):
+    # doc 0 and 1 share an exact 60-char prefix → their grid windows
+    # (three of them at stride 20, W=40) are cross-doc dups; doc 2 is
+    # unique; doc 3 repeats ITS OWN span twice (intra-doc) which must
+    # NOT count as duplicated
+    shared = "a" * 25 + "b" * 35  # 60 chars
+    rows = [
+        (0, shared + " tail zero " + "x" * 30),
+        (1, shared + " other continuation " + "y" * 20),
+        (2, "completely different text " + "z" * 50),
+        (3, "q" * 100),  # all windows identical within ONE doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ppm"])
+        for r in D.dedup_span_stats(docs, "text", "doc_id").collect()
+    }
+    for i, t in rows:
+        assert got[i][0] == (len(t) - 40) // 20 + 1
+    # docs 0/1: windows at offsets 0 and 20 lie inside the shared
+    # 60-char prefix on both grids → exactly 2 dup windows each
+    assert got[0][1] == 2 and got[1][1] == 2
+    assert got[2][1] == 0
+    # doc 3's windows are all "q"*40 — present only in doc 3
+    assert got[3][1] == 0 and got[3][2] == 0
+    assert got[0][2] == 2 * 1000000 // got[0][0]
+
+
+def test_span_stats_short_docs_dropped(spark):
+    docs = spark.createDataFrame(
+        [(0, "tiny"), (1, "x" * 39), (2, "y" * 40)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in D.dedup_span_stats(docs, "text", "doc_id").collect()}
+    assert got == {2}

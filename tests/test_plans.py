@@ -564,3 +564,14 @@ def test_lm_score_plan_shape(spark, qs):
     assert count_nodes(p, "Window") == 0
     assert p.count("BroadcastHashJoin") >= 2
     assert "EvalPython" not in p
+
+
+def test_span_stats_plan_shape(spark, qs):
+    # window extraction must be narrow (sequence/explode — no Window
+    # node, no Python), and every shuffle key is the span digest or the
+    # doc id — never the raw 40-char span text
+    p = plan(qs["dedup_span_stats"](spark, SF))
+    assert count_nodes(p, "Window") == 0
+    assert "EvalPython" not in p
+    for m in re.findall(r"hashpartitioning\(([^,]+)", p):
+        assert m.strip().split("#")[0] in {"__id__", "__h__"}, m
