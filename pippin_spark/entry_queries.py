@@ -6209,6 +6209,87 @@ def q_text_lm_score(spark, sf_dir):
     )
 
 
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Chained-CTE DuckDB replay of BPE training. The merge application
+    uses the windowed greedy rule instead of Spark's fold: within each
+    maximal run of consecutive matching positions, merges happen at
+    odd offsets (1st, 3rd, ...) — identical to left-to-right greedy
+    (overlap runs only arise when w1 = w2)."""
+    parts = [
+        """words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents) GROUP BY 1
+    ), seq_0 AS (
+      SELECT word, cnt,
+             list_append(list_transform(generate_series(1, length(word)),
+                                        i -> substr(word, i, 1)), '</w>') AS s
+      FROM words
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        q = r - 1
+        parts.append(f"""pairs_{r} AS (
+      SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+        SELECT cnt, s[i] AS w1, s[i + 1] AS w2
+        FROM (SELECT cnt, s, UNNEST(generate_series(1, len(s) - 1)) AS i
+              FROM seq_{q})
+      ) GROUP BY 1, 2
+    ), best_{r} AS (
+      SELECT w1, w2, total FROM pairs_{r}
+      ORDER BY total DESC, w1, w2 LIMIT 1
+    ), pos_{r} AS (
+      SELECT word, cnt, s, i, s[i] AS c,
+             (i < len(s) AND s[i] = b.w1 AND s[i + 1] = b.w2) AS m
+      FROM (SELECT word, cnt, s, UNNEST(generate_series(1, len(s))) AS i
+            FROM seq_{q})
+      CROSS JOIN best_{r} b
+    ), isl_{r} AS (
+      SELECT word, i,
+             i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
+      FROM pos_{r} WHERE m
+    ), sel_{r} AS (
+      SELECT word, i,
+             (ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY i) % 2 = 1)
+               AS do_merge
+      FROM isl_{r}
+    ), emit_{r} AS (
+      SELECT p.word, p.cnt, p.i,
+             CASE WHEN COALESCE(d1.do_merge, FALSE)
+                  THEN p.s[p.i] || p.s[p.i + 1] ELSE p.c END AS sym
+      FROM pos_{r} p
+      LEFT JOIN sel_{r} d1 ON d1.word = p.word AND d1.i = p.i
+      LEFT JOIN sel_{r} d0 ON d0.word = p.word AND d0.i = p.i - 1
+      WHERE NOT COALESCE(d0.do_merge, FALSE)
+    ), seq_{r} AS (
+      SELECT word, cnt, list(sym ORDER BY i) AS s
+      FROM emit_{r} GROUP BY word, cnt
+    )""")
+    selects = [
+        f"SELECT {r} AS step, w1, w2, w1 || w2 AS merged, total AS pair_count"
+        f" FROM best_{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@_q(
+    "bpe_train_merges",
+    # distributed BPE tokenizer induction (Sennrich et al.): 3 merge
+    # rounds over count-weighted distinct words — the corpus is
+    # scanned ONCE (word counts); every round runs on the vocab table.
+    # Spark applies each merge with a greedy left-to-right fold; the
+    # oracle replays it with the equivalent run-parity window rule
+    _bpe_oracle_sql(3),
+)
+def q_bpe_train_merges(spark, sf_dir):
+    from pippin_spark.operators import bpe as BPE
+
+    docs = _t(spark, sf_dir, "documents").df
+    return BPE.bpe_train_merges(docs, "text", rounds=3)
+
+
 # ---------------------------------------------------------------------------
 # round-3 batch 8: end-to-end pretraining prep, event-order QA
 # ---------------------------------------------------------------------------
@@ -7425,6 +7506,7 @@ _DRIVER_ROW_PRIORITY = [
     "emb_random_projection",
     "text_lm_score",
     "dedup_span_stats",
+    "bpe_train_merges",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

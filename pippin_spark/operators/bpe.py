@@ -1,0 +1,126 @@
+"""Distributed BPE tokenizer induction (Sennrich et al. 2016), the
+vocabulary-training half of the pretraining pipeline.
+
+The classic scale trick makes this Spark-friendly: after one corpus
+pass for word counts, EVERY merge round operates on the distinct-word
+vocabulary weighted by count — a table that is orders of magnitude
+smaller than the corpus (100 TB of text is ~10^7 distinct
+whitespace words). So the corpus is scanned exactly once; the
+iterative part runs on vocab-sized data.
+
+Per round, fully declarative (no collect in the loop):
+- adjacent symbol pairs come from a narrow array-zip of each word's
+  symbol sequence (weighted by word count, map-side partial agg);
+- the argmax pair is a 1-row TakeOrdered with a total ordering
+  (count desc, pair lexicographic) — deterministic under ties;
+- the merge is applied by a greedy left-to-right fold (`aggregate`
+  HOF) over each word's symbols with the best pair riding in as a
+  broadcast 1-row cross join. Greedy-overlap semantics match the
+  reference algorithm: merging (a,a) on "aaa" yields [aa, a].
+
+Each round's sequence table is persisted so round r+1 reads a
+materialized vocab table instead of re-deriving the whole chain
+(MLlib-style iterative caching; the pattern dedup_clusters uses with
+localCheckpoint).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pippin_spark.operators.text import _ws_token_array
+
+_CHARS = (
+    "array_append(transform(sequence(1, length(word)), "
+    "i -> substring(word, i, 1)), '</w>')"
+)
+
+_PAIRS = (
+    "filter(transform(s, (x, i) -> "
+    "struct(x as w1, try_element_at(s, i + 2) as w2)), p -> p.w2 is not null)"
+)
+
+# greedy left-to-right merge of the (w1, w2) best-pair columns into
+# each word's symbol array: state = (emitted symbols, skip-next flag)
+_MERGE_FOLD = """
+aggregate(
+  transform(s, (x, i) -> struct(x as c, try_element_at(s, i + 2) as n)),
+  struct(cast(array() as array<string>) as arr, false as skip),
+  (st, e) -> case
+      when st.skip then struct(st.arr as arr, false as skip)
+      when e.c = w1 and coalesce(e.n = w2, false)
+        then struct(concat(st.arr, array(concat(e.c, e.n))) as arr,
+                    true as skip)
+      else struct(concat(st.arr, array(e.c)) as arr, false as skip)
+  end,
+  st -> st.arr)
+"""
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus pass: lowercase whitespace words with counts."""
+    return (
+        docs.select(F.explode(_ws_token_array(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges; returns the merge table
+    (step, w1, w2, merged, pair_count) — the artifact a tokenizer
+    builds its vocab from, in learned order."""
+    words = word_counts(docs, text_col).persist()
+    seq = words.select("word", "cnt", F.expr(_CHARS).alias("s"))
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            seq.select("cnt", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy("p.w1", "p.w2")
+            .agg(F.sum("cnt").alias("total"))
+        )
+        best = pairs.orderBy(F.desc("total"), "w1", "w2").limit(1)
+        merges.append(
+            best.select(
+                F.lit(r).alias("step"),
+                "w1",
+                "w2",
+                F.concat("w1", "w2").alias("merged"),
+                F.col("total").alias("pair_count"),
+            )
+        )
+        seq = (
+            seq.crossJoin(F.broadcast(best.select("w1", "w2")))
+            .selectExpr("word", "cnt", f"{_MERGE_FOLD} as s")
+            .persist()
+        )
+    return reduce(DataFrame.unionByName, merges)
+
+
+def bpe_segment(words: DataFrame, merge_table: DataFrame) -> DataFrame:
+    """Apply a learned merge table to segment words: replays the merges
+    in order with the same greedy fold. Returns (word, pieces).
+
+    The merge table is tiny (vocab-construction artifact) and rides in
+    as a broadcast; segmentation itself is a narrow per-row pass per
+    merge step — at inference scale you would collapse the loop into a
+    single trie-based pandas UDF, but replaying R learned merges keeps
+    training/apply semantics bit-identical."""
+    seq = words.select("word", F.expr(_CHARS).alias("s"))
+    steps = [
+        (r["step"], r["w1"], r["w2"])
+        for r in merge_table.select("step", "w1", "w2").collect()
+    ]
+    for _, w1, w2 in sorted(steps):
+        lit_pair = F.struct(F.lit(w1).alias("w1"), F.lit(w2).alias("w2"))
+        seq = seq.withColumn("__b__", lit_pair).selectExpr(
+            "word",
+            _MERGE_FOLD.replace("w1", "__b__.w1").replace("w2", "__b__.w2")
+            + " as s",
+        )
+    return seq.select("word", F.col("s").alias("pieces"))

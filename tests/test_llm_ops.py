@@ -736,3 +736,92 @@ def test_span_stats_short_docs_dropped(spark):
     )
     got = {r["doc_id"] for r in D.dedup_span_stats(docs, "text", "doc_id").collect()}
     assert got == {2}
+
+
+def _ref_bpe(word_counts, rounds):
+    # plain-python Sennrich BPE: max-count pair (lexicographic min on
+    # ties), greedy left-to-right merge application
+    from collections import Counter
+
+    seqs = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs = Counter()
+        for w, c in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        top = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == top)
+        merges.append((r, a, b, a + b, top))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (a, b):
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_bpe_matches_reference(spark):
+    from pippin_spark.operators import bpe as B
+
+    corpus = [
+        "low low low lower lowest",
+        "new newer newest newer",
+        "wide wider widest low new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["w1"], r["w2"], r["merged"], r["pair_count"])
+        for r in B.bpe_train_merges(docs, rounds=5).orderBy("step").collect()
+    ]
+    from collections import Counter
+
+    wc = Counter(w for t in corpus for w in t.lower().split())
+    exp, _ = _ref_bpe(wc, 5)
+    assert got == exp
+
+
+def test_bpe_overlap_run_semantics(spark):
+    from pippin_spark.operators import bpe as B
+
+    # best pair is (a,a); greedy must merge "aaaa" -> [aa, aa, </w>]
+    # and "aaa" -> [aa, a, </w>]
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaa aaaa")], "doc_id long, text string"
+    )
+    m = B.bpe_train_merges(docs, rounds=1).collect()[0]
+    assert (m["w1"], m["w2"]) == ("a", "a")
+    wc_exp, seqs = _ref_bpe({"aaaa": 2, "aaa": 1}, 1)
+    assert seqs["aaaa"] == ["aa", "aa", "</w>"]
+    words = spark.createDataFrame([("aaaa",), ("aaa",)], "word string")
+    seg = {
+        r["word"]: r["pieces"]
+        for r in B.bpe_segment(
+            words, B.bpe_train_merges(docs, rounds=1)
+        ).collect()
+    }
+    assert seg == {"aaaa": ["aa", "aa", "</w>"], "aaa": ["aa", "a", "</w>"]}
+
+
+def test_bpe_segment_replays_training(spark):
+    from pippin_spark.operators import bpe as B
+    from collections import Counter
+
+    corpus = ["the cat the cats there then", "that cat sat on the mat"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    table = B.bpe_train_merges(docs, rounds=4)
+    wc = Counter(w for t in corpus for w in t.lower().split())
+    _, seqs = _ref_bpe(wc, 4)
+    words = spark.createDataFrame([(w,) for w in wc], "word string")
+    seg = {r["word"]: r["pieces"] for r in B.bpe_segment(words, table).collect()}
+    assert seg == seqs
