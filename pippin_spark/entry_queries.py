@@ -6290,6 +6290,50 @@ def q_bpe_train_merges(spark, sf_dir):
     return BPE.bpe_train_merges(docs, "text", rounds=3)
 
 
+@_q(
+    "collocations_pmi",
+    # PMI-ranked collocations over adjacent word pairs (min support 5):
+    # the monotone integer transform pair_cnt*N*1e6 div (cnt_a*cnt_b)
+    # ranks identically to log-PMI and is bit-exact cross-engine
+    # (no libm log in either plan). Narrow array-zip bigrams, broadcast
+    # unigram counts, TakeOrdered top-25
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS l
+      FROM documents
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS w_cnt
+      FROM (SELECT UNNEST(l) AS w FROM toks) GROUP BY 1
+    ), total AS (
+      SELECT CAST(SUM(w_cnt) AS BIGINT) AS n_tokens FROM uni
+    ), pairs AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_cnt FROM (
+        SELECT l[i] AS w1, l[i + 1] AS w2
+        FROM (SELECT l, UNNEST(generate_series(1, len(l) - 1)) AS i
+              FROM toks)
+      ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ), scored AS (
+      SELECT p.w1, p.w2, p.pair_cnt,
+             p.pair_cnt * t.n_tokens * 1000000
+               // (a.w_cnt * b.w_cnt) AS pmi_scaled
+      FROM pairs p
+      JOIN uni a ON p.w1 = a.w
+      JOIN uni b ON p.w2 = b.w
+      CROSS JOIN total t
+    )
+    SELECT w1, w2, pair_cnt, pmi_scaled, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY pmi_scaled DESC, pair_cnt DESC, w1, w2) AS rank
+      FROM scored
+    ) WHERE rank <= 25
+    """,
+)
+def q_collocations_pmi(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return TXT.collocations_topk(docs, "text", k=25, min_count=5)
+
+
 # ---------------------------------------------------------------------------
 # round-3 batch 8: end-to-end pretraining prep, event-order QA
 # ---------------------------------------------------------------------------
@@ -7507,6 +7551,7 @@ _DRIVER_ROW_PRIORITY = [
     "text_lm_score",
     "dedup_span_stats",
     "bpe_train_merges",
+    "collocations_pmi",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

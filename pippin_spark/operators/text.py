@@ -473,3 +473,60 @@ def lm_score_docs(docs, counts, text_col: str = "text",
             / F.lit(float(scale))
         ).alias("avg_cond_p"),
     )
+
+
+def collocations_topk(docs, text_col: str = "text", k: int = 25,
+                      min_count: int = 5, scale: int = 10 ** 6):
+    """Collocation extraction: adjacent word pairs ranked by pointwise
+    mutual information, the classic "new york"/"machine learning"
+    detector feeding tokenizer-vocab and phrase-mining decisions.
+
+    PMI is kept in exact integer arithmetic: the monotone transform
+    pmi_scaled = (pair_cnt * N * scale) div (cnt_a * cnt_b) ranks
+    identically to log PMI at fixed N and is bit-exact cross-engine
+    (log() differs in ulps between libms; a floor-divided ratio never
+    does). Long bound: pair_cnt * N * scale < 2^63 — at trillion-token
+    corpora drop ``scale`` or pre-restrict with ``min_count``; ANSI
+    mode makes an overflow loud.
+
+    Scale shape: same narrow array-zip bigram stream as the LM ops
+    (no token window shuffle), two count aggregates with map-side
+    partials, unigram counts broadcast back onto the (much smaller)
+    bigram count table, global top-k via TakeOrdered."""
+    toks = docs.select(_ws_token_array(F.col(text_col)).alias("__toks__"))
+    uni = (
+        toks.select(F.explode("__toks__").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("w_cnt"))
+    )
+    total = uni.agg(F.sum("w_cnt").alias("n_tokens"))
+    pairs = (
+        toks.select(F.explode(F.expr(_BIGRAM_PAIRS)).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_count)
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("w_cnt").alias("cnt_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("w_cnt").alias("cnt_b"))
+    scored = (
+        pairs.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            F.expr(
+                f"pair_cnt * n_tokens * {scale}L div (cnt_a * cnt_b)"
+            ).alias("pmi_scaled"),
+        )
+    )
+    w = [
+        F.col("pmi_scaled").desc(),
+        F.col("pair_cnt").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    ]
+    from pippin_spark.operators.relational import top_k
+
+    return top_k(scored, k, w, rank_col="rank")

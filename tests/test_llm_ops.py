@@ -825,3 +825,19 @@ def test_bpe_segment_replays_training(spark):
     words = spark.createDataFrame([(w,) for w in wc], "word string")
     seg = {r["word"]: r["pieces"] for r in B.bpe_segment(words, table).collect()}
     assert seg == seqs
+
+
+def test_collocations_pmi_ranks_phrases_over_common_pairs(spark):
+    # "new york" always co-occurs (PMI high); "the cat"/"the dog" pair
+    # a frequent word with varying partners (PMI low)
+    text = " ".join(["new york"] * 6 + ["the cat"] * 6 + ["the dog"] * 6)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = X.collocations_topk(docs, k=10, min_count=5).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    assert ("new", "york") in by_pair
+    ny, tc = by_pair[("new", "york")], by_pair[("the", "cat")]
+    assert ny["pmi_scaled"] > tc["pmi_scaled"]
+    assert ny["rank"] < tc["rank"]
+    # exact integer check: N tokens, counts from construction
+    n = 36
+    assert ny["pmi_scaled"] == ny["pair_cnt"] * n * 10 ** 6 // (6 * 6)
