@@ -3648,6 +3648,42 @@ def q_dedup_span_stats(spark, sf_dir):
 
 
 @_q(
+    "dedup_winnowing",
+    # winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash
+    # every 5-gram, keep the RIGHTMOST MINIMUM of each 10-hash window.
+    # Rightmost-min is encoded as one integer key
+    # (h * 2^20 + (2^20-1-pos)) so both engines select bit-identically
+    # with no argmin tie-break ambiguity. Spark side is shuffle-free up
+    # to the output explode (narrow array pipeline)
+    """
+    WITH hashes AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8)) AS BIGINT)
+               * 1048576 + (1048576 - 1 - i) AS key
+      FROM (
+        SELECT doc_id, text,
+               UNNEST(generate_series(1, length(text) - 5 + 1)) AS i
+        FROM documents WHERE length(text) >= 14
+      )
+    ), wins AS (
+      SELECT doc_id, i,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id) AS m
+      FROM hashes
+    )
+    SELECT DISTINCT doc_id,
+           1048576 - 1 - (sel % 1048576) AS pos,
+           sel // 1048576 AS fp
+    FROM wins WHERE i <= m - 10 + 1
+    """,
+)
+def q_dedup_winnowing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return DEDUP.winnow_fingerprints(docs, "text", "doc_id", k=5, window=10)
+
+
+@_q(
     "semantic_dedup_e2e",
     # end-to-end semantic dedup pipeline: embedding near-dup pairs
     # (label-blocked cosine >= 0.99) -> greedy keep-lowest-id -> the
@@ -7552,6 +7588,7 @@ _DRIVER_ROW_PRIORITY = [
     "dedup_span_stats",
     "bpe_train_merges",
     "collocations_pmi",
+    "dedup_winnowing",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

@@ -1257,3 +1257,69 @@ def dedup_span_stats(
         "n_dup_windows",
         F.expr("n_dup_windows * 1000000L div n_windows").alias("dup_ppm"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 10,
+    pos_bound: int = 1 << 20,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-gram, slide a
+    window of ``window`` consecutive hashes, and select the RIGHTMOST
+    MINIMUM hash of each window. The selected (position, hash) set is
+    the fingerprint; any substring match of length >= window + k - 1
+    between two documents is guaranteed to share a selected hash.
+    Density is 2/(window+1) — a tunable local-sampling dedup signature
+    that, unlike stride grids, is robust to insertions shifting
+    alignment.
+
+    Both engines select via ONE integer key per position:
+    key = h * pos_bound + (pos_bound - 1 - pos). Minimizing the key
+    minimizes h and, on hash ties, maximizes pos (the rightmost-min
+    rule) — no float, no unspecified argmin tie-break, bit-exact
+    cross-engine. h is the first 8 md5 hex digits (< 2^32), so the key
+    fits a long for any document shorter than ``pos_bound`` chars
+    (1M — raise for book-length docs).
+
+    Scale shape: everything up to the final explode is a narrow
+    per-row array pipeline (k-gram hash array, per-window min via
+    array_min over slices, array_distinct) — no shuffle at all; the
+    output explode emits ~2n/(window+1) fingerprint rows per doc for
+    downstream digest-keyed matching (same join shape as
+    dedup_span_stats)."""
+    m = f"(length({text_col}) - {k} + 1)"
+    keys = (
+        f"transform(sequence(1, {m}), i -> "
+        f"cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 8),"
+        f" 16, 10) as bigint) * {pos_bound}L + ({pos_bound}L - 1 - i))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(__keys__) - {window} + 1), "
+        f"j -> array_min(slice(__keys__, j, {window}))))"
+    )
+    guarded = df.select(
+        F.col(id_col).alias("__id__"),
+        F.when(
+            F.length(F.col(text_col)) >= k + window - 1,
+            F.expr(keys),
+        ).otherwise(F.array().cast("array<bigint>")).alias("__keys__"),
+    )
+    out = guarded.select(
+        "__id__",
+        F.explode(
+            F.when(
+                F.size("__keys__") >= window, F.expr(sel)
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("__key__"),
+    )
+    return out.select(
+        F.col("__id__").alias(id_col),
+        (F.lit(pos_bound - 1) - F.col("__key__") % F.lit(pos_bound)).alias(
+            "pos"
+        ),
+        F.expr(f"__key__ div {pos_bound}L").alias("fp"),
+    )

@@ -841,3 +841,56 @@ def test_collocations_pmi_ranks_phrases_over_common_pairs(spark):
     # exact integer check: N tokens, counts from construction
     n = 36
     assert ny["pmi_scaled"] == ny["pair_cnt"] * n * 10 ** 6 // (6 * 6)
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    # Schleimer et al. guarantee: any shared substring of length
+    # >= window + k - 1 (= 14 here) produces at least one shared
+    # selected fingerprint
+    shared = "the quick brown fox jumps over it"  # 33 chars
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix junk 123 " + shared + " suffix alpha"),
+            (1, "totally different opening " + shared),
+            (2, "no overlap with anything here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = D.winnow_fingerprints(docs, "text", "doc_id", k=5, window=10)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    assert not (by_doc[2] & by_doc[0]) or len(by_doc[2] & by_doc[0]) < 2
+
+
+def test_winnowing_matches_plain_python(spark):
+    import hashlib
+
+    def ref(text, k=5, w=10):
+        if len(text) < k + w - 1:
+            return set()
+        hs = [
+            int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(text) - k + 1)
+        ]
+        sel = set()
+        for j in range(len(hs) - w + 1):
+            win = hs[j : j + w]
+            mn = min(win)
+            # rightmost minimum
+            pos = j + max(i for i, h in enumerate(win) if h == mn)
+            sel.add((pos + 1, hs[pos]))  # 1-based
+        return sel
+
+    texts = [
+        (0, "abcabcabcabcabcabcabcabc"),  # periodic → many hash ties
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "short"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in D.winnow_fingerprints(docs, "text", "doc_id").collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in texts:
+        assert got.get(i, set()) == ref(t), f"doc {i}"
