@@ -6327,6 +6327,22 @@ def q_bpe_train_merges(spark, sf_dir):
 
 
 @_q(
+    "bpe_vocab_segments",
+    # the segmented vocabulary AFTER the 3 learned merges — checks the
+    # greedy merge application across every distinct word, not just
+    # the chosen pairs. Reuses the same chained-CTE replay; the final
+    # select reads the last seq state
+    _bpe_oracle_sql(3).rsplit("\nSELECT 1 AS step", 1)[0]
+    + "\nSELECT word, cnt, array_to_string(s, ' ') AS pieces FROM seq_3",
+)
+def q_bpe_vocab_segments(spark, sf_dir):
+    from pippin_spark.operators import bpe as BPE
+
+    docs = _t(spark, sf_dir, "documents").df
+    return BPE.bpe_vocab_after(docs, "text", rounds=3)
+
+
+@_q(
     "collocations_pmi",
     # PMI-ranked collocations over adjacent word pairs (min support 5):
     # the monotone integer transform pair_cnt*N*1e6 div (cnt_a*cnt_b)
@@ -7589,6 +7605,7 @@ _DRIVER_ROW_PRIORITY = [
     "bpe_train_merges",
     "collocations_pmi",
     "dedup_winnowing",
+    "bpe_vocab_segments",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

@@ -69,12 +69,8 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_train_merges(
-    docs: DataFrame, text_col: str = "text", rounds: int = 3
-) -> DataFrame:
-    """Learn the first ``rounds`` BPE merges; returns the merge table
-    (step, w1, w2, merged, pair_count) — the artifact a tokenizer
-    builds its vocab from, in learned order."""
+def _train(docs: DataFrame, text_col: str, rounds: int):
+    """Shared training loop: returns (merge DataFrames, final seq)."""
     words = word_counts(docs, text_col).persist()
     seq = words.select("word", "cnt", F.expr(_CHARS).alias("s"))
     merges = []
@@ -99,7 +95,31 @@ def bpe_train_merges(
             .selectExpr("word", "cnt", f"{_MERGE_FOLD} as s")
             .persist()
         )
+    return merges, seq
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges; returns the merge table
+    (step, w1, w2, merged, pair_count) — the artifact a tokenizer
+    builds its vocab from, in learned order."""
+    merges, _ = _train(docs, text_col, rounds)
     return reduce(DataFrame.unionByName, merges)
+
+
+def bpe_vocab_after(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """The full segmented vocabulary after ``rounds`` learned merges:
+    (word, cnt, pieces) with pieces space-joined — i.e. the training
+    fold applied across EVERY distinct word, not just the merge table.
+    This is the state a tokenizer persists alongside its merges, and a
+    much stronger end-to-end check of merge application."""
+    _, seq = _train(docs, text_col, rounds)
+    return seq.select(
+        "word", "cnt", F.array_join("s", " ").alias("pieces")
+    )
 
 
 def bpe_segment(words: DataFrame, merge_table: DataFrame) -> DataFrame:

@@ -894,3 +894,20 @@ def test_winnowing_matches_plain_python(spark):
         got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
     for i, t in texts:
         assert got.get(i, set()) == ref(t), f"doc {i}"
+
+
+def test_bpe_vocab_after_matches_reference(spark):
+    from pippin_spark.operators import bpe as B
+    from collections import Counter
+
+    corpus = ["low low lower newest newest", "widest new newer lowest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    wc = Counter(w for t in corpus for w in t.lower().split())
+    _, seqs = _ref_bpe(wc, 3)
+    got = {
+        r["word"]: (r["cnt"], r["pieces"])
+        for r in B.bpe_vocab_after(docs, rounds=3).collect()
+    }
+    assert got == {w: (c, " ".join(seqs[w])) for w, c in wc.items()}
