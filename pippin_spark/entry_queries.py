@@ -6327,6 +6327,36 @@ def q_bpe_train_merges(spark, sf_dir):
 
 
 @_q(
+    "text_feature_hashing",
+    # signed hashing-trick featurization: idx = md5_64(tok) mod 1024,
+    # sign from the next hash bit; sparse COO output. No vocabulary
+    # dictionary anywhere — the property that scales featurization to
+    # unbounded vocab. Map-side-complete partials: shuffle carries one
+    # row per (doc, nonzero dim)
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS idx,
+             CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                        // 1024) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM toks
+    )
+    SELECT doc_id, idx,
+           CAST(SUM(sign) AS BIGINT) AS feat_val,
+           COUNT(*) AS n_terms
+    FROM hashed GROUP BY doc_id, idx
+    """,
+)
+def q_text_feature_hashing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return TXT.feature_hash_vectors(docs, "text", "doc_id", dim=1024)
+
+
+@_q(
     "bpe_vocab_segments",
     # the segmented vocabulary AFTER the 3 learned merges — checks the
     # greedy merge application across every distinct word, not just
@@ -7606,6 +7636,7 @@ _DRIVER_ROW_PRIORITY = [
     "collocations_pmi",
     "dedup_winnowing",
     "bpe_vocab_segments",
+    "text_feature_hashing",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

@@ -530,3 +530,36 @@ def collocations_topk(docs, text_col: str = "text", k: int = 25,
     from pippin_spark.operators.relational import top_k
 
     return top_k(scored, k, w, rank_col="rank")
+
+
+def feature_hash_vectors(docs, text_col: str = "text",
+                         id_col: str = "doc_id", dim: int = 1024):
+    """Hashing-trick featurization (Weinberger et al. 2009): map each
+    token to index md5_64(token) mod dim with a sign bit drawn from the
+    next hash bit, and emit the signed term-count vector in sparse COO
+    form (id, idx, feat_val, n_terms). The signed variant keeps hash
+    collisions mean-zero — the property that lets a fixed small `dim`
+    survive unbounded vocabulary growth, which is the entire point at
+    corpus scale (no vocab dictionary to build, broadcast, or keep
+    consistent across 1000 executors).
+
+    Scale shape: tokenize + hash are narrow per-row expressions; the
+    groupBy (id, idx) partial-aggregates map-side (a doc's tokens sit
+    in one partition after the narrow explode), so the shuffle carries
+    at most one row per (doc, nonzero-dim). The md5-prefix hash is the
+    shared cross-engine PRF (same trick as winnow_fingerprints)."""
+    h = (
+        f"cast(conv(substring(md5(__tok__), 1, 8), 16, 10) as bigint)"
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(_ws_token_array(F.col(text_col))).alias("__tok__")
+    )
+    hashed = toks.select(
+        F.col(id_col),
+        F.expr(f"{h} % {dim}").alias("idx"),
+        F.expr(f"if(({h} div {dim}) % 2 = 0, 1L, -1L)").alias("__sign__"),
+    )
+    return hashed.groupBy(id_col, "idx").agg(
+        F.sum("__sign__").alias("feat_val"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )

@@ -911,3 +911,28 @@ def test_bpe_vocab_after_matches_reference(spark):
         for r in B.bpe_vocab_after(docs, rounds=3).collect()
     }
     assert got == {w: (c, " ".join(seqs[w])) for w, c in wc.items()}
+
+
+def test_feature_hashing_deterministic_and_signed(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha gamma"), (1, "alpha")],
+        "doc_id long, text string",
+    )
+    rows = X.feature_hash_vectors(docs, dim=64).collect()
+    got = {(r["doc_id"], r["idx"]): (r["feat_val"], r["n_terms"]) for r in rows}
+
+    def hidx(tok):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        return h % 64, 1 if (h // 64) % 2 == 0 else -1
+
+    from collections import defaultdict
+
+    exp = defaultdict(lambda: [0, 0])
+    for d, text in [(0, "alpha beta alpha gamma"), (1, "alpha")]:
+        for t in text.split():
+            i, s = hidx(t)
+            exp[(d, i)][0] += s
+            exp[(d, i)][1] += 1
+    assert got == {k: tuple(v) for k, v in exp.items()}
