@@ -4917,8 +4917,11 @@ def q_q6_forecast_revenue(spark, sf_dir):
     """,
 )
 def q_q8_market_share(spark, sf_dir):
-    # the only shuffle is lineitem⋈orders on orderkey; part, customer,
-    # both nation roles, region, and supplier all broadcast
+    # the only shuffle is lineitem⋈orders on orderkey — and orders is
+    # first REDUCED through the broadcast customer→nation→ASIA chain
+    # (the q3 pattern), so only ASIA-customer orders in the date range
+    # reach that shuffle (~1/5 of the date-filtered rows); part,
+    # customer, both nation roles, region, and supplier all broadcast
     l = _t(spark, sf_dir, "lineitem").df
     p = _t(spark, sf_dir, "part").df.filter(F.col("p_type") == "ECONOMY")
     o = _t(spark, sf_dir, "orders").df.filter(
@@ -4934,12 +4937,15 @@ def q_q8_market_share(spark, sf_dir):
     sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     zero = F.lit(0).cast("decimal(18,4)")
-    j = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    o_red = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(cn), c["c_nationkey"] == F.col("ck"))
         .join(F.broadcast(r), F.col("c_region") == r["r_regionkey"])
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o_red, l["l_orderkey"] == o_red["o_orderkey"])
         .join(F.broadcast(_t(spark, sf_dir, "supplier").df), l["l_suppkey"] == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
     )
