@@ -6333,6 +6333,40 @@ def q_bpe_train_merges(spark, sf_dir):
 
 
 @_q(
+    "triangle_count_parts",
+    # degree-ordered distributed triangle counting (Schank-Wagner /
+    # Cohen) over the part co-purchase graph (parts sharing an order).
+    # Orientation by (degree, id) caps wedge fanout at O(sqrt(E)) per
+    # node regardless of skew; the oracle counts the same triangles
+    # with the canonical u<v three-way self-join
+    """
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+)
+def q_triangle_count_parts(spark, sf_dir):
+    from pippin_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "k").filter(F.col("pa") < F.col("pb"))
+    edges = G.undirected_edges(pairs, "pa", "pb")
+    return G.triangle_count(edges)
+
+
+@_q(
     "text_feature_hashing",
     # signed hashing-trick featurization: idx = md5_64(tok) mod 1024,
     # sign from the next hash bit; sparse COO output. No vocabulary
@@ -7643,6 +7677,7 @@ _DRIVER_ROW_PRIORITY = [
     "dedup_winnowing",
     "bpe_vocab_segments",
     "text_feature_hashing",
+    "triangle_count_parts",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

@@ -296,3 +296,28 @@ def test_bloom_prefilter_join_exactness(spark):
     surv = R.bloom_prefilter(fact, "fk", R.bloom_bitmap(keys, "k"))
     joined = surv.join(keys, surv.fk == keys.k, "inner").select("fk", "v")
     assert sorted((r["fk"], r["v"]) for r in joined.collect()) == [(7, 14), (42, 84)]
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from pippin_spark.operators import graph as G
+    import itertools
+
+    edges = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # K4: 4 triangles
+        + [(5, 6), (6, 7)]  # path: 0
+        + [(10, i) for i in range(20, 40)]  # star hub: 0
+        + [(20, 21)]  # closes ONE triangle through the hub
+        + [(2, 1), (3, 1)]  # duplicate/reversed edges must canonicalize
+    )
+    df = spark.createDataFrame(edges, "x long, y long")
+    und = G.undirected_edges(df, "x", "y")
+    got = G.triangle_count(und).collect()[0]["n_triangles"]
+
+    es = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in es for n in e})
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in es and (a, c) in es and (b, c) in es
+    )
+    assert got == brute == 5
