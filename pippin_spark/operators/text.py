@@ -563,3 +563,49 @@ def feature_hash_vectors(docs, text_col: str = "text",
         F.sum("__sign__").alias("feat_val"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+def compression_ratio(docs, text_col: str = "text", id_col: str = "doc_id",
+                      level: int = 6):
+    """Per-document zlib compression ratio — the classic
+    low-information-content detector (repetitive boilerplate compresses
+    far below natural text; high-entropy noise barely compresses).
+    Reported as exact integers (compressed_len, raw_len, ratio in ppm)
+    so downstream threshold filters are engine-deterministic.
+
+    No DuckDB analog exists (no SQL zlib), so this op is pytest-pinned
+    against Python zlib directly rather than oracle-declared. The
+    Spark side is one Arrow-batched mapInPandas pass: per-batch Python
+    cost is a C-speed zlib call per doc, no per-row interpreter
+    round-trip, and the binary payload never leaves the executor."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_len", T.LongType()),
+            T.StructField("compressed_len", T.LongType()),
+            T.StructField("ratio_ppm", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for b in batches:
+            raw = b[text_col].fillna("").str.encode("utf-8")
+            rl = raw.str.len()
+            cl = raw.map(lambda x: len(zlib.compress(x, level)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col],
+                    "raw_len": rl,
+                    "compressed_len": cl,
+                    "ratio_ppm": (cl * 1_000_000) // rl.clip(lower=1),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

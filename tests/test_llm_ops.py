@@ -936,3 +936,23 @@ def test_feature_hashing_deterministic_and_signed(spark):
             exp[(d, i)][0] += s
             exp[(d, i)][1] += 1
     assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    rows = [
+        (0, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # boilerplate
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.compression_ratio(docs).collect()}
+    for i, t in rows:
+        raw = t.encode()
+        cl = len(zlib.compress(raw, 6))
+        assert got[i]["raw_len"] == len(raw)
+        assert got[i]["compressed_len"] == cl
+        assert got[i]["ratio_ppm"] == cl * 1_000_000 // max(len(raw), 1)
+    # repetitive text must compress much harder than natural text
+    assert got[0]["ratio_ppm"] < got[1]["ratio_ppm"]
