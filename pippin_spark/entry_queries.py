@@ -6333,6 +6333,45 @@ def q_bpe_train_merges(spark, sf_dir):
 
 
 @_q(
+    "drawdown_users",
+    # per-user maximum drawdown: running peak minus current value over
+    # the (ts, event_id)-totally-ordered event sequence. Pure max /
+    # subtract — no float summation anywhere, so IEEE doubles are
+    # bit-exact in any engine. Keyed window (per-user state), the
+    # documented per-key-volume bound of the asof/sessionize family
+    """
+    WITH ordered AS (
+      SELECT user_id, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+      FROM events
+    )
+    SELECT user_id,
+           MAX(peak - value) AS max_drawdown,
+           COUNT(*) AS n_events
+    FROM ordered GROUP BY user_id
+    """,
+)
+def q_drawdown_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaked = ev.select(
+        "user_id",
+        "value",
+        F.max("value").over(w).alias("peak"),
+    )
+    return peaked.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("value")).alias("max_drawdown"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
     "triangle_count_parts",
     # degree-ordered distributed triangle counting (Schank-Wagner /
     # Cohen) over the part co-purchase graph (parts sharing an order).
@@ -7678,6 +7717,7 @@ _DRIVER_ROW_PRIORITY = [
     "bpe_vocab_segments",
     "text_feature_hashing",
     "triangle_count_parts",
+    "drawdown_users",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",
