@@ -6333,6 +6333,58 @@ def q_bpe_train_merges(spark, sf_dir):
 
 
 @_q(
+    "decontaminate_winnow",
+    # span-level train/eval decontamination via winnowing fingerprints:
+    # a training doc (doc_id%10<8) is flagged when it shares ANY
+    # selected fingerprint with the eval split — i.e. a verbatim
+    # overlap of >= window+k-1 = 14 chars is guaranteed caught, at
+    # ~2/(window+1) the fingerprint volume of a full n-gram
+    # decontamination pass. Only fp digests shuffle; the eval
+    # fingerprint set broadcast-joins against the train side
+    """
+    WITH hashes AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8)) AS BIGINT)
+               * 1048576 + (1048576 - 1 - i) AS key
+      FROM (
+        SELECT doc_id, text,
+               UNNEST(generate_series(1, length(text) - 5 + 1)) AS i
+        FROM documents WHERE length(text) >= 14
+      )
+    ), wins AS (
+      SELECT doc_id, i,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id) AS m
+      FROM hashes
+    ), fps AS (
+      SELECT DISTINCT doc_id, sel // 1048576 AS fp
+      FROM wins WHERE i <= m - 10 + 1
+    ), ev AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id % 10 >= 8
+    )
+    SELECT t.doc_id, COUNT(*) AS n_shared_fps
+    FROM fps t JOIN ev e ON t.fp = e.fp
+    WHERE t.doc_id % 10 < 8
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate_winnow(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    fps = DEDUP.winnow_fingerprints(docs, "text", "doc_id", k=5, window=10)
+    fps = fps.select("doc_id", "fp").distinct()
+    ev = (
+        fps.filter(F.col("doc_id") % 10 >= 8).select("fp").distinct()
+    )
+    train = fps.filter(F.col("doc_id") % 10 < 8)
+    return (
+        train.join(F.broadcast(ev), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+@_q(
     "drawdown_users",
     # per-user maximum drawdown: running peak minus current value over
     # the (ts, event_id)-totally-ordered event sequence. Pure max /
@@ -7718,6 +7770,7 @@ _DRIVER_ROW_PRIORITY = [
     "text_feature_hashing",
     "triangle_count_parts",
     "drawdown_users",
+    "decontaminate_winnow",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",
