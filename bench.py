@@ -78,6 +78,13 @@ HEADLINE = [
     "emb_random_projection",
     "multimodal_audio_chunk",
     "text_lm_score",
+    "dedup_span_stats",
+    "dedup_winnowing",
+    "decontaminate_winnow",
+    "bpe_train_merges",
+    "collocations_pmi",
+    "text_feature_hashing",
+    "drawdown_users",
 ]
 
 

@@ -6372,7 +6372,9 @@ def q_bpe_train_merges(spark, sf_dir):
 def q_decontaminate_winnow(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df
     fps = DEDUP.winnow_fingerprints(docs, "text", "doc_id", k=5, window=10)
-    fps = fps.select("doc_id", "fp").distinct()
+    # both splits read the same fingerprint table — persist so the
+    # md5-per-k-gram extraction pass runs once, not once per branch
+    fps = fps.select("doc_id", "fp").distinct().persist()
     ev = (
         fps.filter(F.col("doc_id") % 10 >= 8).select("fp").distinct()
     )
