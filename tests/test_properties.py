@@ -188,3 +188,77 @@ def test_asof_tolerance_property(spark, lefts, rights, tol):
             continue
         rt, rv = max(cands)
         assert got[lid] == (rv if t - rt <= tol else None), (lid, got[lid])
+
+
+# ---------------------------------------------------------------------------
+# round-3 continuation ops vs plain-Python references
+# ---------------------------------------------------------------------------
+
+corpora = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=6
+)
+
+
+@given(texts=corpora)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_merge_table_property(spark, texts):
+    # tiny alphabet forces heavy pair ties and overlap runs — the
+    # worst case for greedy-merge and argmax tie-break parity
+    from collections import Counter
+
+    from pippin_spark.operators import bpe as B
+    from tests.test_llm_ops import _ref_bpe
+
+    wc = Counter(w for t in texts for w in t.lower().split())
+    if not wc:
+        return
+    rounds = 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["w1"], r["w2"], r["merged"], r["pair_count"])
+        for r in B.bpe_train_merges(docs, rounds=rounds).orderBy("step").collect()
+    ]
+    try:
+        exp, _ = _ref_bpe(wc, rounds)
+    except ValueError:  # max() on empty pair set: corpus ran out of pairs
+        return
+    assert got == exp
+
+
+@given(texts=st.lists(st.text(alphabet="abcd", min_size=0, max_size=60),
+                      min_size=1, max_size=5))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnowing_property(spark, texts):
+    import hashlib
+
+    from pippin_spark.operators import dedup as D
+
+    k, w = 3, 4
+
+    def ref(text):
+        if len(text) < k + w - 1:
+            return set()
+        hs = [
+            int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(text) - k + 1)
+        ]
+        sel = set()
+        for j in range(len(hs) - w + 1):
+            win = hs[j:j + w]
+            mn = min(win)
+            pos = j + max(i for i, h in enumerate(win) if h == mn)
+            sel.add((pos + 1, hs[pos]))
+        return sel
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in D.winnow_fingerprints(docs, "text", "doc_id", k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == ref(t), (i, t)
