@@ -1301,12 +1301,26 @@ def winnow_fingerprints(
         f"array_distinct(transform(sequence(1, size(__keys__) - {window} + 1), "
         f"j -> array_min(slice(__keys__, j, {window}))))"
     )
+    # a doc at or beyond pos_bound would wrap the inverted-position
+    # term and silently corrupt rightmost-min ordering — fail loud.
+    # The assert rides INSIDE the keys column (coalesce(NULL-on-pass,
+    # keys)) so column pruning can never drop it
+    guard = F.assert_true(
+        F.length(F.col(text_col)) < pos_bound,
+        F.lit(
+            f"winnow_fingerprints: document length >= pos_bound "
+            f"({pos_bound}); raise pos_bound"
+        ),
+    )
     guarded = df.select(
         F.col(id_col).alias("__id__"),
-        F.when(
-            F.length(F.col(text_col)) >= k + window - 1,
-            F.expr(keys),
-        ).otherwise(F.array().cast("array<bigint>")).alias("__keys__"),
+        F.coalesce(
+            guard.cast("array<bigint>"),
+            F.when(
+                F.length(F.col(text_col)) >= k + window - 1,
+                F.expr(keys),
+            ).otherwise(F.array().cast("array<bigint>")),
+        ).alias("__keys__"),
     )
     out = guarded.select(
         "__id__",

@@ -956,3 +956,14 @@ def test_compression_ratio_matches_zlib(spark):
         assert got[i]["ratio_ppm"] == cl * 1_000_000 // max(len(raw), 1)
     # repetitive text must compress much harder than natural text
     assert got[0]["ratio_ppm"] < got[1]["ratio_ppm"]
+
+
+def test_winnowing_pos_bound_guard_fails_loud(spark):
+    import pytest as _pt
+
+    docs = spark.createDataFrame([(0, "x" * 50)], "doc_id long, text string")
+    # within bound: works
+    assert D.winnow_fingerprints(docs, "text", "doc_id", pos_bound=64).count() > 0
+    # beyond bound: must raise, never silently mis-order
+    with _pt.raises(Exception, match="pos_bound"):
+        D.winnow_fingerprints(docs, "text", "doc_id", pos_bound=32).count()
