@@ -6333,6 +6333,33 @@ def q_bpe_train_merges(spark, sf_dir):
 
 
 @_q(
+    "skyline_parts",
+    # 2-D skyline (Pareto front, minimize price AND size): distinct
+    # points not dominated in both dims. The exclusive-prefix-min
+    # formulation needs a global order — implemented with the
+    # ranked_sort decomposition (range partition + per-partition
+    # prefix + <= P-row offset table), never a full-input
+    # SinglePartition window; the oracle states the same predicate as
+    # one global window
+    """
+    WITH pts AS (
+      SELECT DISTINCT p_retailprice AS x, p_size AS y FROM part
+    ), m AS (
+      SELECT x, y,
+             MIN(y) OVER (ORDER BY x, y ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM pts
+    )
+    SELECT x AS p_retailprice, y AS p_size
+    FROM m WHERE pm IS NULL OR y < pm
+    """,
+)
+def q_skyline_parts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").df
+    return REL.skyline_2d(part, "p_retailprice", "p_size")
+
+
+@_q(
     "decontaminate_winnow",
     # span-level train/eval decontamination via winnowing fingerprints:
     # a training doc (doc_id%10<8) is flagged when it shares ANY
@@ -7773,6 +7800,7 @@ _DRIVER_ROW_PRIORITY = [
     "triangle_count_parts",
     "drawdown_users",
     "decontaminate_winnow",
+    "skyline_parts",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

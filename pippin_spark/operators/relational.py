@@ -939,3 +939,59 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, bitmap: DataFrame,
         )
         cond = cond & hit
     return probed.filter(cond).drop("__bloom__", *pos_names)
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D skyline (Pareto front, minimize both): the distinct points
+    not dominated by any other (x' <= x, y' <= y, strictly better in
+    one). The multi-objective "cheapest AND smallest" selector.
+
+    After sorting distinct points by (x, y), a point survives iff its
+    y is strictly below the exclusive prefix minimum of y — but a
+    global ordered window is an Exchange SinglePartition of the whole
+    input. This uses the ranked_sort decomposition instead:
+
+    1. range-partition + in-partition sort on (x, y) — a total order
+       in contiguous partition ranges, data crosses the wire once;
+    2. per-partition y-minimum (the range exchange is reused), and the
+       exclusive running min across partitions on that <= P-row table
+       (the only single-partition step);
+    3. the in-partition exclusive prefix min via a window keyed by the
+       partition index (hash shuffle of the point set — partitions are
+       independent, AQE-splittable);
+    4. survive iff y < least(prior-partition min, in-partition prefix
+       min), nulls skipped by least().
+    """
+    pts = df.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).distinct()
+    num_partitions = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = pts.repartitionByRange(
+        num_partitions, F.col("x").asc(), F.col("y").asc()
+    ).sortWithinPartitions("x", "y")
+    ided = (
+        ranged.withColumn("__mid__", F.monotonically_increasing_id())
+        .withColumn("__pid__", F.shiftrightunsigned(F.col("__mid__"), 33))
+        .withColumn("__loc__", F.col("__mid__").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    pmins = ranged.groupBy(F.spark_partition_id().alias("__pid__")).agg(
+        F.min("y").alias("__pmin__")
+    )
+    w = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    prior = pmins.withColumn("__gmin__", F.min("__pmin__").over(w)).select(
+        "__pid__", "__gmin__"
+    )
+    wl = (
+        Window.partitionBy("__pid__")
+        .orderBy("__loc__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ided.withColumn("__lmin__", F.min("y").over(wl))
+    out = local.join(F.broadcast(prior), "__pid__").withColumn(
+        "__before__", F.least("__gmin__", "__lmin__")
+    )
+    return out.filter(
+        F.col("__before__").isNull() | (F.col("y") < F.col("__before__"))
+    ).select(F.col("x").alias(x_col), F.col("y").alias(y_col))

@@ -321,3 +321,37 @@ def test_triangle_count_matches_bruteforce(spark):
         if (a, b) in es and (a, c) in es and (b, c) in es
     )
     assert got == brute == 5
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(120)]
+    pts += [(3, 3), (3, 3), (0, 20), (20, 0)]  # dups + axis extremes
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]) for r in R.skyline_2d(df, "x", "y").collect()}
+    dpts = set(pts)
+    brute = {
+        (x, y)
+        for x, y in dpts
+        if not any(
+            (a <= x and b <= y and (a, b) != (x, y)) for a, b in dpts
+        )
+    }
+    assert got == brute
+
+
+def test_skyline_plan_no_full_single_partition(spark):
+    import __spark_entry__ as entry
+    import re as _re
+
+    df = entry.queries()["skyline_parts"](spark, "/root/testdata/sf0.001")
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the only SinglePartition exchange sits above the <= P-row
+    # per-partition-min aggregate, never above the point set itself
+    singles = p.count("Arguments: SinglePartition")
+    assert singles <= 1
+    assert "rangepartitioning" in p
