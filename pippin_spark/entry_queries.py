@@ -6333,6 +6333,35 @@ def q_bpe_train_merges(spark, sf_dir):
 
 
 @_q(
+    "exact_median_orders",
+    # exact lower-median order price via 2-pass histogram selection:
+    # pass 1 ships only a bounded bucket histogram, pass 2 TakeOrders
+    # inside the single target bucket — never a full sort, never a
+    # per-group value buffer. Prices scaled to integer cents so
+    # selection is integer-exact; one double division at the end
+    """
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), n AS (
+      SELECT (COUNT(*) + 1) // 2 AS k FROM c
+    ), r AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+    )
+    SELECT n.k AS k, r.cents / 100.0 AS median_price
+    FROM r, n WHERE r.rn = n.k
+    """,
+)
+def q_exact_median_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df.select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents")
+    )
+    kth = REL.exact_kth_2pass(o, "cents")
+    return kth.select(
+        "k", (F.col("value") / F.lit(100.0)).alias("median_price")
+    )
+
+
+@_q(
     "skyline_parts",
     # 2-D skyline (Pareto front, minimize price AND size): distinct
     # points not dominated in both dims. The exclusive-prefix-min
@@ -7801,6 +7830,7 @@ _DRIVER_ROW_PRIORITY = [
     "drawdown_users",
     "decontaminate_winnow",
     "skyline_parts",
+    "exact_median_orders",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

@@ -995,3 +995,60 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return out.filter(
         F.col("__before__").isNull() | (F.col("y") < F.col("__before__"))
     ).select(F.col("x").alias(x_col), F.col("y").alias(y_col))
+
+
+def exact_kth_2pass(
+    df: DataFrame,
+    value_col: str,
+    k: Optional[int] = None,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Exact k-th smallest of a BIGINT column (default: lower median)
+    by two-pass histogram selection — the scale-correct exact global
+    selection: a full sort funnels everything through one ordering,
+    and SQL percentile() buffers whole groups in memory; this touches
+    the data twice and moves almost nothing.
+
+    Values must be non-negative: the bucket key uses truncating `div`
+    (Spark has no integer floor-division), which mis-buckets negatives
+    — shift the column first if needed.
+
+    Pass 1 aggregates value-div-bucket_width counts (map-side partial,
+    one shuffle of <= range/bucket_width rows); the driver walks the
+    sorted histogram — bounded, bucket-count-sized, the same
+    driver-residency budget as the k-means centroid table — to find
+    the target bucket and the rank remaining inside it. Pass 2 filters
+    to that one bucket (predicate pushed to the scan) and TakeOrdered
+    selects the remainder rank; only bucket-sized data is ever
+    ordered. Returns a 1-row (k, value) DataFrame.
+    """
+    if k is None:
+        n = df.count()
+        k = (n + 1) // 2
+    v = F.col(value_col)
+    hist = (
+        df.select(F.expr(f"{value_col} div {bucket_width}").alias("__b__"))
+        .groupBy("__b__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .orderBy("__b__")
+        .collect()
+    )
+    seen = 0
+    target = None
+    for row in hist:
+        if seen + row["__n__"] >= k:
+            target = row["__b__"]
+            break
+        seen += row["__n__"]
+    if target is None:
+        raise ValueError(f"k={k} exceeds row count {seen}")
+    rem = k - seen  # rank within the target bucket, 1-based
+    in_bucket = df.filter(
+        (v >= target * bucket_width) & (v < (target + 1) * bucket_width)
+    )
+    # TakeOrdered of rem rows, then the max of those = the k-th value
+    kth = (
+        in_bucket.orderBy(v.asc()).limit(rem)
+        .agg(F.max(v).alias("value"))
+    )
+    return kth.select(F.lit(k).alias("k"), "value")

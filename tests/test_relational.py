@@ -355,3 +355,25 @@ def test_skyline_plan_no_full_single_partition(spark):
     singles = p.count("Arguments: SinglePartition")
     assert singles <= 1
     assert "rangepartitioning" in p
+
+
+def test_exact_kth_2pass_matches_sorted(spark):
+    import random
+
+    rng = random.Random(11)
+    vals = [rng.randint(0, 100000) for _ in range(997)]
+    vals += [0, 0, 100000, 50000]  # boundary duplicates
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    s = sorted(vals)
+    for k in [1, 2, len(vals) // 2, len(vals) - 1, len(vals)]:
+        got = R.exact_kth_2pass(df, "v", k=k).collect()[0]
+        assert (got["k"], got["value"]) == (k, s[k - 1]), k
+    # default k = lower median
+    got = R.exact_kth_2pass(df, "v").collect()[0]
+    n = len(vals)
+    assert got["value"] == s[(n + 1) // 2 - 1]
+    # k out of range fails loud
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        R.exact_kth_2pass(df, "v", k=len(vals) + 1)
