@@ -6333,6 +6333,48 @@ def q_bpe_train_merges(spark, sf_dir):
 
 
 @_q(
+    "cogroup_reconcile_events",
+    # two-feed per-key reconciliation through groupBy().cogroup()
+    # .applyInPandas (the imperative two-input per-key API): even
+    # event_ids are the left ledger, odd the right; max running
+    # imbalance in (ts, event_id) order, integer cents so the cumsum
+    # is association-order-exact in both engines
+    """
+    WITH sided AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 2 = 0 THEN c ELSE -c END AS s,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_l
+      FROM (SELECT user_id, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS c FROM events)
+    ), run AS (
+      SELECT user_id, is_l,
+             SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS r
+      FROM sided
+    )
+    SELECT user_id,
+           CAST(MAX(r) AS BIGINT) AS max_imbalance_cents,
+           CAST(SUM(is_l) AS BIGINT) AS n_left,
+           CAST(COUNT(*) - SUM(is_l) AS BIGINT) AS n_right
+    FROM run GROUP BY user_id
+    """,
+)
+def q_cogroup_reconcile_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    left = ev.filter(F.col("event_id") % 2 == 0)
+    right = ev.filter(F.col("event_id") % 2 == 1)
+    return REL.cogroup_running_imbalance(
+        left, right, "user_id", "ts", "event_id", "cents"
+    )
+
+
+@_q(
     "exact_median_orders",
     # exact lower-median order price via 2-pass histogram selection:
     # pass 1 ships only a bounded bucket histogram, pass 2 TakeOrders
@@ -7831,6 +7873,7 @@ _DRIVER_ROW_PRIORITY = [
     "decontaminate_winnow",
     "skyline_parts",
     "exact_median_orders",
+    "cogroup_reconcile_events",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

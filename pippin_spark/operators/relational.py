@@ -4,7 +4,9 @@ extensions expressed with native Spark primitives only; every shape
 here is shuffle-minimal and AQE-friendly at 100 TB.
 
 Scale notes per operator are inline; nothing in this module uses a
-Python UDF.
+row-at-a-time Python UDF (the one Python crossing,
+cogroup_running_imbalance, is an Arrow-batched applyInPandas — the
+API that op exists to demonstrate).
 """
 
 from __future__ import annotations
@@ -1052,3 +1054,65 @@ def exact_kth_2pass(
         .agg(F.max(v).alias("value"))
     )
     return kth.select(F.lit(k).alias("k"), "value")
+
+
+def cogroup_running_imbalance(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Per-key reconciliation of two event feeds via
+    ``groupBy().cogroup().applyInPandas`` — the API for imperative
+    per-key logic over TWO co-partitioned inputs (ledger-vs-ledger
+    matching, replay divergence checks). Computes, per key, the
+    maximum running imbalance: +value for the left feed, -value for
+    the right, accumulated in (ts, tie) order.
+
+    Scale: cogroup shuffles each side once on the key (both sides
+    hash-partitioned identically, then zipped per key into ONE Arrow
+    batch pair per key group); the pandas body is vectorized
+    concat/sort/cumsum. Values are integer cents so the cumsum is
+    exact and order-stable cross-engine — a float running sum would be
+    association-order-dependent (DuckDB's windowed SUM uses segment
+    trees, Spark accumulates sequentially).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("max_imbalance_cents", T.LongType()),
+            T.StructField("n_left", T.LongType()),
+            T.StructField("n_right", T.LongType()),
+        ]
+    )
+
+    def reconcile(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        key = l[key_col].iloc[0] if len(l) else r[key_col].iloc[0]
+        l2 = l[[ts_col, tie_col, val_col]].copy()
+        l2["__s__"] = l2[val_col]
+        r2 = r[[ts_col, tie_col, val_col]].copy()
+        r2["__s__"] = -r2[val_col]
+        both = pd.concat([l2, r2]).sort_values([ts_col, tie_col])
+        run = both["__s__"].cumsum()
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "max_imbalance_cents": [
+                    int(run.max()) if len(run) else 0
+                ],
+                "n_left": [len(l)],
+                "n_right": [len(r)],
+            }
+        )
+
+    return (
+        left.groupBy(key_col)
+        .cogroup(right.groupBy(key_col))
+        .applyInPandas(reconcile, schema)
+    )

@@ -377,3 +377,27 @@ def test_exact_kth_2pass_matches_sorted(spark):
 
     with _pt.raises(ValueError):
         R.exact_kth_2pass(df, "v", k=len(vals) + 1)
+
+
+def test_cogroup_reconcile_matches_plain_python(spark):
+    rows = [
+        # (key, ts, tie, cents) — left if tie even
+        (1, 10, 0, 500), (1, 10, 1, 300), (1, 20, 2, 200), (1, 30, 3, 900),
+        (2, 5, 4, 100),             # left-only key
+        (3, 5, 5, 250),             # right-only key
+    ]
+    import pandas as pd  # noqa: F401
+
+    df = spark.createDataFrame(rows, "k long, ts long, tie long, cents long")
+    left = df.filter(F.col("tie") % 2 == 0)
+    right = df.filter(F.col("tie") % 2 == 1)
+    got = {
+        r["k"]: (r["max_imbalance_cents"], r["n_left"], r["n_right"])
+        for r in R.cogroup_running_imbalance(
+            left, right, "k", "ts", "tie", "cents"
+        ).collect()
+    }
+    # key 1 running: +500, -300, +200, -900 -> peaks at 500
+    assert got[1] == (500, 2, 2)
+    assert got[2] == (100, 1, 0)
+    assert got[3] == (-250, 0, 1)
