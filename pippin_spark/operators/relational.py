@@ -1048,12 +1048,28 @@ def exact_kth_2pass(
     in_bucket = df.filter(
         (v >= target * bucket_width) & (v < (target + 1) * bucket_width)
     )
-    # TakeOrdered of rem rows, then the max of those = the k-th value
-    kth = (
-        in_bucket.orderBy(v.asc()).limit(rem)
-        .agg(F.max(v).alias("value"))
+    # pass 2 is ANOTHER histogram — per exact value this time
+    # (<= bucket_width rows) — walked on the driver. Never a
+    # TakeOrdered of rem rows: if the data is concentrated in one
+    # bucket (all-equal values), rem ~ k and collecting rem rows
+    # through one task would be the exact funnel this op exists to
+    # avoid; the value histogram stays <= bucket_width rows no matter
+    # how skewed the data is.
+    vals = (
+        in_bucket.groupBy(v.alias("__v__"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .orderBy("__v__")
+        .collect()
     )
-    return kth.select(F.lit(k).alias("k"), "value")
+    for row in vals:
+        if rem <= row["__n__"]:
+            kth_value = row["__v__"]
+            break
+        rem -= row["__n__"]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(k, kth_value)], f"k bigint, value {df.schema[value_col].dataType.simpleString()}"
+    )
 
 
 def cogroup_running_imbalance(

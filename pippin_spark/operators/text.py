@@ -494,10 +494,13 @@ def collocations_topk(docs, text_col: str = "text", k: int = 25,
     partials, unigram counts broadcast back onto the (much smaller)
     bigram count table, global top-k via TakeOrdered."""
     toks = docs.select(_ws_token_array(F.col(text_col)).alias("__toks__"))
+    # persisted: three consumers (left-word side, right-word side, the
+    # corpus total) would otherwise each re-run the corpus scan+agg
     uni = (
         toks.select(F.explode("__toks__").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("w_cnt"))
+        .persist()
     )
     total = uni.agg(F.sum("w_cnt").alias("n_tokens"))
     pairs = (
