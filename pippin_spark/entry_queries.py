@@ -6370,7 +6370,7 @@ def q_cogroup_reconcile_events(spark, sf_dir):
     left = ev.filter(F.col("event_id") % 2 == 0)
     right = ev.filter(F.col("event_id") % 2 == 1)
     return REL.cogroup_running_imbalance(
-        left, right, "user_id", "ts", "event_id", "cents"
+        left, right, "user_id", "ts", "event_id", "cents", buckets=256
     )
 
 

@@ -401,3 +401,25 @@ def test_cogroup_reconcile_matches_plain_python(spark):
     assert got[1] == (500, 2, 2)
     assert got[2] == (100, 1, 0)
     assert got[3] == (-250, 0, 1)
+
+
+def test_cogroup_reconcile_bucketed_identical(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (rng.randint(0, 50), rng.randint(0, 100), i, rng.randint(1, 999))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, tie long, cents long")
+    left = df.filter(F.col("tie") % 2 == 0)
+    right = df.filter(F.col("tie") % 2 == 1)
+
+    def run(buckets):
+        return sorted(
+            tuple(r) for r in R.cogroup_running_imbalance(
+                left, right, "k", "ts", "tie", "cents", buckets=buckets
+            ).collect()
+        )
+
+    assert run(None) == run(7) == run(256)
