@@ -6282,11 +6282,14 @@ def _bpe_oracle_sql(rounds: int) -> str:
       SELECT w1, w2, total FROM pairs_{r}
       ORDER BY total DESC, w1, w2 LIMIT 1
     ), pos_{r} AS (
+      -- LEFT JOIN ON TRUE (not CROSS JOIN): an empty best_{r} must
+      -- pass sequences through unchanged, not wipe them
       SELECT word, cnt, s, i, s[i] AS c,
-             (i < len(s) AND s[i] = b.w1 AND s[i + 1] = b.w2) AS m
+             COALESCE(i < len(s) AND s[i] = b.w1 AND s[i + 1] = b.w2,
+                      FALSE) AS m
       FROM (SELECT word, cnt, s, UNNEST(generate_series(1, len(s))) AS i
             FROM seq_{q})
-      CROSS JOIN best_{r} b
+      LEFT JOIN best_{r} b ON TRUE
     ), isl_{r} AS (
       SELECT word, i,
              i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
@@ -6628,8 +6631,8 @@ def q_bpe_vocab_segments(spark, sf_dir):
       ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
     ), scored AS (
       SELECT p.w1, p.w2, p.pair_cnt,
-             p.pair_cnt * t.n_tokens * 1000000
-               // (a.w_cnt * b.w_cnt) AS pmi_scaled
+             CAST((CAST(p.pair_cnt AS HUGEINT) * t.n_tokens * 1000000)
+               // (a.w_cnt * b.w_cnt) AS BIGINT) AS pmi_scaled
       FROM pairs p
       JOIN uni a ON p.w1 = a.w
       JOIN uni b ON p.w2 = b.w

@@ -90,8 +90,14 @@ def _train(docs: DataFrame, text_col: str, rounds: int):
                 F.col("total").alias("pair_count"),
             )
         )
+        # LEFT join on TRUE, not a cross join: if the pair table runs
+        # dry before `rounds` (every word fully merged), an empty
+        # `best` cross-joined in would silently wipe the vocabulary.
+        # With nulls for w1/w2 the fold's match predicate is never
+        # true and the sequence passes through unchanged; the merge
+        # table simply has fewer than `rounds` rows.
         seq = (
-            seq.crossJoin(F.broadcast(best.select("w1", "w2")))
+            seq.join(F.broadcast(best.select("w1", "w2")), F.lit(True), "left")
             .selectExpr("word", "cnt", f"{_MERGE_FOLD} as s")
             .persist()
         )

@@ -1305,8 +1305,11 @@ def winnow_fingerprints(
     # term and silently corrupt rightmost-min ordering — fail loud.
     # The assert rides INSIDE the keys column (coalesce(NULL-on-pass,
     # keys)) so column pruning can never drop it
+    # coalesce: NULL text has no windows (the when() gate yields the
+    # empty array) and must not trip the assert — matching the SQL
+    # oracle's WHERE length(text) >= k+window-1, which drops NULLs
     guard = F.assert_true(
-        F.length(F.col(text_col)) < pos_bound,
+        F.coalesce(F.length(F.col(text_col)) < pos_bound, F.lit(True)),
         F.lit(
             f"winnow_fingerprints: document length >= pos_bound "
             f"({pos_bound}); raise pos_bound"

@@ -1024,9 +1024,6 @@ def exact_kth_2pass(
     selects the remainder rank; only bucket-sized data is ever
     ordered. Returns a 1-row (k, value) DataFrame.
     """
-    if k is None:
-        n = df.count()
-        k = (n + 1) // 2
     v = F.col(value_col)
     hist = (
         df.select(F.expr(f"{value_col} div {bucket_width}").alias("__b__"))
@@ -1035,6 +1032,10 @@ def exact_kth_2pass(
         .orderBy("__b__")
         .collect()
     )
+    if k is None:
+        # lower median; n comes free from the histogram — no extra scan
+        n = sum(row["__n__"] for row in hist)
+        k = (n + 1) // 2
     seen = 0
     target = None
     for row in hist:
@@ -1110,7 +1111,9 @@ def cogroup_running_imbalance(
 
     schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
+            # reuse the caller's key type — string account ids are the
+            # canonical use case and must not be coerced to long
+            T.StructField(key_col, left.schema[key_col].dataType),
             T.StructField("max_imbalance_cents", T.LongType()),
             T.StructField("n_left", T.LongType()),
             T.StructField("n_right", T.LongType()),
@@ -1139,8 +1142,10 @@ def cogroup_running_imbalance(
         ]
 
     if buckets:
-        lb = left.withColumn("__bk__", F.col(key_col) % F.lit(buckets))
-        rb = right.withColumn("__bk__", F.col(key_col) % F.lit(buckets))
+        # hash, don't %: works for any key type and never negative
+        bk = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+        lb = left.withColumn("__bk__", bk)
+        rb = right.withColumn("__bk__", bk)
         return (
             lb.groupBy("__bk__")
             .cogroup(rb.groupBy("__bk__"))

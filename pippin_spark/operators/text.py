@@ -380,8 +380,10 @@ def token_freq_spectrum(df, text_col: str):
 def _ws_token_array(col: Column) -> Column:
     """Whitespace token array, lowercased, empties removed — the shared
     tokenization contract with the DuckDB oracles (same regex both
-    engines, proven by ngram_lm_counts)."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    engines, proven by ngram_lm_counts). Delegates to :func:`tokens`
+    so the module has exactly ONE whitespace-tokenization definition
+    (the trim there only affects edge tokens the filter drops anyway)."""
+    return tokens(col)
 
 
 _BIGRAM_PAIRS = (
@@ -401,8 +403,10 @@ def lm_bigram_counts(docs, text_col: str = "text", min_count: int = 1):
     stream before a single count happened. The only shuffle here
     carries (w1, w2) partial counts, already combined map-side.
 
-    ``min_count`` prunes rare bigrams AFTER context totals are derived
-    (callers derive contexts from the unpruned counts), keeping the
+    With ``min_count`` > 1, use :func:`lm_bigram_model` instead — it
+    derives context totals and vocabulary from the UNPRUNED counts
+    before pruning, which this function (returning only the pruned
+    table) cannot promise to downstream scorers. Pruning keeps the
     broadcast LM small at corpus scale: a 100 TB corpus has ~10^10
     distinct bigrams raw but only ~10^7 above min_count=5.
     """
@@ -417,8 +421,26 @@ def lm_bigram_counts(docs, text_col: str = "text", min_count: int = 1):
     return counts
 
 
+def lm_bigram_model(docs, text_col: str = "text", min_count: int = 1):
+    """Full LM training artifact: (pruned bigram counts, context
+    totals, vocab-size 1-row DF) with contexts and vocabulary derived
+    from the UNPRUNED counts — so Laplace denominators keep the full
+    probability mass even when rare bigrams are pruned out of the
+    broadcast table. Pass all three to :func:`lm_score_docs`."""
+    full = lm_bigram_counts(docs, text_col, min_count=1).persist()
+    ctx = full.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
+    vocab = full.select("w2").distinct().agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("v")
+    )
+    counts = (
+        full.filter(F.col("cnt") >= min_count) if min_count > 1 else full
+    )
+    return counts, ctx, vocab
+
+
 def lm_score_docs(docs, counts, text_col: str = "text",
-                  id_col: str = "doc_id", scale: int = 10 ** 9):
+                  id_col: str = "doc_id", scale: int = 10 ** 9,
+                  ctx=None, vocab=None):
     """Score documents by mean Laplace-smoothed bigram probability
     against a trained LM — the CCNet-style "does this look like the
     reference corpus" quality signal, in exact integer arithmetic.
@@ -437,10 +459,14 @@ def lm_score_docs(docs, counts, text_col: str = "text",
     zip + explode), so the per-doc partial aggregate is map-side
     complete and the final shuffle carries ONE row per document.
     """
-    ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
-    vocab = counts.select("w2").distinct().agg(
-        (F.count(F.lit(1)) + F.lit(1)).alias("v")
-    )
+    # ctx/vocab derived here are only correct for UNPRUNED counts; a
+    # min_count-pruned model must pass the lm_bigram_model outputs
+    if ctx is None:
+        ctx = counts.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
+    if vocab is None:
+        vocab = counts.select("w2").distinct().agg(
+            (F.count(F.lit(1)) + F.lit(1)).alias("v")
+        )
     toks = docs.select(
         F.col(id_col), _ws_token_array(F.col(text_col)).alias("__toks__")
     )
@@ -485,9 +511,12 @@ def collocations_topk(docs, text_col: str = "text", k: int = 25,
     pmi_scaled = (pair_cnt * N * scale) div (cnt_a * cnt_b) ranks
     identically to log PMI at fixed N and is bit-exact cross-engine
     (log() differs in ulps between libms; a floor-divided ratio never
-    does). Long bound: pair_cnt * N * scale < 2^63 — at trillion-token
-    corpora drop ``scale`` or pre-restrict with ``min_count``; ANSI
-    mode makes an overflow loud.
+    does). The numerator is computed in DECIMAL(38,0) (HUGEINT on the
+    oracle side) — a bigint numerator would overflow around 3e7 tokens
+    for frequent pairs; only the QUOTIENT must fit a long, and it is
+    bounded by scale * N / pair_cnt <= scale * N, fine up to
+    ~9e12-token corpora at scale=1e6 (ANSI makes the cast loud
+    beyond).
 
     Scale shape: same narrow array-zip bigram stream as the LM ops
     (no token window shuffle), two count aggregates with map-side
@@ -520,7 +549,8 @@ def collocations_topk(docs, text_col: str = "text", k: int = 25,
             "w2",
             "pair_cnt",
             F.expr(
-                f"pair_cnt * n_tokens * {scale}L div (cnt_a * cnt_b)"
+                f"cast((cast(pair_cnt as decimal(38,0)) * n_tokens * {scale})"
+                f" div (cnt_a * cnt_b) as bigint)"
             ).alias("pmi_scaled"),
         )
     )
@@ -586,7 +616,7 @@ def compression_ratio(docs, text_col: str = "text", id_col: str = "doc_id",
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("raw_len", T.LongType()),
             T.StructField("compressed_len", T.LongType()),
             T.StructField("ratio_ppm", T.LongType()),
@@ -604,7 +634,7 @@ def compression_ratio(docs, text_col: str = "text", id_col: str = "doc_id",
             cl = raw.map(lambda x: len(zlib.compress(x, level)))
             yield pd.DataFrame(
                 {
-                    "doc_id": b[id_col],
+                    id_col: b[id_col],
                     "raw_len": rl,
                     "compressed_len": cl,
                     "ratio_ppm": (cl * 1_000_000) // rl.clip(lower=1),

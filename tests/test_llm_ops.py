@@ -967,3 +967,48 @@ def test_winnowing_pos_bound_guard_fails_loud(spark):
     # beyond bound: must raise, never silently mis-order
     with _pt.raises(Exception, match="pos_bound"):
         D.winnow_fingerprints(docs, "text", "doc_id", pos_bound=32).count()
+
+
+def test_bpe_pairs_run_dry_preserves_vocab(spark):
+    # after round 1 merges ('a','</w>') every word is a single symbol:
+    # rounds 2-3 have no pairs; the vocab must survive and the merge
+    # table simply stops early
+    from pippin_spark.operators import bpe as B
+
+    docs = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
+    merges = B.bpe_train_merges(docs, rounds=3).collect()
+    assert [(m["step"], m["w1"], m["w2"]) for m in merges] == [
+        (1, "a", "</w>")
+    ]
+    vocab = B.bpe_vocab_after(docs, rounds=3).collect()
+    assert [(v["word"], v["cnt"], v["pieces"]) for v in vocab] == [
+        ("a", 3, "a</w>")
+    ]
+
+
+def test_winnowing_null_text_excluded_not_crash(spark):
+    docs = spark.createDataFrame(
+        [(0, None), (1, "x" * 40)], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in D.winnow_fingerprints(docs, "text", "doc_id").collect()}
+    assert got == {1}
+
+
+def test_lm_bigram_model_contexts_from_unpruned(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y x y x z")], "doc_id long, text string"
+    )
+    counts, ctx, vocab = X.lm_bigram_model(docs, min_count=2)
+    got_counts = {(r["w1"], r["w2"]): r["cnt"] for r in counts.collect()}
+    assert got_counts == {("x", "y"): 2, ("y", "x"): 2}  # (x,z) pruned
+    got_ctx = {r["w1"]: r["ctx_cnt"] for r in ctx.collect()}
+    # x context total includes the PRUNED (x,z): 2 + 1 = 3
+    assert got_ctx == {"x": 3, "y": 2}
+    # vocab counts pruned w2 'z' too: {y, x, z} + OOV = 4
+    assert vocab.collect()[0]["v"] == 4
+
+
+def test_compression_ratio_respects_id_col(spark):
+    docs = spark.createDataFrame([(7, "hello world")], "uid long, text string")
+    row = X.compression_ratio(docs, id_col="uid").collect()[0]
+    assert row["uid"] == 7 and "doc_id" not in row.asDict()

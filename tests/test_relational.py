@@ -423,3 +423,21 @@ def test_cogroup_reconcile_bucketed_identical(spark):
         )
 
     assert run(None) == run(7) == run(256)
+
+
+def test_cogroup_reconcile_string_keys(spark):
+    rows = [
+        ("acct-a", 1, 0, 100), ("acct-a", 2, 1, 40),
+        ("acct-b", 1, 2, 70),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, tie long, cents long")
+    left = df.filter(F.col("tie") % 2 == 0)
+    right = df.filter(F.col("tie") % 2 == 1)
+    for buckets in (None, 4):
+        got = {
+            r["k"]: (r["max_imbalance_cents"], r["n_left"], r["n_right"])
+            for r in R.cogroup_running_imbalance(
+                left, right, "k", "ts", "tie", "cents", buckets=buckets
+            ).collect()
+        }
+        assert got == {"acct-a": (100, 1, 1), "acct-b": (70, 1, 0)}, buckets
