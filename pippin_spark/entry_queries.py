@@ -6378,6 +6378,26 @@ def q_cogroup_reconcile_events(spark, sf_dir):
 
 
 @_q(
+    "fuzzy_join_qgram_parts",
+    # scalable edit-distance self-join (Ed-Join prefix filtering): each
+    # distinct name keeps its q*d+1 globally-rarest padded 3-grams;
+    # strings within d=2 edits provably share a prefix gram (pigeonhole
+    # over the shared frequency order), exact levenshtein verifies only
+    # candidates. The oracle brute-forces all distinct pairs
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS s_a, b.p_name AS s_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_fuzzy_join_qgram_parts(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").df.select(F.col("p_name"))
+    return REL.qgram_edit_join(part, "p_name", max_dist=2, q=3)
+
+
+@_q(
     "exact_median_orders",
     # exact lower-median order price via 2-pass histogram selection:
     # pass 1 ships only a bounded bucket histogram, pass 2 TakeOrders
@@ -7877,6 +7897,7 @@ _DRIVER_ROW_PRIORITY = [
     "skyline_parts",
     "exact_median_orders",
     "cogroup_reconcile_events",
+    "fuzzy_join_qgram_parts",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

@@ -1156,3 +1156,86 @@ def cogroup_running_imbalance(
         .cogroup(right.groupBy(key_col))
         .applyInPandas(reconcile, schema)
     )
+
+
+def qgram_edit_join(
+    strings: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Self similarity join under edit distance (Ed-Join family, Xiao
+    et al.): all distinct string pairs with levenshtein <= max_dist,
+    without the all-pairs quadratic.
+
+    Candidate generation is q-gram PREFIX FILTERING: strings are
+    padded with q-1 sentinel chars on each side (so even strings
+    shorter than q carry >= q grams), each string keeps only its
+    (q*max_dist + 1) globally-rarest grams (total order by corpus
+    frequency, then gram), and candidates are pairs sharing at least
+    one prefix gram. One edit operation disturbs at most q padded
+    grams, so two strings within max_dist edits differ in at most
+    q*max_dist grams — they MUST share a gram inside both rarest-
+    (q*max_dist+1) prefixes under the same global order, PROVIDED at
+    least one side carries more than q*max_dist grams (the pigeonhole
+    needs a full-length prefix on one side; short-vs-long pairs are
+    covered because the long side's prefix must hit the short side's
+    complete gram set). Pairs where BOTH strings are short (len <=
+    q*(max_dist-1)+1, i.e. gram count <= q*max_dist) get no guarantee
+    and are joined all-pairs from the tiny short bucket instead.
+    Completeness is property-tested against a brute-force join,
+    including the empty-string and short-short boundary. A length
+    filter (|len_a - len_b| <= max_dist) prunes before verification,
+    and the exact levenshtein (JVM codegen) runs only on candidates.
+
+    Scale shape: gram frequencies are one partial-agg pass; the only
+    quadratic surface is the per-rare-gram bucket join (rare by
+    construction — the prefix keeps each string's LEAST frequent
+    grams, so hot grams never generate candidates); dedupe first —
+    the join runs on distinct strings, expand back by joining output
+    to your id table."""
+    pad_l = "".join(chr(1) for _ in range(q - 1))
+    pad_r = "".join(chr(2) for _ in range(q - 1))
+    s = strings.select(F.col(col).alias("s")).distinct()
+    padded = f"concat('{pad_l}', s, '{pad_r}')"
+    grams = s.select(
+        "s",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, length(s) + {q - 1}),"
+                f" i -> substring({padded}, i, {q})))"
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__f__"))
+    w = Window.partitionBy("s").orderBy("__f__", "g")
+    prefix = (
+        grams.join(freq, "g")
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= q * max_dist + 1)
+        .select("s", "g")
+    )
+    a = prefix.select(F.col("s").alias("s_a"), "g")
+    b = prefix.select(F.col("s").alias("s_b"), "g")
+    short_len = q * (max_dist - 1) + 1
+    shorts = s.filter(F.length("s") <= short_len)
+    short_pairs = (
+        shorts.select(F.col("s").alias("s_a"))
+        .crossJoin(shorts.select(F.col("s").alias("s_b")))
+        .filter(F.col("s_a") < F.col("s_b"))
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .select("s_a", "s_b")
+        .unionByName(short_pairs)
+        .distinct()
+        .filter(
+            F.abs(F.length("s_a") - F.length("s_b")) <= max_dist
+        )
+    )
+    return cand.select(
+        "s_a",
+        "s_b",
+        F.levenshtein("s_a", "s_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

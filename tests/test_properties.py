@@ -262,3 +262,39 @@ def test_winnowing_property(spark, texts):
         got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
     for i, t in enumerate(texts):
         assert got.get(i, set()) == ref(t), (i, t)
+
+
+@given(strs=st.lists(st.text(alphabet="abxy", min_size=0, max_size=10),
+                     min_size=2, max_size=12))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_qgram_edit_join_complete_vs_bruteforce(spark, strs):
+    # completeness of the prefix filter is the whole game: every pair
+    # within max_dist MUST survive candidate generation
+    from pippin_spark.operators import relational as R
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = {
+        (r["s_a"], r["s_b"], r["dist"])
+        for r in R.qgram_edit_join(df, "s", max_dist=2, q=3).collect()
+    }
+    ds = sorted(set(strs))
+    exp = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(ds)
+        for b in ds[i + 1:]
+        if lev(a, b) <= 2
+    }
+    assert got == exp
