@@ -85,6 +85,10 @@ HEADLINE = [
     "collocations_pmi",
     "text_feature_hashing",
     "drawdown_users",
+    "skyline_parts",
+    "exact_median_orders",
+    "cogroup_reconcile_events",
+    "fuzzy_join_qgram_parts",
 ]
 
 
