@@ -6378,6 +6378,35 @@ def q_cogroup_reconcile_events(spark, sf_dir):
 
 
 @_q(
+    "set_join_jaccard_docs",
+    # PPJoin/SSJoin prefix-filtered EXACT Jaccard self-join over
+    # 3-gram shingle sets — NO blocking assumption (the ngram-jaccard
+    # ground truth blocks on first token + length; this is the
+    # complete-by-theorem form): prefix = n - ceil(n/2) + 1 rarest
+    # shingles, threshold tested by integer cross-multiplication.
+    # Oracle is the unblocked all-pairs join
+    _DDB_SHINGLES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND 2 * len(list_intersect(a.sh, b.sh)) >=
+          len(list_distinct(list_concat(a.sh, b.sh)))
+    """,
+)
+def q_set_join_jaccard_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    shingled = docs.select(
+        "doc_id", DEDUP.shingles(F.col("text"), n=3).alias("sh")
+    )
+    return DEDUP.set_similarity_join(
+        shingled, "doc_id", "sh", tau_num=1, tau_den=2
+    )
+
+
+@_q(
     "fuzzy_join_qgram_parts",
     # scalable edit-distance self-join (Ed-Join prefix filtering): each
     # distinct name keeps its q*d+1 globally-rarest padded 3-grams;
@@ -7898,6 +7927,7 @@ _DRIVER_ROW_PRIORITY = [
     "exact_median_orders",
     "cogroup_reconcile_events",
     "fuzzy_join_qgram_parts",
+    "set_join_jaccard_docs",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

@@ -1340,3 +1340,73 @@ def winnow_fingerprints(
         ),
         F.expr(f"__key__ div {pos_bound}L").alias("fp"),
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Exact set-similarity self-join (SSJoin/PPJoin prefix filtering,
+    Chaudhuri et al. / Xiao et al.): all id pairs whose element sets
+    have Jaccard >= tau_num/tau_den — with NO blocking assumption
+    (unlike dedup_ngram_jaccard's first-token/length blocks, which
+    assume near-dups share them). Completeness comes from the prefix
+    theorem: order elements by global frequency (then value); a set of
+    size n keeps its first n - ceil(tau*n) + 1 elements; two sets with
+    Jaccard >= tau MUST share a prefix element. Property-tested
+    against a brute-force join.
+
+    Scale shape: element frequencies are one partial-agg pass;
+    candidates come from equi-joining PREFIXES only (the rarest
+    elements — hot elements sit at the back of every prefix order and
+    never generate candidates); verification joins the two full sets
+    and evaluates Jaccard with exact integer cross-multiplication
+    (inter * tau_den >= tau_num * union — no float threshold).
+    """
+    sets = (
+        df.select(
+            F.col(id_col).alias("__id__"),
+            F.array_distinct(F.col(set_col)).alias("__sh__"),
+        )
+        .filter(F.size("__sh__") > 0)
+        .persist()
+    )
+    tok = sets.select(
+        "__id__", F.size("__sh__").alias("__n__"), F.explode("__sh__").alias("__t__")
+    )
+    freq = tok.groupBy("__t__").agg(F.count(F.lit(1)).alias("__f__"))
+    w = Window.partitionBy("__id__").orderBy("__f__", "__t__")
+    ceil_tau_n = f"(({tau_num} * __n__ + {tau_den} - 1) div {tau_den})"
+    prefix = (
+        tok.join(freq, "__t__")
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.expr(f"__rn__ <= __n__ - {ceil_tau_n} + 1"))
+        .select("__id__", "__t__")
+    )
+    cand = (
+        prefix.select(F.col("__id__").alias("__ida__"), "__t__")
+        .join(prefix.select(F.col("__id__").alias("__idb__"), "__t__"), "__t__")
+        .filter(F.col("__ida__") < F.col("__idb__"))
+        .select("__ida__", "__idb__")
+        .distinct()
+    )
+    sa = sets.select(F.col("__id__").alias("__ida__"), F.col("__sh__").alias("__sha__"))
+    sb = sets.select(F.col("__id__").alias("__idb__"), F.col("__sh__").alias("__shb__"))
+    joined = cand.join(sa, "__ida__").join(sb, "__idb__")
+    inter = F.size(F.array_intersect("__sha__", "__shb__"))
+    union = F.size("__sha__") + F.size("__shb__") - inter
+    return (
+        joined.withColumn("__i__", inter)
+        .withColumn("__u__", union)
+        .filter(F.col("__i__") * tau_den >= tau_num * F.col("__u__"))
+        .select(
+            F.col("__ida__").alias("id_a"),
+            F.col("__idb__").alias("id_b"),
+            F.round(
+                F.col("__i__").cast("double") / F.col("__u__"), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -298,3 +298,29 @@ def test_qgram_edit_join_complete_vs_bruteforce(spark, strs):
         if lev(a, b) <= 2
     }
     assert got == exp
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8),
+    min_size=2, max_size=10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_set_similarity_join_complete_vs_bruteforce(spark, docs):
+    from pippin_spark.operators import dedup as DD
+
+    rows = [(i, list(set(s))) for i, s in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, sh array<string>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.set_similarity_join(df, "id", "sh", 1, 2).collect()
+    }
+    exp = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j or not a or not b:
+                continue
+            inter = len(set(a) & set(b))
+            union = len(set(a) | set(b))
+            if 2 * inter >= union:
+                exp.add((i, j))
+    assert got == exp
