@@ -6378,6 +6378,65 @@ def q_cogroup_reconcile_events(spark, sf_dir):
 
 
 @_q(
+    "benford_order_prices",
+    # Benford's-law leading-digit QA on order prices: observed counts
+    # vs the Benford expectation and per-digit chi-square terms. The
+    # log10(1+1/d) constants are PRECOMPUTED Python literals pasted
+    # into BOTH plans, so no libm call exists in either engine — the
+    # float arithmetic left is mul/div/sub on identical inputs, which
+    # is IEEE-deterministic
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit
+    ), n AS (SELECT CAST(SUM(observed) AS BIGINT) AS total FROM obs),
+    bf(digit, p) AS (VALUES {", ".join(f"({d}, CAST({__import__('math').log10(1 + 1 / d)!r} AS DOUBLE))" for d in range(1, 10))})
+    SELECT bf.digit,
+           COALESCE(obs.observed, 0) AS observed,
+           bf.p * n.total AS expected,
+           (COALESCE(obs.observed, 0) - bf.p * n.total)
+             * (COALESCE(obs.observed, 0) - bf.p * n.total)
+             / (bf.p * n.total) AS chi_term
+    FROM bf LEFT JOIN obs ON bf.digit = obs.digit CROSS JOIN n
+    """,
+)
+def q_benford_order_prices(spark, sf_dir):
+    import math
+
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.expr(
+            "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string),"
+            " 1, 1) as bigint)"
+        ).alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    n = obs.agg(F.sum("observed").alias("total"))
+    bf = o.sparkSession.createDataFrame(
+        [(d, math.log10(1 + 1 / d)) for d in range(1, 10)],
+        "digit bigint, p double",
+    )
+    out = (
+        bf.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("observed", F.lit(0)).alias("observed"),
+            (F.col("p") * F.col("total")).alias("expected"),
+        )
+    )
+    chi = (
+        (F.col("observed") - F.col("expected"))
+        * (F.col("observed") - F.col("expected"))
+        / F.col("expected")
+    )
+    return out.withColumn("chi_term", chi)
+
+
+@_q(
     "set_join_jaccard_docs",
     # PPJoin/SSJoin prefix-filtered EXACT Jaccard self-join over
     # 3-gram shingle sets — NO blocking assumption (the ngram-jaccard
@@ -7928,6 +7987,7 @@ _DRIVER_ROW_PRIORITY = [
     "cogroup_reconcile_events",
     "fuzzy_join_qgram_parts",
     "set_join_jaccard_docs",
+    "benford_order_prices",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",
