@@ -89,6 +89,8 @@ HEADLINE = [
     "exact_median_orders",
     "cogroup_reconcile_events",
     "fuzzy_join_qgram_parts",
+    "set_join_jaccard_docs",
+    "benford_order_prices",
 ]
 
 
