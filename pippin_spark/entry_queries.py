@@ -6457,8 +6457,12 @@ def q_benford_order_prices(spark, sf_dir):
 )
 def q_set_join_jaccard_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df
-    shingled = docs.select(
-        "doc_id", DEDUP.shingles(F.col("text"), n=3).alias("sh")
+    # hashed shingles (one Arrow pass) instead of the interpreted-HOF
+    # string shingles: Jaccard over injectively 64-bit-hashed shingles
+    # equals Jaccard over the strings (same argument the ngram ground
+    # truth relies on), and the corpus pass is ~6x faster
+    shingled = DEDUP.shingle_hashes(
+        docs.select("doc_id", "text"), "text", n=3, out_col="sh"
     )
     return DEDUP.set_similarity_join(
         shingled, "doc_id", "sh", tau_num=1, tau_den=2
