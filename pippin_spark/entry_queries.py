@@ -6744,7 +6744,7 @@ def q_bpe_vocab_segments(spark, sf_dir):
     ), scored AS (
       SELECT p.w1, p.w2, p.pair_cnt,
              CAST((CAST(p.pair_cnt AS HUGEINT) * t.n_tokens * 1000000)
-               // (a.w_cnt * b.w_cnt) AS BIGINT) AS pmi_scaled
+               // (CAST(a.w_cnt AS HUGEINT) * b.w_cnt) AS BIGINT) AS pmi_scaled
       FROM pairs p
       JOIN uni a ON p.w1 = a.w
       JOIN uni b ON p.w2 = b.w

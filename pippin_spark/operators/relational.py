@@ -45,6 +45,30 @@ def top_k(
     return limited.withColumn(rank_col, F.row_number().over(w))
 
 
+def _ranged_ided(df: DataFrame, order_by, num_partitions: Optional[int]):
+    """Shared scaffold for the global-order decomposition (ranked_sort,
+    skyline_2d): range partition + in-partition sort, with each row's
+    (partition index, local offset) decoded arithmetically from
+    monotonically_increasing_id (high bits ARE the task partition
+    index). Returns (ranged, ided); per-partition aggregates taken off
+    ``ranged`` via spark_partition_id() observe the SAME partition
+    indexing as ``ided`` — see ranked_sort's docstring for why the
+    explicit partition count and deterministic range sampling pin that
+    down."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    ranged = df.repartitionByRange(num_partitions, *order_by)
+    ided = (
+        ranged.sortWithinPartitions(*order_by)
+        .withColumn("__mid__", F.monotonically_increasing_id())
+        .withColumn("__pid__", F.shiftrightunsigned(F.col("__mid__"), 33))
+        .withColumn("__loc__", F.col("__mid__").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    return ranged, ided
+
+
 def ranked_sort(
     df: DataFrame,
     order_by: Sequence[Column],
@@ -84,17 +108,7 @@ def ranked_sort(
     tests/test_plans.py asserts the exchange is in fact reused
     (one ReusedExchange, no AQEShuffleRead between the branches).
     """
-    if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
-    ranged = df.repartitionByRange(num_partitions, *order_by)
-    sorted_df = ranged.sortWithinPartitions(*order_by)
-    ided = (
-        sorted_df.withColumn("__mid__", F.monotonically_increasing_id())
-        .withColumn("__pid__", F.shiftrightunsigned(F.col("__mid__"), 33))
-        .withColumn("__loc__", F.col("__mid__").bitwiseAND(F.lit((1 << 33) - 1)))
-    )
+    ranged, ided = _ranged_ided(df, order_by, num_partitions)
     # counts hang off the PRE-sort exchange: the range shuffle is reused
     # across both branches and the counts branch never pays the sort
     # (partition ids match — monotonically_increasing_id's high bits ARE
@@ -967,17 +981,11 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     pts = df.select(
         F.col(x_col).alias("x"), F.col(y_col).alias("y")
     ).distinct()
-    num_partitions = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    ranged, ided = _ranged_ided(
+        pts, [F.col("x").asc(), F.col("y").asc()], None
     )
-    ranged = pts.repartitionByRange(
-        num_partitions, F.col("x").asc(), F.col("y").asc()
-    ).sortWithinPartitions("x", "y")
-    ided = (
-        ranged.withColumn("__mid__", F.monotonically_increasing_id())
-        .withColumn("__pid__", F.shiftrightunsigned(F.col("__mid__"), 33))
-        .withColumn("__loc__", F.col("__mid__").bitwiseAND(F.lit((1 << 33) - 1)))
-    )
+    # the per-partition minimum is sort-insensitive, so it hangs off
+    # the pre-sort range exchange like ranked_sort's counts branch
     pmins = ranged.groupBy(F.spark_partition_id().alias("__pid__")).agg(
         F.min("y").alias("__pmin__")
     )
@@ -1036,6 +1044,8 @@ def exact_kth_2pass(
         # lower median; n comes free from the histogram — no extra scan
         n = sum(row["__n__"] for row in hist)
         k = (n + 1) // 2
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     seen = 0
     target = None
     for row in hist:
@@ -1067,6 +1077,11 @@ def exact_kth_2pass(
             kth_value = row["__v__"]
             break
         rem -= row["__n__"]
+    else:
+        raise RuntimeError(
+            "exact_kth_2pass: target bucket lost rows between passes — "
+            "the input re-evaluated nondeterministically; persist it"
+        )
     spark = df.sparkSession
     return spark.createDataFrame(
         [(k, kth_value)], f"k bigint, value {df.schema[value_col].dataType.simpleString()}"
@@ -1128,8 +1143,8 @@ def cogroup_running_imbalance(
         r2["__s__"] = -r[val_col]
         r2["__is_l__"] = 0
         both = pd.concat([l2, r2]).sort_values([key_col, ts_col, tie_col])
-        both["__run__"] = both.groupby(key_col)["__s__"].cumsum()
-        g = both.groupby(key_col)
+        both["__run__"] = both.groupby(key_col, dropna=False)["__s__"].cumsum()
+        g = both.groupby(key_col, dropna=False)
         out = pd.DataFrame(
             {
                 "max_imbalance_cents": g["__run__"].max().astype("int64"),
@@ -1229,10 +1244,12 @@ def qgram_edit_join(
         .filter(F.col("s_a") < F.col("s_b"))
         .select("s_a", "s_b")
         .unionByName(short_pairs)
-        .distinct()
+        # length filter BEFORE the dedup exchange: it is row-local and
+        # discards cross-length gram collisions for free
         .filter(
             F.abs(F.length("s_a") - F.length("s_b")) <= max_dist
         )
+        .distinct()
     )
     return cand.select(
         "s_a",

@@ -550,7 +550,7 @@ def collocations_topk(docs, text_col: str = "text", k: int = 25,
             "pair_cnt",
             F.expr(
                 f"cast((cast(pair_cnt as decimal(38,0)) * n_tokens * {scale})"
-                f" div (cnt_a * cnt_b) as bigint)"
+                f" div (cast(cnt_a as decimal(38,0)) * cnt_b) as bigint)"
             ).alias("pmi_scaled"),
         )
     )
