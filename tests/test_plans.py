@@ -575,3 +575,26 @@ def test_span_stats_plan_shape(spark, qs):
     assert "EvalPython" not in p
     for m in re.findall(r"hashpartitioning\(([^,]+)", p):
         assert m.strip().split("#")[0] in {"__id__", "__h__"}, m
+
+
+def test_plans_module_stats_and_guard(spark, qs):
+    from pippin_spark import plans as P
+
+    df = qs["q3_shipping"](spark, SF)
+    stats = P.plan_stats(df)
+    assert stats["broadcast_joins"] >= 1 and stats["row_udfs"] == 0
+    # digest is stable for the same plan and sensitive to shape
+    assert P.plan_digest(df) == P.plan_digest(df)
+    # q3 funnels only through TakeOrdered (no SinglePartition exchange
+    # of the input) — the guard passes at its documented bound
+    P.assert_scale_shape(df, max_single_partition=1)
+    # a deliberate full-input single-partition window must trip it
+    import pytest as _pt
+    from pyspark.sql import Window, functions as F
+
+    bad = (
+        spark.range(100)
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    with _pt.raises(AssertionError, match="SinglePartition"):
+        P.assert_scale_shape(bad, max_single_partition=0)
