@@ -91,6 +91,7 @@ HEADLINE = [
     "fuzzy_join_qgram_parts",
     "set_join_jaccard_docs",
     "benford_order_prices",
+    "dedup_sorted_neighborhood",
 ]
 
 

@@ -6389,6 +6389,31 @@ def q_cogroup_reconcile_events(spark, sf_dir):
 
 
 @_q(
+    "dedup_sorted_neighborhood",
+    # sorted-neighborhood record linkage: compare each customer name
+    # only against its next 5 neighbors in (name, id) sort order,
+    # verify with levenshtein <= 2. Sort order via the ranked_sort
+    # decomposition; neighbor pairing via bucket-banded equi-joins
+    """
+    WITH r AS (
+      SELECT c_custkey AS id, c_name AS k,
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS r
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.k, b.k) AS INT) AS dist
+    FROM r a JOIN r b ON b.r - a.r BETWEEN 1 AND 5
+    WHERE levenshtein(a.k, b.k) <= 2
+    """,
+)
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").df
+    return DEDUP.sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_name", window=5, max_dist=2
+    )
+
+
+@_q(
     "benford_order_prices",
     # Benford's-law leading-digit QA on order prices: observed counts
     # vs the Benford expectation and per-digit chi-square terms. The
@@ -8003,6 +8028,7 @@ _DRIVER_ROW_PRIORITY = [
     "fuzzy_join_qgram_parts",
     "set_join_jaccard_docs",
     "benford_order_prices",
+    "dedup_sorted_neighborhood",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",

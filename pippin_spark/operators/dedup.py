@@ -1410,3 +1410,51 @@ def set_similarity_join(
             ).alias("jaccard"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernandez & Stolfo): sort
+    records by a blocking key and compare each record only against its
+    next ``window`` neighbors in sort order, verifying with edit
+    distance — the linear-scan alternative to q-gram candidate joins
+    when a meaningful sort key exists (names, addresses, normalized
+    titles).
+
+    Scale shape: the global sort order comes from ranked_sort (range
+    partition + offset arithmetic — never a single-partition window);
+    the neighbor pairing is TWO equi-joins on rank buckets of width
+    ``window`` (same bucket + adjacent bucket cover every pair within
+    ``window`` ranks), so candidate generation is co-partitioned and
+    linear, never a cross join; exact levenshtein verifies candidates
+    in codegen."""
+    from pippin_spark.operators.relational import ranked_sort
+
+    keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("k"))
+    ranked = ranked_sort(
+        keyed, [F.col("k").asc(), F.col("id").asc()], rank_col="r"
+    ).withColumn("b", F.expr(f"(r - 1) div {window}"))
+    a = ranked.select(
+        F.col("id").alias("id_a"), F.col("k").alias("k_a"),
+        F.col("r").alias("r_a"), F.col("b").alias("b_a"),
+    )
+    bt = ranked.select(
+        F.col("id").alias("id_b"), F.col("k").alias("k_b"),
+        F.col("r").alias("r_b"), F.col("b").alias("b_b"),
+    )
+    near = (F.col("r_b") > F.col("r_a")) & (
+        F.col("r_b") <= F.col("r_a") + window
+    )
+    same = a.join(bt, (F.col("b_b") == F.col("b_a")) & near)
+    nxt = a.join(bt, (F.col("b_b") == F.col("b_a") + 1) & near)
+    cand = same.unionByName(nxt)
+    return (
+        cand.withColumn("dist", F.levenshtein("k_a", "k_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

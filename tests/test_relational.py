@@ -441,3 +441,41 @@ def test_cogroup_reconcile_string_keys(spark):
             ).collect()
         }
         assert got == {"acct-a": (100, 1, 1), "acct-b": (70, 1, 0)}, buckets
+
+
+def test_sorted_neighborhood_matches_window_bruteforce(spark):
+    from pippin_spark.operators import dedup as DD
+
+    names = [
+        (1, "alpha-001"), (2, "alpha-002"), (3, "alpha-003"),
+        (4, "beta-001"), (5, "beta-0012"), (6, "gamma"),
+        (7, "alpha-001"),  # exact dup, id tiebreak in sort order
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in DD.sorted_neighborhood_pairs(
+            df, "id", "name", window=3, max_dist=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    s = sorted(names, key=lambda t: (t[1], t[0]))
+    exp = set()
+    for i in range(len(s)):
+        for j in range(i + 1, min(i + 4, len(s))):
+            d = lev(s[i][1], s[j][1])
+            if d <= 2:
+                exp.add((s[i][0], s[j][0], d))
+    assert got == exp and (7, 1, 0) in got or (1, 7, 0) in got
