@@ -1883,6 +1883,57 @@ def q_streaming_tumbling_window(spark, sf_dir):
     )
 
 
+@_q(
+    "streaming_trending_topk",
+    # trending detection: per tumbling hour, the top-2 event types by
+    # count. The stream computes the keyed windowed aggregation
+    # (watermark-bounded state); the per-window rank runs on the
+    # drained sink — presentation on a tiny result, not stream state
+    """
+    WITH w AS (
+      SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000) * 3600 AS BIGINT)
+               AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rank
+      FROM w
+    ) WHERE rank <= 2
+    """,
+)
+def q_streaming_trending_topk(spark, sf_dir):
+    from pippin_spark.streaming import StreamingPipeline
+
+    stream = _events_stream(spark, sf_dir)
+    sp = StreamingPipeline(stream).with_watermark("tsc", "1 hour").tumbling_window(
+        "tsc",
+        "1 hour",
+        F.count(F.lit(1)).alias("n"),
+        keys=(F.col("event_type"),),
+    )
+    q = sp.start(
+        sink_format="memory",
+        query_name="pippin_stream_trend",
+        output_mode="complete",
+        available_now=True,
+        state_partitions=_stream_parts(spark, sf_dir),
+    )
+    q.awaitTermination(120)
+    drained = spark.table("pippin_stream_trend").select(
+        F.unix_timestamp(F.col("window.start")).cast("bigint").alias("window_start"),
+        "event_type",
+        "n",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return drained.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 2
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling (training-data curation; operators/sampling.py)
 # The oracle computes the IDENTICAL Knuth hash bucket in ANSI SQL —
@@ -8029,6 +8080,7 @@ _DRIVER_ROW_PRIORITY = [
     "set_join_jaccard_docs",
     "benford_order_prices",
     "dedup_sorted_neighborhood",
+    "streaming_trending_topk",
     # streaming suite (no driver rows yet)
     "streaming_tumbling_window",
     "streaming_sliding_window",
