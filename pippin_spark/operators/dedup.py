@@ -1285,22 +1285,43 @@ def winnow_fingerprints(
     fits a long for any document shorter than ``pos_bound`` chars
     (1M — raise for book-length docs).
 
-    Scale shape: everything up to the final explode is a narrow
-    per-row array pipeline (k-gram hash array, per-window min via
-    array_min over slices, array_distinct) — no shuffle at all; the
-    output explode emits ~2n/(window+1) fingerprint rows per doc for
-    downstream digest-keyed matching (same join shape as
+    Scale shape: k-gram hashing stays a narrow JVM array pipeline (the
+    cheap 4% of the op, measured); the O(n·window) rightmost-min scan —
+    which as an interpreted Catalyst HOF was ~97% of the runtime — runs
+    as numpy sliding-window minima inside one Arrow pass (the
+    shingle_hashes/dedup_span_stats pattern). Still no shuffle at all;
+    the output explode emits ~2n/(window+1) fingerprint rows per doc
+    for downstream digest-keyed matching (same join shape as
     dedup_span_stats)."""
+    from pyspark.sql.functions import pandas_udf
+
     m = f"(length({text_col}) - {k} + 1)"
     keys = (
         f"transform(sequence(1, {m}), i -> "
         f"cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 8),"
         f" 16, 10) as bigint) * {pos_bound}L + ({pos_bound}L - 1 - i))"
     )
-    sel = (
-        f"array_distinct(transform(sequence(1, size(__keys__) - {window} + 1), "
-        f"j -> array_min(slice(__keys__, j, {window}))))"
-    )
+    w = window
+
+    @pandas_udf("array<bigint>")
+    def win_min(key_arrays: pd.Series) -> pd.Series:
+        import numpy as np
+
+        sw_view = np.lib.stride_tricks.sliding_window_view
+        empty = np.empty(0, dtype=np.int64)
+        out = []
+        for arr in key_arrays:
+            a = np.asarray(arr, dtype=np.int64)
+            # distinct per-window minima: identical value multiset to
+            # the former array_distinct(transform(..., array_min(
+            # slice(...)))) — np.unique sorts where array_distinct kept
+            # first occurrence, but the explode consumes it as a set
+            out.append(
+                np.unique(sw_view(a, w).min(axis=1)) if a.size >= w else empty
+            )
+        return pd.Series(out)
+
+    win_min = win_min.asNondeterministic()  # collapse barrier (see minhash_signatures)
     # a doc at or beyond pos_bound would wrap the inverted-position
     # term and silently corrupt rightmost-min ordering — fail loud.
     # The assert rides INSIDE the keys column (coalesce(NULL-on-pass,
@@ -1315,7 +1336,10 @@ def winnow_fingerprints(
             f"({pos_bound}); raise pos_bound"
         ),
     )
-    guarded = df.select(
+    # the per-position md5 keys are the compute-heavy narrow stage: a
+    # compact parquet arrives as ~1 scan split and would hash on one
+    # core (no-op at 100 TB where splits abound)
+    guarded = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id__"),
         F.coalesce(
             guard.cast("array<bigint>"),
@@ -1327,11 +1351,7 @@ def winnow_fingerprints(
     )
     out = guarded.select(
         "__id__",
-        F.explode(
-            F.when(
-                F.size("__keys__") >= window, F.expr(sel)
-            ).otherwise(F.array().cast("array<bigint>"))
-        ).alias("__key__"),
+        F.explode(win_min("__keys__")).alias("__key__"),
     )
     return out.select(
         F.col("__id__").alias(id_col),

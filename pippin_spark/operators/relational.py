@@ -1234,10 +1234,45 @@ def qgram_edit_join(
     b = prefix.select(F.col("s").alias("s_b"), "g")
     short_len = q * (max_dist - 1) + 1
     shorts = s.filter(F.length("s") <= short_len)
+    # q=1 gram route for the short-short regime (the former
+    # shorts×shorts crossJoin was quadratic in the short-string count
+    # — fine on part names, a hot task on a 100× corpus of titles).
+    # Completeness: two strings sharing NO character have edit
+    # distance exactly max(len_a, len_b) (disjoint alphabets force a
+    # substitution per aligned char plus indels for the length gap),
+    # so a short pair within max_dist either (a) shares a character —
+    # found by the distinct-char equi-join below; shorts carry their
+    # FULL char set (<= short_len entries), so there is no
+    # prefix-truncation gap to reason about — or (b) has both lengths
+    # <= max_dist, the alphabet-bounded "ultra" bucket (|Σ|^max_dist
+    # distinct strings at most) joined exhaustively under its length
+    # condition. Hot chars bound each bucket by the short count for
+    # that char, the same frequency-bounded join surface as the main
+    # prefix path; the |Δlen| <= max_dist filter downstream prunes
+    # before the dedup exchange either way.
+    schars = shorts.select(
+        "s",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, length(s)),"
+                " i -> substring(s, i, 1)))"
+            )
+        ).alias("__c__"),
+    )
+    ultra = shorts.filter(F.length("s") <= max_dist)
     short_pairs = (
-        shorts.select(F.col("s").alias("s_a"))
-        .crossJoin(shorts.select(F.col("s").alias("s_b")))
+        schars.select(F.col("s").alias("s_a"), "__c__")
+        .join(schars.select(F.col("s").alias("s_b"), "__c__"), "__c__")
         .filter(F.col("s_a") < F.col("s_b"))
+        .select("s_a", "s_b")
+        .unionByName(
+            ultra.select(F.col("s").alias("s_a"))
+            .join(
+                ultra.select(F.col("s").alias("s_b")),
+                F.col("s_a") < F.col("s_b"),
+            )
+            .select("s_a", "s_b")
+        )
     )
     cand = (
         a.join(b, "g")
