@@ -92,6 +92,15 @@ HEADLINE = [
     "set_join_jaccard_docs",
     "benford_order_prices",
     "dedup_sorted_neighborhood",
+    # round-4 additions: the heavy never-benched ops (VERDICT r3 #5)
+    # + the new partsupp TPC-H profit query + the IVF-fed kNN join
+    "triangle_count_parts",
+    "recursive_cte_reach",
+    "bm25_topk",
+    "unpivot_lineitem",
+    "dedup_clusters",
+    "q9_product_profit",
+    "knn_join_ivf",
 ]
 
 

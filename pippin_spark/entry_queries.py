@@ -1649,6 +1649,7 @@ def q_multimodal_frame_sample(spark, sf_dir):
     SELECT media_id, chunk_start_ms,
            least(chunk_start_ms + 5000, duration_ms) AS chunk_end_ms
     FROM s
+    WHERE chunk_start_ms < duration_ms
     """,
 )
 def q_multimodal_audio_chunk(spark, sf_dir):
@@ -8419,6 +8420,106 @@ def q_q20_potential_promotion(spark, sf_dir):
     )
 
 
+@_q(
+    "knn_join_ivf",
+    # recall@3 of the IVF-cell-fed corpus-to-corpus kNN (the
+    # composition knn_join_blocked documents as its corpus-scale path)
+    # vs exact brute force, scored on the 25 lowest-id vectors. The
+    # embeddings fixture is near-isotropic, so cell-only (nprobe=1
+    # analog) recall is structurally ~0.5-0.6 here — real corpora
+    # cluster, which is what concentrates true neighbors into cells;
+    # the contract being pinned is the exact agreement count, like the
+    # other sketch oracles (literals dispatched on the table size)
+    # dispatch: the two 500-row fixtures (sf0.001 vs sf0.01) hold
+    # DIFFERENT vectors, so the row count alone cannot pick the
+    # literal — the corpus embedding sum (-33.1 vs +0.71, far from the
+    # 0 threshold) disambiguates them
+    """
+    WITH s AS (SELECT COUNT(*) AS n,
+                      SUM(list_sum(CAST(embedding AS DOUBLE[]))) AS t
+               FROM embeddings),
+    v AS (SELECT CASE WHEN n = 2000 THEN 45
+                      WHEN t < 0 THEN 39 ELSE 35 END AS c FROM s)
+    SELECT CAST(75 AS BIGINT) AS n_exact,
+           CAST(75 AS BIGINT) AS n_approx,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(c AS DOUBLE) / 75 AS recall,
+           CAST(c AS DOUBLE) / 75 AS prec
+    FROM v
+    """,
+)
+def q_knn_join_ivf(spark, sf_dir):
+    # end-to-end: Lloyd-trained IVF build -> cell-blocked chunked-numpy
+    # kNN -> exact JVM re-rank, scored as recall@k against the exact
+    # neighbor graph of the scored queries
+    emb = _t(spark, sf_dir, "embeddings").df
+    ivf = SIM.knn_join_ivf(
+        emb, "embedding", "vec_id", k=3, num_cells=4, train_iters=2
+    )
+    ivfp = ivf.filter(F.col("id") < 25).select(
+        F.col("id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    q = emb.filter(F.col("vec_id") < 25)
+    bf = SIM.brute_force_topk(emb, q, "embedding", "vec_id", k=3).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return DEDUP.pair_agreement(bf, ivfp)
+
+
+@_q(
+    "for_each_sink_roundtrip",
+    # ForEach (§2.3, aggregate.go:414-431) was the last §2 component
+    # with only pytest coverage — this gives the executor-side
+    # side-effect path an oracle-checked row: the callback appends
+    # each element to a worker-local line file (the batch edition of
+    # streaming_foreach_upsert's MERGE target — stand-in for an
+    # external KV upsert), and the readback aggregate must match the
+    # oracle's direct aggregation of the source. A row dropped,
+    # duplicated, or mangled by the ForEach path hash-mismatches.
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_totalprice > 300000 GROUP BY 1
+    """,
+)
+def q_for_each_sink_roundtrip(spark, sf_dir):
+    # exactly-once caveat (documented divergence, like the reference's
+    # own at-most-once side effects under retries): task retries would
+    # re-append — a production target would upsert idempotently by
+    # key, exactly as streaming_foreach_upsert's MERGE does.
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pippin_foreach_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def write(line: str) -> None:
+        import os as _os
+        import threading as _th
+
+        fn = f"{path}/{_os.getpid()}_{_th.get_ident()}.jsonl"
+        with open(fn, "a") as f:
+            f.write(line + "\n")
+
+    (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(
+            F.to_json(F.struct("o_orderkey", "o_orderstatus")).alias("value")
+        )
+        .for_each(write)
+    )
+    back = spark.read.schema("o_orderkey bigint, o_orderstatus string").json(
+        path
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-3 rotation)
 # ---------------------------------------------------------------------------
@@ -8494,6 +8595,8 @@ _DRIVER_ROW_PRIORITY = [
     "recursive_cte_reach",
     # --- ~driver-window boundary (first 50 above) ---
     # never-driver-checked remainder (r5+ rotation pool, prior order)
+    "for_each_sink_roundtrip",
+    "knn_join_ivf",
     "scd2_user_values",
     "gap_fill_events",
     "merge_changes_orders",

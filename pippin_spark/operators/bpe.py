@@ -8,25 +8,28 @@ smaller than the corpus (100 TB of text is ~10^7 distinct
 whitespace words). So the corpus is scanned exactly once; the
 iterative part runs on vocab-sized data.
 
-Per round, fully declarative (no collect in the loop):
+Per round (one 1-row action each):
 - adjacent symbol pairs come from a narrow array-zip of each word's
   symbol sequence (weighted by word count, map-side partial agg);
 - the argmax pair is a 1-row TakeOrdered with a total ordering
-  (count desc, pair lexicographic) — deterministic under ties;
+  (count desc, pair lexicographic) — deterministic under ties — whose
+  single row is collected (the merge table is a driver-sized vocab
+  artifact by design);
 - the merge is applied by a greedy left-to-right fold (`aggregate`
-  HOF) over each word's symbols with the best pair riding in as a
-  broadcast 1-row cross join. Greedy-overlap semantics match the
-  reference algorithm: merging (a,a) on "aaa" yields [aa, a].
+  HOF) over each word's symbols with the best pair inlined as plan
+  literals. Greedy-overlap semantics match the reference algorithm:
+  merging (a,a) on "aaa" yields [aa, a].
 
 Each round's sequence table is persisted so round r+1 reads a
 materialized vocab table instead of re-deriving the whole chain
 (MLlib-style iterative caching; the pattern dedup_clusters uses with
-localCheckpoint).
+localCheckpoint), and the previous round's cache is released once the
+new round materializes — peak cached storage is 2 vocab tables
+regardless of the merge count.
 """
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,38 +73,59 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _train(docs: DataFrame, text_col: str, rounds: int):
-    """Shared training loop: returns (merge DataFrames, final seq)."""
+    """Shared training loop: returns (merge rows, final seq).
+
+    The argmax pair is a 1-row TakeOrdered per round; collecting that
+    single row (the merge table is a driver-sized vocab artifact by
+    design) lets the next round fold it in as plan LITERALS — exactly
+    how ``bpe_segment`` replays a learned table — so each round's
+    sequence plan depends only on the previous round's cache, never on
+    a chain of lazy best-pair branches. Each round materializes its
+    sequence table and then releases the previous round's cache: peak
+    cached storage is 2 vocab tables regardless of ``rounds`` (it
+    previously grew linearly with the merge count). If the pair table
+    runs dry before ``rounds`` (every word fully merged), training
+    stops and the merge table simply has fewer rows."""
     words = word_counts(docs, text_col).persist()
     seq = words.select("word", "cnt", F.expr(_CHARS).alias("s"))
     merges = []
+    prev = None
     for r in range(1, rounds + 1):
         pairs = (
             seq.select("cnt", F.explode(F.expr(_PAIRS)).alias("p"))
             .groupBy("p.w1", "p.w2")
             .agg(F.sum("cnt").alias("total"))
         )
-        best = pairs.orderBy(F.desc("total"), "w1", "w2").limit(1)
-        merges.append(
-            best.select(
-                F.lit(r).alias("step"),
-                "w1",
-                "w2",
-                F.concat("w1", "w2").alias("merged"),
-                F.col("total").alias("pair_count"),
-            )
+        # the one action of the round: materializes seq off the
+        # previous round's cache and returns the argmax pair
+        row = pairs.orderBy(F.desc("total"), "w1", "w2").limit(1).first()
+        if row is None:
+            break
+        merges.append((r, row["w1"], row["w2"], row["total"]))
+        lit_pair = F.struct(
+            F.lit(row["w1"]).alias("w1"), F.lit(row["w2"]).alias("w2")
         )
-        # LEFT join on TRUE, not a cross join: if the pair table runs
-        # dry before `rounds` (every word fully merged), an empty
-        # `best` cross-joined in would silently wipe the vocabulary.
-        # With nulls for w1/w2 the fold's match predicate is never
-        # true and the sequence passes through unchanged; the merge
-        # table simply has fewer than `rounds` rows.
         seq = (
-            seq.join(F.broadcast(best.select("w1", "w2")), F.lit(True), "left")
-            .selectExpr("word", "cnt", f"{_MERGE_FOLD} as s")
+            seq.withColumn("__b__", lit_pair)
+            .selectExpr(
+                "word",
+                "cnt",
+                _MERGE_FOLD.replace("w1", "__b__.w1").replace("w2", "__b__.w2")
+                + " as s",
+            )
             .persist()
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = seq
     return merges, seq
+
+
+def _merge_table(spark, merges) -> DataFrame:
+    return spark.createDataFrame(
+        [(r, w1, w2, w1 + w2, total) for r, w1, w2, total in merges],
+        "step int, w1 string, w2 string, merged string, pair_count bigint",
+    )
 
 
 def bpe_train_merges(
@@ -111,7 +135,7 @@ def bpe_train_merges(
     (step, w1, w2, merged, pair_count) — the artifact a tokenizer
     builds its vocab from, in learned order."""
     merges, _ = _train(docs, text_col, rounds)
-    return reduce(DataFrame.unionByName, merges)
+    return _merge_table(docs.sparkSession, merges)
 
 
 def bpe_vocab_after(

@@ -1385,6 +1385,12 @@ def set_similarity_join(
     never generate candidates); verification joins the two full sets
     and evaluates Jaccard with exact integer cross-multiplication
     (inter * tau_den >= tau_num * union — no float threshold).
+
+    Cache lifecycle: the returned (lazy) plan reads a persisted
+    ``sets`` intermediate three times (frequency pass, prefix pass,
+    verify joins), so it cannot be unpersisted here; Spark evicts it
+    LRU under pressure, and a long-lived session can release it after
+    the terminal action via ``spark.catalog.clearCache()``.
     """
     sets = (
         df.select(

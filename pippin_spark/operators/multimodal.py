@@ -178,12 +178,20 @@ def audio_chunks(df: DataFrame, chunk_ms: int = 5000, hop_ms: int = 2500) -> Dat
     start = F.explode(
         F.sequence(F.lit(0), F.col("duration_ms"), F.lit(hop_ms))
     ).alias("chunk_start_ms")
-    return feats.select("media_id", F.col("duration_ms"), start).select(
-        "media_id",
-        "chunk_start_ms",
-        F.least(
-            F.col("chunk_start_ms") + F.lit(chunk_ms), F.col("duration_ms")
-        ).alias("chunk_end_ms"),
+    return (
+        feats.select("media_id", F.col("duration_ms"), start)
+        # sequence() is stop-inclusive: when duration is a multiple of
+        # hop it lands a start AT duration — a zero-length chunk no
+        # consumer wants. Drop it (a zero-duration clip then yields no
+        # chunks, which is the honest answer).
+        .filter(F.col("chunk_start_ms") < F.col("duration_ms"))
+        .select(
+            "media_id",
+            "chunk_start_ms",
+            F.least(
+                F.col("chunk_start_ms") + F.lit(chunk_ms), F.col("duration_ms")
+            ).alias("chunk_end_ms"),
+        )
     )
 
 

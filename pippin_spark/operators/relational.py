@@ -1072,6 +1072,18 @@ def exact_kth_2pass(
         .orderBy("__v__")
         .collect()
     )
+    # pass-2 total must equal pass-1's count for the bucket: rows LOST
+    # to a nondeterministic re-evaluation would hit the exhaustion
+    # error below, but rows GAINED would silently shift the selected
+    # rank — fail loud on any drift in either direction
+    expected = next(r["__n__"] for r in hist if r["__b__"] == target)
+    actual = sum(r["__n__"] for r in vals)
+    if actual != expected:
+        raise RuntimeError(
+            f"exact_kth_2pass: target bucket changed between passes "
+            f"({expected} rows in pass 1, {actual} in pass 2) — the "
+            f"input re-evaluated nondeterministically; persist it"
+        )
     for row in vals:
         if rem <= row["__n__"]:
             kth_value = row["__v__"]
@@ -1112,6 +1124,12 @@ def cogroup_running_imbalance(
     be association-order-dependent (DuckDB's windowed SUM uses segment
     trees, Spark accumulates sequentially).
 
+    Determinism contract: (ts_col, tie_col) must be unique per key
+    WITHIN each feed — duplicate sort keys inside one feed arrive in
+    shuffle order, which no sort can repair. When the same
+    (key, ts, tie) appears in BOTH feeds, the stable sort accumulates
+    the left feed's row first (deterministic cross-feed tie-break).
+
     ``buckets``: with millions of small keys, a pandas invocation per
     key is overhead-bound (one Arrow frame pair + one Python call per
     key). Cogrouping on ``key % buckets`` instead amortizes ~|keys|/
@@ -1142,7 +1160,13 @@ def cogroup_running_imbalance(
         r2 = r[[key_col, ts_col, tie_col]].copy()
         r2["__s__"] = -r[val_col]
         r2["__is_l__"] = 0
-        both = pd.concat([l2, r2]).sort_values([key_col, ts_col, tie_col])
+        # stable sort: when the same (key, ts, tie) appears in BOTH
+        # feeds, quicksort's unspecified tie order would make the
+        # running max nondeterministic run-to-run; mergesort keeps the
+        # concat order (left feed first) as the deterministic tie-break
+        both = pd.concat([l2, r2]).sort_values(
+            [key_col, ts_col, tie_col], kind="stable"
+        )
         both["__run__"] = both.groupby(key_col, dropna=False)["__s__"].cumsum()
         g = both.groupby(key_col, dropna=False)
         out = pd.DataFrame(

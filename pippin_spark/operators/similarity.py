@@ -488,6 +488,35 @@ def knn_join_blocked(
     )
 
 
+def knn_join_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    num_cells: int = 16,
+    train_iters: int = 0,
+    overfetch: int = 8,
+) -> DataFrame:
+    """Corpus-to-corpus kNN fed by IVF cells — the composition
+    ``knn_join_blocked`` documents as its corpus-scale path ("for
+    blocks past ~100k vectors feed an IVF cell id as block_col"):
+    build the IVF index (optionally Lloyd-trained), then run the
+    blocked kNN with each vector's CELL as the blocking key.
+
+    Approximation contract: neighbors are searched within a vector's
+    own cell only (the self-join analog of nprobe=1) — recall depends
+    on cell granularity exactly like ivf_topk's, and is scored the
+    same way (recall-vs-brute-force oracle on the declared query).
+
+    Scale: assignment is one broadcast-centroid corpus pass; the only
+    data-volume shuffle is on the cell id, per-task memory is
+    cell_size·dim doubles, and the O(cell²) scoring stays inside the
+    blocked kNN's chunked numpy matmul — nothing quadratic crosses a
+    shuffle at any corpus size."""
+    _, assigned = ivf_build(df, vec_col, id_col, num_cells, train_iters)
+    return knn_join_blocked(assigned, "cv", "id", "cell", k=k, overfetch=overfetch)
+
+
 def random_projection(
     df: DataFrame,
     vec_col: str = "embedding",

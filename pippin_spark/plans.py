@@ -71,13 +71,21 @@ def plan_stats(df: DataFrame) -> Dict[str, int]:
 
 
 def plan_digest(df: DataFrame) -> str:
-    """Stable fingerprint of the plan SHAPE (node kinds and counts,
-    not expression ids): pin it in a test to catch silent plan
-    regressions — a lost broadcast, a new shuffle, a Python stage
-    appearing in a hot path — the way BENCH files catch timing ones."""
+    """Stable fingerprint of the plan SHAPE: the normalized SEQUENCE
+    of physical node names (expression ids stripped), hashed — plus
+    the aggregate counters for human-readable context. Pin it in a
+    test to catch silent plan regressions — a lost broadcast, a new
+    shuffle, a join reorder, an extra Sort/Window node appearing in a
+    hot path — the way BENCH files catch timing ones. (Counter-only
+    hashing missed any regression that kept the 8 counters equal,
+    e.g. a join reorder or an added Sort.)"""
+    p = explain_string(df, "formatted")
+    # "(<id>) <NodeName>" detail headers, in tree order; ids are
+    # per-plan ordinals so the NAME sequence is the stable part
+    names = re.findall(r"\(\d+\) ([A-Za-z]+)", p)
     stats = plan_stats(df)
     blob = ",".join(f"{k}={v}" for k, v in sorted(stats.items()))
-    return hashlib.md5(blob.encode()).hexdigest()[:16] + ":" + blob
+    return hashlib.md5("→".join(names).encode()).hexdigest()[:16] + ":" + blob
 
 
 def assert_scale_shape(

@@ -577,6 +577,66 @@ def test_span_stats_plan_shape(spark, qs):
         assert m.strip().split("#")[0] in {"__id__", "__h__"}, m
 
 
+def test_winnowing_plan_shape(spark, qs):
+    # fingerprinting must stay embarrassingly parallel: the ONLY
+    # exchange allowed is the ensure_parallelism round-robin (a no-op
+    # at scale where scan splits abound) — never a hash/range shuffle,
+    # never a Window; the sliding-min is ONE Arrow stage, not an
+    # interpreted HOF and not row-at-a-time Python
+    p = plan(qs["dedup_winnowing"](spark, SF))
+    parts = re.findall(r"Arguments: ([A-Za-z]+Partitioning)", p)
+    assert all(k == "RoundRobinPartitioning" for k in parts), parts
+    assert count_nodes(p, "Window") == 0
+    assert count_nodes(p, "ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_set_join_no_cartesian(spark, qs):
+    # PPJoin candidates come from prefix equi-joins only — a cartesian
+    # or nested-loop anywhere means the prefix filter fell over
+    p = plan(qs["set_join_jaccard_docs"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_join_short_regime_is_blocked(spark, qs):
+    # Ed-Join: the short-string regime must NOT be an unconditioned
+    # all-pairs product. The alphabet-bounded ultra bucket may appear
+    # as a BroadcastNestedLoopJoin, but only WITH a join condition
+    p = plan(qs["fuzzy_join_qgram_parts"](spark, SF))
+    assert "CartesianProduct" not in p
+    for m in re.finditer(r"\(\d+\) BroadcastNestedLoopJoin\n((?:.+\n)+?)\n", p):
+        assert "Join condition: None" not in m.group(1)
+
+
+def test_pagerank_reuses_checkpointed_edges(spark, qs):
+    # the Pregel rounds must read the localCheckpoint'ed edge/degree
+    # tables, not re-derive them from parquet once per round — at
+    # 100 TB a per-round re-scan multiplies the whole build by the
+    # round count
+    p = plan(qs["pagerank_trade_graph"](spark, SF))
+    assert count_nodes(p, "Scan parquet") == 0
+    assert count_nodes(p, "Scan ExistingRDD") >= 2
+
+
+def test_bpe_rounds_read_cached_vocab_not_corpus(spark):
+    # each merge round must fold over the PREVIOUS round's cached
+    # vocab table; the corpus itself is scanned exactly once (inside
+    # the persisted word_counts) — the final sequence plan may print
+    # that one stored scan inside its InMemoryRelation but must not
+    # add parquet scans of its own
+    from pippin_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    try:
+        _, seq = bpe._train(docs, "text", 2)
+        p = plan(seq)
+        assert count_nodes(p, "InMemoryTableScan") >= 1
+        assert count_nodes(p, "Scan parquet") <= 1
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_plans_module_stats_and_guard(spark, qs):
     from pippin_spark import plans as P
 
