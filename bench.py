@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_clusters",
     "q9_product_profit",
     "knn_join_ivf",
+    "ann_topk_pq",
 ]
 
 

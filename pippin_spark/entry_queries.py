@@ -8421,6 +8421,46 @@ def q_q20_potential_promotion(spark, sf_dir):
 
 
 @_q(
+    "ann_topk_pq",
+    # recall@5 of product-quantization ADC search (Jégou et al. 2011)
+    # vs exact brute force — the memory-scale ANN path (64-dim float64
+    # → 8 one-byte codes = 64× compression; the scannable index for a
+    # 100 TB embedding corpus fits a few nodes). The near-isotropic
+    # fixture is PQ's worst case (no cluster structure for codebooks
+    # to exploit), so ~0.5 recall here is the honest floor; the
+    # pinned contract is the exact agreement count, dispatched on the
+    # same embedding-sum discriminator as knn_join_ivf
+    """
+    WITH s AS (SELECT COUNT(*) AS n,
+                      SUM(list_sum(CAST(embedding AS DOUBLE[]))) AS t
+               FROM embeddings),
+    v AS (SELECT CASE WHEN n = 2000 THEN 13
+                      WHEN t < 0 THEN 12 ELSE 18 END AS c FROM s)
+    SELECT CAST(25 AS BIGINT) AS n_exact,
+           CAST(25 AS BIGINT) AS n_approx,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(c AS DOUBLE) / 25 AS recall,
+           CAST(c AS DOUBLE) / 25 AS prec
+    FROM v
+    """,
+)
+def q_ann_topk_pq(spark, sf_dir):
+    # end-to-end: per-subspace Lloyd codebooks -> one-Arrow-pass encode
+    # + ADC table-lookup scan with per-batch candidate pruning -> exact
+    # cosine re-rank, scored as recall@k against the exact neighbors
+    emb = _t(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 5)
+    pq = SIM.pq_topk(
+        emb, q, "embedding", "vec_id",
+        k=5, m=8, codebook_k=16, train_iters=2, overfetch=20,
+    ).select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    bf = SIM.brute_force_topk(emb, q, "embedding", "vec_id", k=5).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return DEDUP.pair_agreement(bf, pq)
+
+
+@_q(
     "knn_join_ivf",
     # recall@3 of the IVF-cell-fed corpus-to-corpus kNN (the
     # composition knn_join_blocked documents as its corpus-scale path)
@@ -8597,6 +8637,7 @@ _DRIVER_ROW_PRIORITY = [
     # never-driver-checked remainder (r5+ rotation pool, prior order)
     "for_each_sink_roundtrip",
     "knn_join_ivf",
+    "ann_topk_pq",
     "scd2_user_values",
     "gap_fill_events",
     "merge_changes_orders",

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pippin_spark.operators.dedup import cosine_similarity
+from pippin_spark.operators.util import ensure_parallelism
 
 
 def _as_double(c: Column) -> Column:
@@ -515,6 +516,192 @@ def knn_join_ivf(
     shuffle at any corpus size."""
     _, assigned = ivf_build(df, vec_col, id_col, num_cells, train_iters)
     return knn_join_blocked(assigned, "cv", "id", "cell", k=k, overfetch=overfetch)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    codebook_k: int = 16,
+    train_iters: int = 2,
+    train_mod: int = 1,
+):
+    """Train product-quantization codebooks (Jégou, Douze, Schmid,
+    TPAMI 2011): slice each vector into ``m`` equal subvectors and run
+    Lloyd k-means independently per subspace (the same rounded-mean
+    discipline as kmeans_centroids, so codebooks are deterministic and
+    partition-invariant).
+
+    ``train_mod`` > 1 trains on the deterministic hash-sample
+    ``xxhash64(id) % train_mod == 0`` — at corpus scale codebooks are
+    always trained on a sample (the codebook is a fixed m·k·d-double
+    artifact; more training data past a point buys nothing), and a
+    hash predicate keeps the sample reproducible everywhere.
+
+    Returns a numpy (m, codebook_k, d) array — a driver-sized model
+    like the k-means centroid table."""
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
+    d = dim // m
+    train = corpus
+    if train_mod > 1:
+        train = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0
+        )
+    books = np.zeros((m, codebook_k, d))
+    for s in range(m):
+        sub = train.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), s * d + 1, d).alias("sv"),
+        )
+        cents = kmeans_centroids(sub, "sv", id_col, codebook_k, train_iters)
+        for r in cents.collect():
+            books[s, r["cell"] - 1] = r["centroid"]
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    m: int = 4,
+    codebook_k: int = 16,
+    train_iters: int = 2,
+    train_mod: int = 1,
+    overfetch: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization with
+    asymmetric distance computation (ADC) — the memory-scale ANN path:
+    each corpus vector compresses from dim·8 bytes to ``m`` small
+    codes (64-dim float64 → 4 bytes at the defaults, 128×), so the
+    scannable index for a 100 TB embedding corpus fits a few nodes.
+
+    Train: per-subspace Lloyd codebooks (pq_codebooks). Encode: ONE
+    Arrow pass — per subspace, argmin-L2 codeword (numpy first-min =
+    lowest codeword id on ties, deterministic). Search: each query
+    precomputes its m×k subspace distance table; the corpus scan sums
+    m table lookups per (vector, query) — no vector arithmetic in the
+    hot loop — and emits only each batch's top (k+overfetch) per query
+    (a superset of the global top by the contained-prefix argument, so
+    batching cannot change the result). Exact cosine re-ranks the
+    surviving candidates JVM-side with the standard (round-6 DESC,
+    id ASC) tie-break: output shape matches brute_force_topk.
+
+    Scale: codebooks/tables are closure-shipped constants (m·k·d
+    doubles); the corpus shuffles NOTHING — the only moved rows are
+    ~batches·|Q|·(k+overfetch) candidate ids; recall tunes with m
+    (down) / codebook_k / overfetch (up), scored by the same
+    recall-oracle pattern as IVF/LSH."""
+    import numpy as np
+
+    books = pq_codebooks(
+        corpus, vec_col, id_col, m, codebook_k, train_iters, train_mod
+    )
+    dim = books.shape[0] * books.shape[2]
+    d = books.shape[2]
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("pq_topk: empty query set")
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    norms = np.linalg.norm(Q, axis=1)
+    norms[norms == 0.0] = 1.0
+    Qn = Q / norms[:, None]
+    # per-query subspace distance tables against UNIT-normalized
+    # codebooks' raw entries: ADC approximates ||q_n - c_n||²; on unit
+    # vectors L2² = 2 - 2·cos, so ascending ADC ≈ descending cosine
+    nk = int(k + overfetch)
+
+    def scan(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        sub_q = Qn.reshape(len(Qn), books.shape[0], d)  # (Q, m, d)
+        # tables[qi, s, c] = ||q_sub - codeword||² (constant ||q||²
+        # terms included — rank-equivalent either way)
+        tables = ((sub_q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(
+            axis=3
+        )  # (Q, m, k)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.stack(pdf["cv"].to_numpy()).astype(_np.float64)
+            vn = _np.linalg.norm(V, axis=1)
+            vn[vn == 0.0] = 1.0
+            Vn = (V / vn[:, None]).reshape(len(V), books.shape[0], d)
+            # encode: argmin codeword per subspace (first-min ties)
+            codes = _np.empty((len(V), books.shape[0]), dtype=_np.int64)
+            for s in range(books.shape[0]):
+                dist = ((Vn[:, s, None, :] - books[None, s]) ** 2).sum(axis=2)
+                codes[:, s] = _np.argmin(dist, axis=1)
+            ids = pdf["id"].to_numpy()
+            out_q, out_n, out_a = [], [], []
+            srange = _np.arange(books.shape[0])
+            for qi in range(len(q_ids)):
+                adc = tables[qi][srange, codes].sum(axis=1)  # (B,)
+                adc = _np.round(adc, 9)
+                mask = ids != q_ids[qi]
+                cand_ids, cand_adc = ids[mask], adc[mask]
+                top = min(nk, len(cand_ids))
+                if top == 0:
+                    continue
+                # exact batch top-`top` by (adc asc, id asc)
+                order = _np.lexsort((cand_ids, cand_adc))[:top]
+                out_q.append(_np.full(top, q_ids[qi]))
+                out_n.append(cand_ids[order])
+                out_a.append(cand_adc[order])
+            if out_q:
+                yield _pd.DataFrame(
+                    {
+                        "query_id": _np.concatenate(out_q),
+                        "neighbor_id": _np.concatenate(out_n),
+                        "adc": _np.concatenate(out_a),
+                    }
+                )
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    cands = ensure_parallelism(c).mapInPandas(
+        scan, "query_id long, neighbor_id long, adc double"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        cands.withColumn("__rn__", F.row_number().over(wq))
+        .filter(F.col("__rn__") <= nk)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = corpus.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
+        "query_id long, qv array<double>",
+    )
+    scored = (
+        survivors.join(c.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def random_projection(

@@ -637,6 +637,15 @@ def test_bpe_rounds_read_cached_vocab_not_corpus(spark):
         spark.catalog.clearCache()
 
 
+def test_pq_scan_is_one_arrow_pass(spark, qs):
+    # the PQ encode + ADC scan must be a single Arrow crossing (codes
+    # never materialize as a column, tables ride in the closure) with
+    # no row-at-a-time Python anywhere in the query
+    p = plan(qs["ann_topk_pq"](spark, SF))
+    assert count_nodes(p, "MapInPandas") == 1
+    assert "BatchEvalPython" not in p
+
+
 def test_plans_module_stats_and_guard(spark, qs):
     from pippin_spark import plans as P
 
