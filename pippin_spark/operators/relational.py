@@ -1127,7 +1127,7 @@ def cogroup_running_imbalance(
     Determinism contract: (ts_col, tie_col) must be unique per key
     WITHIN each feed — duplicate sort keys inside one feed arrive in
     shuffle order, which no sort can repair. When the same
-    (key, ts, tie) appears in BOTH feeds, the stable sort accumulates
+    (key, ts, tie) appears in BOTH feeds, pandas' stable multi-key lexsort accumulates
     the left feed's row first (deterministic cross-feed tie-break).
 
     ``buckets``: with millions of small keys, a pandas invocation per
@@ -1160,13 +1160,12 @@ def cogroup_running_imbalance(
         r2 = r[[key_col, ts_col, tie_col]].copy()
         r2["__s__"] = -r[val_col]
         r2["__is_l__"] = 0
-        # stable sort: when the same (key, ts, tie) appears in BOTH
-        # feeds, quicksort's unspecified tie order would make the
-        # running max nondeterministic run-to-run; mergesort keeps the
-        # concat order (left feed first) as the deterministic tie-break
-        both = pd.concat([l2, r2]).sort_values(
-            [key_col, ts_col, tie_col], kind="stable"
-        )
+        # multi-key sort_values lowers to pandas' lexsort, which is
+        # STABLE by construction (the `kind` parameter only applies to
+        # single-column sorts) — so when the same (key, ts, tie)
+        # appears in BOTH feeds, the concat order (left feed first) is
+        # the deterministic tie-break; see the docstring contract
+        both = pd.concat([l2, r2]).sort_values([key_col, ts_col, tie_col])
         both["__run__"] = both.groupby(key_col, dropna=False)["__s__"].cumsum()
         g = both.groupby(key_col, dropna=False)
         out = pd.DataFrame(

@@ -57,17 +57,30 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def _assign_cells(
+    vectors: DataFrame, centroids: DataFrame, metric: str = "cosine"
+) -> DataFrame:
     """Nearest-centroid assignment: broadcast the C centroids, one corpus
-    pass, argmax cosine with deterministic cell-id tie-break.
+    pass, argmax score with deterministic cell-id tie-break. ``metric``
+    is "cosine" (IVF default) or "l2" (scored as −L2², same argmax
+    code path — what a PQ sub-quantizer needs so the training
+    assignment rule matches the encoder's argmin-L2).
     ``vectors`` must have (id, cv); returns (id, cv, cell)."""
+    if metric == "l2":
+        score = -F.aggregate(
+            F.zip_with(F.col("cv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        score = cosine_similarity(F.col("cv"), F.col("centroid"))
     return (
         vectors.join(F.broadcast(centroids), how="cross")
         .select(
             "id",
             "cv",
             "cell",
-            cosine_similarity(F.col("cv"), F.col("centroid")).alias("csim"),
+            score.alias("csim"),
         )
         .withColumn(
             "rn",
@@ -86,12 +99,14 @@ def kmeans_centroids(
     id_col: str,
     num_cells: int,
     iters: int = 5,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, DataFrame-native.
 
     Seed = the ``num_cells`` lowest-id vectors (deterministic). Each
     iteration: broadcast the current centroids, assign every vector to
-    its argmax-cosine cell, recompute per-cell elementwise means via
+    its argmax-``metric`` cell (cosine, or −L2² for PQ sub-
+    quantizers), recompute per-cell elementwise means via
     posexplode + groupBy(cell, pos) — a map-side-combining partial agg
     keyed by (cell, dim), so no task ever holds more than C·dim
     accumulators. Only the C·dim centroid matrix is collected to the
@@ -116,7 +131,7 @@ def kmeans_centroids(
             [(c, v) for c, v in sorted(cents.items())], "cell int, centroid array<double>"
         )
         new = (
-            _assign_cells(vecs, cdf)
+            _assign_cells(vecs, cdf, metric)
             .select("cell", F.posexplode("cv").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.round(F.avg("val"), 9).alias("m"))
@@ -539,6 +554,12 @@ def pq_codebooks(
     artifact; more training data past a point buys nothing), and a
     hash predicate keeps the sample reproducible everywhere.
 
+    Training runs on the UNIT-NORMALIZED vectors' subvectors — the
+    same representation pq_topk encodes and searches (ADC over
+    normalized vectors, where L2² = 2 − 2·cos). Training on raw
+    subvectors would learn codewords off the unit sphere for any
+    corpus with varying norms and silently inflate quantization error.
+
     Returns a numpy (m, codebook_k, d) array — a driver-sized model
     like the k-means centroid table."""
     import numpy as np
@@ -552,13 +573,20 @@ def pq_codebooks(
         train = corpus.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0
         )
+    v = _as_double(F.col(vec_col))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.transform(
+        v, lambda x: x / F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    )
     books = np.zeros((m, codebook_k, d))
     for s in range(m):
         sub = train.select(
             F.col(id_col),
-            F.slice(_as_double(F.col(vec_col)), s * d + 1, d).alias("sv"),
+            F.slice(unit, s * d + 1, d).alias("sv"),
         )
-        cents = kmeans_centroids(sub, "sv", id_col, codebook_k, train_iters)
+        cents = kmeans_centroids(
+            sub, "sv", id_col, codebook_k, train_iters, metric="l2"
+        )
         for r in cents.collect():
             books[s, r["cell"] - 1] = r["centroid"]
     return books
@@ -603,7 +631,6 @@ def pq_topk(
     books = pq_codebooks(
         corpus, vec_col, id_col, m, codebook_k, train_iters, train_mod
     )
-    dim = books.shape[0] * books.shape[2]
     d = books.shape[2]
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")

@@ -81,8 +81,11 @@ def plan_digest(df: DataFrame) -> str:
     e.g. a join reorder or an added Sort.)"""
     p = explain_string(df, "formatted")
     # "(<id>) <NodeName>" detail headers, in tree order; ids are
-    # per-plan ordinals so the NAME sequence is the stable part
-    names = re.findall(r"\(\d+\) ([A-Za-z]+)", p)
+    # per-plan ordinals so the NAME sequence is the stable part. Up to
+    # two word tokens so scan VARIANTS stay distinct ("Scan parquet"
+    # vs "Scan ExistingRDD" — losing a checkpoint reuse to a re-scan
+    # must change the digest); bracketed argument noise never matches
+    names = re.findall(r"\(\d+\) ([A-Za-z]+(?: [A-Za-z]+)?)", p)
     stats = plan_stats(df)
     blob = ",".join(f"{k}={v}" for k, v in sorted(stats.items()))
     return hashlib.md5("→".join(names).encode()).hexdigest()[:16] + ":" + blob

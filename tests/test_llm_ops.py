@@ -605,11 +605,42 @@ def test_audio_chunks_bounds_and_hop(spark, docs):
     for mid, chunks in by_id.items():
         dur = feats[mid]
         starts = sorted(s for s, _ in chunks)
-        # hop grid, inclusive of the last grid point ≤ duration
-        assert starts == list(range(0, dur + 1, 2500))[: len(starts)]
-        assert len(starts) == dur // 2500 + 1
+        # hop grid, STRICTLY below duration: a start landing exactly
+        # at duration would be a zero-length chunk and is dropped
+        assert starts == list(range(0, dur, 2500))
+        assert len(starts) == (dur + 2499) // 2500
         for s, e in chunks:
             assert e == min(s + 5000, dur)
+            assert e > s  # no degenerate chunks, ever
+
+
+def test_audio_chunks_boundary_durations(spark):
+    # the hop-grid boundary the fixtures never hit by chance: a
+    # duration that is an exact hop multiple must NOT emit the
+    # trailing zero-length chunk, and a zero-length clip yields none
+    rows = [
+        (1, b"x", "audio", 5000),  # exact multiple of hop
+        (2, b"y", "audio", 0),  # zero-length clip
+        (3, b"z", "audio", 2400),  # shorter than one hop
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, kind string, duration_ms int"
+    )
+    orig = M.decode_media
+    M.decode_media = lambda df, **kw: df.select("media_id", "duration_ms")
+    try:
+        got = {}
+        for r in M.audio_chunks(media, chunk_ms=5000, hop_ms=2500).collect():
+            got.setdefault(r["media_id"], []).append(
+                (r["chunk_start_ms"], r["chunk_end_ms"])
+            )
+    finally:
+        M.decode_media = orig
+    for v in got.values():
+        v.sort()
+    assert got.get(1) == [(0, 5000), (2500, 5000)]  # no (5000, 5000)
+    assert 2 not in got
+    assert got.get(3) == [(0, 2400)]
 
 
 def test_audio_chunks_ignores_non_audio(spark, docs):
