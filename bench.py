@@ -102,6 +102,11 @@ HEADLINE = [
     "q9_product_profit",
     "knn_join_ivf",
     "ann_topk_pq",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier_counts",
+    "q20_potential_promotion",
+    "q21_sole_fault_supplier",
 ]
 
 

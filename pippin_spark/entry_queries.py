@@ -8421,6 +8421,87 @@ def q_q20_potential_promotion(spark, sf_dir):
 
 
 @_q(
+    "streaming_minhash_dedup",
+    # streaming near-dup INGEST filter: arriving docs (eval split) are
+    # MinHash-banded in-stream (the same Arrow signature UDF as the
+    # batch path) and joined STATELESS against the static corpus
+    # fingerprint store — the shape of a firehose dedup gate: no
+    # streaming state at all, so throughput is bounded by the
+    # signature UDF, not a state store. The drained pair set must
+    # EQUAL the batch computation bit-for-bit (n_exact = n_approx =
+    # n_common below); literals dispatch on the corpus checksum like
+    # the other sketch oracles (placeholder values refreshed by
+    # tools/sketch_expected.py)
+    """
+    WITH k AS (SELECT SUM(length(text)) AS s FROM documents),
+         v AS (SELECT CASE s WHEN 153156 THEN 12
+                             WHEN 1485576 THEN 79 ELSE 6 END AS c FROM k)
+    SELECT CAST(c AS BIGINT) AS n_exact,
+           CAST(c AS BIGINT) AS n_approx,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(1.0 AS DOUBLE) AS recall,
+           CAST(1.0 AS DOUBLE) AS prec
+    FROM v
+    """,
+)
+def q_streaming_minhash_dedup(spark, sf_dir):
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").df
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    store = DEDUP.text_minhash_signatures(
+        corpus, "text", n=3, num_hashes=64, bands=16, include_sig=False
+    ).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.posexplode("bands").alias("b_pos", "b_hash"),
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 10 >= 8)
+    )
+    sbands = DEDUP.text_minhash_signatures(
+        stream, "text", n=3, num_hashes=64, bands=16, include_sig=False
+    ).select(
+        F.col("doc_id").alias("stream_id"),
+        F.posexplode("bands").alias("b_pos", "b_hash"),
+    )
+    matched = sbands.join(F.broadcast(store), ["b_pos", "b_hash"]).select(
+        "stream_id", "corpus_id"
+    )
+    q = (
+        matched.writeStream.format("memory")
+        .queryName("pippin_stream_minhash")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="pippin_ckpt_minhash_"),
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.table("pippin_stream_minhash").distinct()
+    # ground truth: the identical banding computed batch-side — the
+    # stream must reproduce it exactly (the dedupe of band collisions
+    # happens here, on the drained sink, keeping the stream stateless)
+    eval_batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    bbands = DEDUP.text_minhash_signatures(
+        eval_batch, "text", n=3, num_hashes=64, bands=16, include_sig=False
+    ).select(
+        F.col("doc_id").alias("stream_id"),
+        F.posexplode("bands").alias("b_pos", "b_hash"),
+    )
+    bpairs = (
+        bbands.join(F.broadcast(store), ["b_pos", "b_hash"])
+        .select("stream_id", "corpus_id")
+        .distinct()
+    )
+    return DEDUP.pair_agreement(bpairs, drained, keys=("stream_id", "corpus_id"))
+
+
+@_q(
     "ann_topk_pq",
     # recall@5 of product-quantization ADC search (Jégou et al. 2011)
     # vs exact brute force — the memory-scale ANN path (64-dim float64
@@ -8645,6 +8726,7 @@ _DRIVER_ROW_PRIORITY = [
     "for_each_sink_roundtrip",
     "knn_join_ivf",
     "ann_topk_pq",
+    "streaming_minhash_dedup",
     "scd2_user_values",
     "gap_fill_events",
     "merge_changes_orders",

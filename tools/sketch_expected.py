@@ -1,9 +1,10 @@
 """Recompute the sketch-oracle dispatch literals after a testdata regen.
 
-The dedup_minhash / dedup_simhash / ann_topk_ivf* oracles pin expected
-agreement counts as literals dispatched on a corpus checksum
-(SUM(length(text)) for documents; the embeddings table is constant
-across SFs). If the driver regenerates the testdata, those literals go
+The dedup_minhash / dedup_simhash / ann_topk_* / knn_join_ivf oracles
+pin expected agreement counts as literals dispatched on a corpus
+checksum (SUM(length(text)) for documents; COUNT + embedding-sum for
+embeddings — the two 500-row embeddings fixtures hold different
+vectors, so the sum disambiguates them). If the driver regenerates the testdata, those literals go
 stale and the queries hash-mismatch. This tool runs the Spark side at
 each SF and prints the values to paste into entry_queries.py.
 
@@ -33,13 +34,21 @@ def main() -> None:
         s = duckdb.sql(
             f"SELECT SUM(length(text)) FROM '{d}/documents.parquet'"
         ).fetchone()[0]
-        print(f"\n=== {d}  SUM(length(text)) = {s}")
+        e = duckdb.sql(
+            f"SELECT COUNT(*), SUM(list_sum(CAST(embedding AS DOUBLE[]))) "
+            f"FROM '{d}/embeddings.parquet'"
+        ).fetchone()
+        print(f"\n=== {d}  SUM(length(text)) = {s}  "
+              f"emb(count, sum) = {e}")
         for name in (
             "dedup_minhash",
             "dedup_simhash",
             "ann_topk_ivf",
             "ann_topk_ivf_kmeans",
             "ann_topk_lsh",
+            "ann_topk_pq",
+            "knn_join_ivf",
+            "streaming_minhash_dedup",
             "agg_approx_distinct_count",
             "agg_approx_percentile",
         ):
