@@ -182,25 +182,55 @@ def main() -> None:
             k=5, num_tables=16, num_planes=4, dim=64,
         )
 
+    def _raw_knn_ivf(spark, sf_dir):
+        emb = Pipeline.from_table(spark, sf_dir, "embeddings").df
+        return SIM.knn_join_ivf(
+            emb, "embedding", "vec_id", k=3, num_cells=4, train_iters=2
+        )
+
+    def _raw_pq(spark, sf_dir):
+        emb = Pipeline.from_table(spark, sf_dir, "embeddings").df
+        return SIM.pq_topk(
+            emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id",
+            k=5, m=8, codebook_k=16, train_iters=2, overfetch=20,
+        )
+
     qs = dict(qs)
     qs["dedup_minhash"] = _raw_minhash
     qs["dedup_simhash"] = _raw_simhash
     qs["ann_topk_ivf"] = _raw_ivf
     qs["ann_topk_lsh"] = _raw_lsh
+    qs["knn_join_ivf"] = _raw_knn_ivf
+    qs["ann_topk_pq"] = _raw_pq
 
-    # Streaming entries execute the stream INSIDE the query builder
-    # (awaitTermination before returning the drained sink), so the
-    # timed region must include the builder call — a noop re-write of
-    # the already-drained memory sink would measure a trivial scan.
-    STREAMING = {
+    # Entries whose WORK runs inside the query builder need the builder
+    # call inside the timed region — a noop re-write of the returned
+    # DataFrame would measure a trivial scan of the finished result:
+    # - streaming queries drain the stream (awaitTermination) before
+    #   returning the memory sink;
+    # - iterative/multi-pass ops run driver-coordinated actions at
+    #   construction (BPE merge rounds, label-propagation rounds with
+    #   localCheckpoint, k-means codebook/centroid training, the
+    #   2-pass histogram median). Round 3 and earlier timed only the
+    #   re-write for the batch ones (bpe_train_merges 0.18 s was a
+    #   3-row literal-table write, dedup_clusters would be 0.01 s) —
+    #   the r4 numbers for this set are the honest end-to-end cost and
+    #   are NOT comparable to the r3 rows for the same names.
+    BUILD_TIMED = {
         "streaming_tumbling_window",
         "streaming_stateful_counts",
         "streaming_stream_stream_join",
+        "bpe_train_merges",
+        "dedup_clusters",
+        "exact_median_orders",
+        "pagerank_trade_graph",
+        "knn_join_ivf",
+        "ann_topk_pq",
     }
 
     timings: dict[str, float] = {}
     for name in names:
-        if name in STREAMING:
+        if name in BUILD_TIMED:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = float("inf")
             for _ in range(3):

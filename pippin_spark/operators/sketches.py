@@ -79,3 +79,63 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
         .filter(F.col("cnt") * F.lit(k) > F.col("__n__"))
         .select(col, "cnt")
     )
+
+
+def count_min_frequencies(
+    df: DataFrame,
+    col: str,
+    probe_keys: DataFrame | None = None,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-Min frequency estimation (Cormode & Muthukrishnan 2005)
+    via Spark's built-in mergeable ``count_min_sketch`` aggregate —
+    the frequency-sketch counterpart to the Misra-Gries heavy-hitter
+    pass: CMS answers "how often does THIS key occur" from one
+    fixed-size sketch, for any key, after one pass.
+
+    ``probe_keys``: the (bounded) keys to estimate — defaults to the
+    column's distinct values, which is only sane for dimension-sized
+    cardinalities; at corpus scale feed the Misra-Gries candidate set
+    (heavy_hitters) so the probe list stays sketch-sized. Probing
+    happens driver-side through the JVM sketch API (the sketch is one
+    width·depth counter table, ~100 KB at the defaults).
+
+    Output: (col, n_exact, within_band) where within_band pins the CMS
+    contract — the estimate never undershoots, and overshoots by at
+    most eps·N (merges are exact counter additions, so the sketch —
+    and the flag — is partition-layout-invariant for a fixed seed).
+    The exact recount is one aggregation over the probed keys; a band
+    violation returns FALSE and hash-mismatches the oracle."""
+    spark = df.sparkSession
+    sk_row = df.agg(
+        F.expr(
+            f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})"
+        ).alias("__sk__")
+    ).first()
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk_row["__sk__"]))
+    )
+    total = cms.totalCount()
+    bound = int(eps * total) + 1
+    keys = probe_keys if probe_keys is not None else df.select(col).distinct()
+    ests = {
+        r[0]: cms.estimateCount(r[0]) for r in keys.select(col).collect()
+    }
+    est_df = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(ests.items())],
+        f"{col} string, __est__ bigint",
+    )
+    exact = df.join(F.broadcast(est_df.select(col)), col, "left_semi").groupBy(
+        col
+    ).agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(F.broadcast(est_df), col).select(
+        col,
+        "n_exact",
+        (
+            (F.col("__est__") >= F.col("n_exact"))
+            & (F.col("__est__") <= F.col("n_exact") + F.lit(bound))
+        ).alias("within_band"),
+    )

@@ -637,6 +637,28 @@ def test_bpe_rounds_read_cached_vocab_not_corpus(spark):
         spark.catalog.clearCache()
 
 
+def test_partsupp_tpch_shapes(spark, qs):
+    # Q9: the dim chain (part, derived partsupp, supplier, nation)
+    # must broadcast — the only join allowed to move fact-sized data
+    # is lineitem⋈orders on orderkey
+    p = plan(qs["q9_product_profit"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert count_nodes(p, "SortMergeJoin") + count_nodes(
+        p, "ShuffledHashJoin"
+    ) <= 1
+    # the partsupp derivation must be scan-side: the 'red' part filter
+    # reaches a parquet scan (pruned BEFORE the 4x explode)
+    assert "PushedFilters" in p
+    # Q2: correlated-min decorrelates to a broadcast join back; the
+    # only single-partition branches are the 1-row supplier count and
+    # the <=100-row TakeOrdered rank
+    p2 = plan(qs["q2_min_cost_supplier"](spark, SF))
+    assert "TakeOrderedAndProject" in p2
+    from pippin_spark import plans as P
+
+    P.assert_scale_shape(qs["q2_min_cost_supplier"](spark, SF), max_single_partition=2)
+
+
 def test_pq_scan_is_one_arrow_pass(spark, qs):
     # the PQ encode + ADC scan must be a single Arrow crossing (codes
     # never materialize as a column, tables ride in the closure) with

@@ -49,6 +49,7 @@ def main() -> None:
             "ann_topk_pq",
             "knn_join_ivf",
             "streaming_minhash_dedup",
+            "agg_count_min_events",
             "agg_approx_distinct_count",
             "agg_approx_percentile",
         ):
