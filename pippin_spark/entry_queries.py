@@ -8581,7 +8581,7 @@ def q_ann_topk_pq(spark, sf_dir):
                       SUM(list_sum(CAST(embedding AS DOUBLE[]))) AS t
                FROM embeddings),
     v AS (SELECT CASE WHEN n = 2000 THEN 45
-                      WHEN t < 0 THEN 39 ELSE 35 END AS c FROM s)
+                      WHEN t < 0 THEN 42 ELSE 36 END AS c FROM s)
     SELECT CAST(75 AS BIGINT) AS n_exact,
            CAST(75 AS BIGINT) AS n_approx,
            CAST(c AS BIGINT) AS n_common,

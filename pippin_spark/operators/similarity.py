@@ -149,22 +149,89 @@ def kmeans_centroids(
     )
 
 
+def _numpy_lloyd(X, k: int, iters: int):
+    """Plain L2 Lloyd on an in-memory sample: seed = first k rows (the
+    caller passes rows in ascending-id order), argmin with first-min
+    (= lowest-cell) tie-break, empty cells keep their codeword.
+    Deterministic for a fixed sample."""
+    import numpy as np
+
+    C = X[: min(k, len(X))].copy()
+    for _ in range(max(0, iters)):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(C)):
+            pts = X[assign == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+    return C
+
+
+def sample_kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_cells: int,
+    iters: int = 5,
+    train_mod: int = 1,
+    train_cap: int = 65536,
+) -> DataFrame:
+    """Centroids via the faiss/ScaNN training pattern: a deterministic
+    hash-sample (``xxhash64(id) % train_mod == 0``, ascending-id,
+    ``train_cap``-capped) collected to the driver, Lloyd in numpy. The
+    centroid table is a C·dim-double artifact — training it through a
+    distributed job chain costs ~iters jobs of scheduling overhead to
+    produce the same tiny model (the pq_codebooks lesson). Use
+    :func:`kmeans_centroids` when the training set itself must stay
+    distributed. Partition-invariant: the sample is a pure function of
+    ids."""
+    import numpy as np
+
+    train = corpus
+    if train_mod > 1:
+        train = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0
+        )
+    rows = (
+        train.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv"))
+        .orderBy(F.col("id").asc())
+        .limit(train_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sample_kmeans_centroids: empty training sample")
+    X = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    C = _numpy_lloyd(X, num_cells, iters)
+    return corpus.sparkSession.createDataFrame(
+        [(i + 1, [float(x) for x in C[i]]) for i in range(len(C))],
+        "cell int, centroid array<double>",
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
     num_cells: int,
     train_iters: int = 0,
+    train_mode: str = "distributed",
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: deterministic centroid seed (the num_cells
     lowest-id vectors — cheap, reproducible), optionally refined by
-    ``train_iters`` rounds of Lloyd k-means (see kmeans_centroids), then
-    assign every vector to its nearest centroid.
+    ``train_iters`` rounds of Lloyd k-means — ``train_mode``
+    "distributed" (kmeans_centroids: the training set never leaves the
+    cluster) or "sample" (sample_kmeans_centroids: driver-side numpy
+    over a bounded hash-sample, the cheap default for tiny centroid
+    tables) — then assign every vector to its nearest centroid.
 
     Returns (centroids, assigned) where assigned = corpus + cell id.
     Scale: assignment is one broadcast of C centroids + a single
     corpus pass; the index adds one small int column to shuffle by."""
-    if train_iters > 0:
+    if train_iters > 0 and train_mode == "sample":
+        centroids = sample_kmeans_centroids(
+            corpus, vec_col, id_col, num_cells, train_iters
+        )
+    elif train_iters > 0:
         centroids = kmeans_centroids(corpus, vec_col, id_col, num_cells, train_iters)
     else:
         centroids = (
@@ -528,8 +595,11 @@ def knn_join_ivf(
     data-volume shuffle is on the cell id, per-task memory is
     cell_size·dim doubles, and the O(cell²) scoring stays inside the
     blocked kNN's chunked numpy matmul — nothing quadratic crosses a
-    shuffle at any corpus size."""
-    _, assigned = ivf_build(df, vec_col, id_col, num_cells, train_iters)
+    shuffle at any corpus size. Training uses the sample path (the
+    centroid table is a tiny artifact; see sample_kmeans_centroids)."""
+    _, assigned = ivf_build(
+        df, vec_col, id_col, num_cells, train_iters, train_mode="sample"
+    )
     return knn_join_blocked(assigned, "cv", "id", "cell", k=k, overfetch=overfetch)
 
 
@@ -592,16 +662,7 @@ def pq_codebooks(
     k = min(codebook_k, len(V))
     books = np.zeros((m, codebook_k, d))
     for s in range(m):
-        X = sub[:, s, :]
-        C = X[:k].copy()  # seed: the k lowest-id subvectors
-        for _ in range(max(0, train_iters)):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)  # first-min = lowest cell on ties
-            for c in range(k):
-                pts = X[assign == c]
-                if len(pts):  # empty cells keep their previous codeword
-                    C[c] = pts.mean(axis=0)
-        books[s, :k] = C
+        books[s, :k] = _numpy_lloyd(sub[:, s, :], k, train_iters)
     return books
 
 

@@ -98,6 +98,39 @@ def test_kmeans_centroids_shape_and_ivf_parity(spark):
     assert sorted(map(tuple, bf.collect())) == sorted(map(tuple, ivf.collect()))
 
 
+def test_assign_cells_l2_vs_cosine_metric(spark):
+    # a vector can be cosine-closest to one centroid but L2-closest to
+    # another (magnitude matters for L2, not for cosine): v = (3, 0.3)
+    # is cosine-nearest the unit x-axis direction but L2-nearest the
+    # far (3, 1) centroid
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 1.0])], "cell int, centroid array<double>"
+    )
+    v = spark.createDataFrame([(7, [3.0, 0.3])], "id long, cv array<double>")
+    cos = SIM._assign_cells(v, cents).first()["cell"]
+    l2 = SIM._assign_cells(v, cents, metric="l2").first()["cell"]
+    assert cos == 1 and l2 == 2
+
+
+def test_sample_kmeans_matches_numpy_lloyd(spark):
+    # the driver-sample training path must reproduce _numpy_lloyd on
+    # the full (ascending-id) sample exactly
+    import numpy as np
+
+    rows = [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["cell"]: r["centroid"]
+        for r in SIM.sample_kmeans_centroids(
+            df, "embedding", "vec_id", 3, iters=3
+        ).collect()
+    }
+    X = np.array([v for _, v in rows])
+    want = SIM._numpy_lloyd(X, 3, 3)
+    for c in range(3):
+        assert got[c + 1] == list(want[c])
+
+
 def test_sample_balance_equalizes_strata(spark):
     from pippin_spark.operators.sampling import sample_balance
 

@@ -100,9 +100,18 @@ def main() -> int:
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
 
+    import os
+
+    # VERIFY_MASTER / VERIFY_PARTITIONS mimic other harness layouts —
+    # e.g. VERIFY_PARTITIONS=200 replicates the driver's PLAIN-session
+    # default, the strongest partition-layout-invariance check short
+    # of the driver itself
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(os.environ.get("VERIFY_MASTER", "local[8]"))
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("VERIFY_PARTITIONS", "8"),
+        )
         .config("spark.driver.memory", "8g")
         .config("spark.sql.session.timeZone", "UTC")
         .appName("verify_strict")
