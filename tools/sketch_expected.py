@@ -50,6 +50,7 @@ def main() -> None:
             "knn_join_ivf",
             "streaming_minhash_dedup",
             "agg_count_min_events",
+            "diversity_kcenter",
             "agg_approx_distinct_count",
             "agg_approx_percentile",
         ):
