@@ -152,16 +152,53 @@ def kmeans_centroids(
     )
 
 
+def _collect_sample(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    train_mod: int,
+    train_cap: int,
+    normalize: bool = False,
+):
+    """The shared deterministic driver-sample pull behind every
+    sample-trained model (sample k-means, PQ codebooks, k-center):
+    hash-sample ``xxhash64(id) % train_mod == 0``, ascending-id order,
+    ``train_cap``-capped, collected as a float64 numpy matrix. Being a
+    pure function of the ids, the sample — and every model trained on
+    it — is identical on any cluster/partition layout."""
+    import numpy as np
+
+    train = corpus
+    if train_mod > 1:
+        train = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0
+        )
+    v = normalize_vectors(F.col(vec_col)) if normalize else _as_double(F.col(vec_col))
+    rows = (
+        train.select(F.col(id_col).alias("id"), v.alias("cv"))
+        .orderBy(F.col("id").asc())
+        .limit(train_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("_collect_sample: empty training sample")
+    return np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+
+
 def _numpy_lloyd(X, k: int, iters: int):
     """Plain L2 Lloyd on an in-memory sample: seed = first k rows (the
     caller passes rows in ascending-id order), argmin with first-min
     (= lowest-cell) tie-break, empty cells keep their codeword.
-    Deterministic for a fixed sample."""
+    Deterministic for a fixed sample. Distances use the matmul form
+    ||x||² − 2·X·Cᵀ + ||c||² so the per-iteration temp is the n×k
+    result matrix, never an n×k×d broadcast (n·k·d·8 bytes is
+    multi-GB at train_cap=65536 with corpus-scale cell counts)."""
     import numpy as np
 
     C = X[: min(k, len(X))].copy()
+    xsq = (X * X).sum(axis=1)[:, None]
     for _ in range(max(0, iters)):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = xsq - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
         assign = np.argmin(d2, axis=1)
         for c in range(len(C)):
             pts = X[assign == c]
@@ -178,33 +215,24 @@ def sample_kmeans_centroids(
     iters: int = 5,
     train_mod: int = 1,
     train_cap: int = 65536,
+    normalize: bool = False,
 ) -> DataFrame:
     """Centroids via the faiss/ScaNN training pattern: a deterministic
-    hash-sample (``xxhash64(id) % train_mod == 0``, ascending-id,
-    ``train_cap``-capped) collected to the driver, Lloyd in numpy. The
-    centroid table is a C·dim-double artifact — training it through a
-    distributed job chain costs ~iters jobs of scheduling overhead to
-    produce the same tiny model (the pq_codebooks lesson). Use
-    :func:`kmeans_centroids` when the training set itself must stay
-    distributed. Partition-invariant: the sample is a pure function of
-    ids."""
-    import numpy as np
+    hash-sample collected to the driver (see _collect_sample), L2
+    Lloyd in numpy. The centroid table is a C·dim-double artifact —
+    training it through a distributed job chain costs ~iters jobs of
+    scheduling overhead for the same-sized model.
 
-    train = corpus
-    if train_mod > 1:
-        train = corpus.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0
-        )
-    rows = (
-        train.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv"))
-        .orderBy(F.col("id").asc())
-        .limit(train_cap)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("sample_kmeans_centroids: empty training sample")
-    X = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
-    C = _numpy_lloyd(X, num_cells, iters)
+    Objective caveat: this trains the L2 objective (on unit-normalized
+    vectors when ``normalize=True`` — then L2² = 2 − 2·cos, i.e.
+    spherical k-means, the right pairing for a cosine assignment
+    pass). :func:`kmeans_centroids` trains a cosine objective with
+    round-9 means on the full distributed corpus — a DIFFERENT model,
+    not a faster route to the same one; pick by objective and by
+    whether the training set may leave the cluster, and expect
+    different (comparable-quality) cells across the two."""
+    C = _collect_sample(corpus, vec_col, id_col, train_mod, train_cap, normalize)
+    C = _numpy_lloyd(C, num_cells, iters)
     return corpus.sparkSession.createDataFrame(
         [(i + 1, [float(x) for x in C[i]]) for i in range(len(C))],
         "cell int, centroid array<double>",
@@ -222,17 +250,19 @@ def ivf_build(
     """Build an IVF index: deterministic centroid seed (the num_cells
     lowest-id vectors — cheap, reproducible), optionally refined by
     ``train_iters`` rounds of Lloyd k-means — ``train_mode``
-    "distributed" (kmeans_centroids: the training set never leaves the
-    cluster) or "sample" (sample_kmeans_centroids: driver-side numpy
-    over a bounded hash-sample, the cheap default for tiny centroid
-    tables) — then assign every vector to its nearest centroid.
+    "distributed" (kmeans_centroids: cosine objective, the training
+    set never leaves the cluster) or "sample" (sample_kmeans_centroids
+    with normalize=True: spherical/L2-on-unit-vectors objective over a
+    bounded driver hash-sample — cheap, but a DIFFERENT model than the
+    distributed path, see its docstring) — then assign every vector to
+    its nearest centroid by cosine.
 
     Returns (centroids, assigned) where assigned = corpus + cell id.
     Scale: assignment is one broadcast of C centroids + a single
     corpus pass; the index adds one small int column to shuffle by."""
     if train_iters > 0 and train_mode == "sample":
         centroids = sample_kmeans_centroids(
-            corpus, vec_col, id_col, num_cells, train_iters
+            corpus, vec_col, id_col, num_cells, train_iters, normalize=True
         )
     elif train_iters > 0:
         centroids = kmeans_centroids(corpus, vec_col, id_col, num_cells, train_iters)
@@ -429,23 +459,7 @@ def kcenter_select(
     vectors d2 = 2 − 2·cos), rounded to 6 dp."""
     import numpy as np
 
-    train = corpus
-    if train_mod > 1:
-        train = corpus.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0
-        )
-    rows = (
-        train.select(
-            F.col(id_col).alias("id"),
-            normalize_vectors(F.col(vec_col)).alias("cv"),
-        )
-        .orderBy(F.col("id").asc())
-        .limit(train_cap)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("kcenter_select: empty training sample")
-    X = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    X = _collect_sample(corpus, vec_col, id_col, train_mod, train_cap, normalize=True)
     kk = min(k, len(X))
     chosen = [0]
     mind2 = ((X - X[0]) ** 2).sum(axis=1)
@@ -709,27 +723,12 @@ def pq_codebooks(
     Returns a numpy (m, codebook_k, d) array."""
     import numpy as np
 
-    train = corpus
-    if train_mod > 1:
-        train = corpus.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0
-        )
-    rows = (
-        train.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv"))
-        .orderBy(F.col("id").asc())
-        .limit(train_cap)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("pq_codebooks: empty training sample")
-    V = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    V = _collect_sample(corpus, vec_col, id_col, train_mod, train_cap, normalize=True)
     dim = V.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
     d = dim // m
-    norms = np.linalg.norm(V, axis=1)
-    norms[norms == 0.0] = 1.0
-    sub = (V / norms[:, None]).reshape(len(V), m, d)
+    sub = V.reshape(len(V), m, d)
     k = min(codebook_k, len(V))
     books = np.zeros((m, codebook_k, d))
     for s in range(m):

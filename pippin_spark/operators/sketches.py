@@ -102,12 +102,19 @@ def count_min_frequencies(
     happens driver-side through the JVM sketch API (the sketch is one
     width·depth counter table, ~100 KB at the defaults).
 
-    Output: (col, n_exact, within_band) where within_band pins the CMS
-    contract — the estimate never undershoots, and overshoots by at
-    most eps·N (merges are exact counter additions, so the sketch —
-    and the flag — is partition-layout-invariant for a fixed seed).
-    The exact recount is one aggregation over the probed keys; a band
-    violation returns FALSE and hash-mismatches the oracle."""
+    Output: (col, n_exact, within_band) — one row per probed key,
+    including keys with ZERO occurrences (n_exact 0; CMS answers any
+    key). within_band pins the CMS contract — the estimate never
+    undershoots, and overshoots by at most eps·N (merges are exact
+    counter additions, so the sketch — and the flag — is
+    partition-layout-invariant for a fixed seed). The exact recount is
+    one aggregation over the probed keys; a band violation returns
+    FALSE and hash-mismatches the oracle.
+
+    NULL keys are not probeable: Spark's count_min_sketch aggregate
+    skips NULL inputs (they are not in the sketch or its totalCount),
+    and the JVM estimator NPEs on a null probe — NULLs are dropped
+    from the probe set; count NULLs with a plain filter if needed."""
     spark = df.sparkSession
     sk_row = df.agg(
         F.expr(
@@ -122,7 +129,8 @@ def count_min_frequencies(
     bound = int(eps * total) + 1
     keys = probe_keys if probe_keys is not None else df.select(col).distinct()
     ests = {
-        r[0]: cms.estimateCount(r[0]) for r in keys.select(col).collect()
+        r[0]: cms.estimateCount(r[0])
+        for r in keys.select(col).filter(F.col(col).isNotNull()).collect()
     }
     est_df = spark.createDataFrame(
         [(k, int(v)) for k, v in sorted(ests.items())],
@@ -131,11 +139,16 @@ def count_min_frequencies(
     exact = df.join(F.broadcast(est_df.select(col)), col, "left_semi").groupBy(
         col
     ).agg(F.count(F.lit(1)).alias("n_exact"))
-    return exact.join(F.broadcast(est_df), col).select(
+    # LEFT join from the probe list: a key absent from df must come
+    # back as (key, 0, flag), not silently vanish
+    return est_df.join(exact, col, "left").select(
         col,
-        "n_exact",
+        F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
         (
-            (F.col("__est__") >= F.col("n_exact"))
-            & (F.col("__est__") <= F.col("n_exact") + F.lit(bound))
+            (F.col("__est__") >= F.coalesce(F.col("n_exact"), F.lit(0)))
+            & (
+                F.col("__est__")
+                <= F.coalesce(F.col("n_exact"), F.lit(0)) + F.lit(bound)
+            )
         ).alias("within_band"),
     )

@@ -1043,3 +1043,21 @@ def test_compression_ratio_respects_id_col(spark):
     docs = spark.createDataFrame([(7, "hello world")], "uid long, text string")
     row = X.compression_ratio(docs, id_col="uid").collect()[0]
     assert row["uid"] == 7 and "doc_id" not in row.asDict()
+
+
+def test_count_min_null_and_absent_probe_keys(spark):
+    from pippin_spark.operators.sketches import count_min_frequencies
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "k string"
+    )
+    probes = spark.createDataFrame([("a",), ("zz",), (None,)], "k string")
+    got = {
+        r["k"]: (r["n_exact"], r["within_band"])
+        for r in count_min_frequencies(df, "k", probe_keys=probes).collect()
+    }
+    # absent key comes back as a zero count, not silent loss; NULL is
+    # documented un-probeable and dropped from the probe set
+    assert got["a"] == (2, True)
+    assert got["zz"] == (0, True)
+    assert None not in got

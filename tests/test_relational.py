@@ -478,7 +478,8 @@ def test_sorted_neighborhood_matches_window_bruteforce(spark):
             d = lev(s[i][1], s[j][1])
             if d <= 2:
                 exp.add((s[i][0], s[j][0], d))
-    assert got == exp and (7, 1, 0) in got or (1, 7, 0) in got
+    assert got == exp
+    assert (7, 1, 0) in got or (1, 7, 0) in got
 
 
 def test_partsupp_derivation_invariants(spark):
