@@ -107,6 +107,9 @@ HEADLINE = [
     "q16_parts_supplier_counts",
     "q20_potential_promotion",
     "q21_sole_fault_supplier",
+    "streaming_minhash_dedup",
+    "diversity_kcenter",
+    "agg_count_min_events",
 ]
 
 
@@ -195,8 +198,54 @@ def main() -> None:
             k=5, m=8, codebook_k=16, train_iters=2, overfetch=20,
         )
 
+    def _raw_stream_minhash(spark, sf_dir):
+        # the stream-side ingest gate alone (signature UDF -> stateless
+        # stream-static join -> drain); the declared query additionally
+        # recomputes the batch ground truth for its equality oracle
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        docs = Pipeline.from_table(spark, sf_dir, "documents").df
+        corpus = docs.filter(F.col("doc_id") % 10 < 8)
+        store = DEDUP.text_minhash_signatures(
+            corpus, "text", n=3, num_hashes=64, bands=16, include_sig=False
+        ).select(
+            F.col("doc_id").alias("corpus_id"),
+            F.posexplode("bands").alias("b_pos", "b_hash"),
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("doc_id") % 10 >= 8)
+        )
+        sbands = DEDUP.text_minhash_signatures(
+            stream, "text", n=3, num_hashes=64, bands=16, include_sig=False
+        ).select(
+            F.col("doc_id").alias("stream_id"),
+            F.posexplode("bands").alias("b_pos", "b_hash"),
+        )
+        matched = sbands.join(F.broadcast(store), ["b_pos", "b_hash"]).select(
+            "stream_id", "corpus_id"
+        )
+        q = (
+            matched.writeStream.format("memory")
+            .queryName("bench_stream_minhash")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="bench_ckpt_minhash_"),
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table("bench_stream_minhash").distinct()
+
     qs = dict(qs)
     qs["dedup_minhash"] = _raw_minhash
+    qs["streaming_minhash_dedup"] = _raw_stream_minhash
     qs["dedup_simhash"] = _raw_simhash
     qs["ann_topk_ivf"] = _raw_ivf
     qs["ann_topk_lsh"] = _raw_lsh
@@ -226,6 +275,9 @@ def main() -> None:
         "pagerank_trade_graph",
         "knn_join_ivf",
         "ann_topk_pq",
+        "streaming_minhash_dedup",  # drains the stream in the builder
+        "diversity_kcenter",  # greedy selection collects at construction
+        "agg_count_min_events",  # sketch built + probed at construction
     }
 
     timings: dict[str, float] = {}

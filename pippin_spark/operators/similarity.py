@@ -77,22 +77,27 @@ def _assign_cells(
         )
     else:
         score = cosine_similarity(F.col("cv"), F.col("centroid"))
-    return (
-        vectors.join(F.broadcast(centroids), how="cross")
-        .select(
-            "id",
-            "cv",
-            "cell",
-            score.alias("csim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("id", "cv", "cell", *(["csim"] if keep_score else []))
+    # argmax via min_by, NOT a per-id window: the broadcast cross join
+    # keeps all C copies of a row in its map partition, so the partial
+    # aggregate collapses them BEFORE the exchange — the shuffle
+    # carries one row per vector instead of C×N rows plus a sort.
+    # Ordering struct (−score, cell) reproduces the former window's
+    # (score DESC, cell ASC) tie-break exactly; scores are never NaN
+    # (cosine_similarity zero-norm-guards to 0.0, −L2² is finite)
+    scored = vectors.join(F.broadcast(centroids), how="cross").select(
+        "id", "cv", "cell", score.alias("csim")
+    )
+    best = scored.groupBy("id").agg(
+        F.min_by(
+            F.struct("cell", "cv", "csim"),
+            F.struct((-F.col("csim")).alias("o1"), F.col("cell").alias("o2")),
+        ).alias("__b__")
+    )
+    return best.select(
+        "id",
+        F.col("__b__.cv").alias("cv"),
+        F.col("__b__.cell").alias("cell"),
+        *([F.col("__b__.csim").alias("csim")] if keep_score else []),
     )
 
 
