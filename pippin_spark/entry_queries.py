@@ -8442,6 +8442,60 @@ def q_q20_potential_promotion(spark, sf_dir):
 
 
 @_q(
+    "span_corrupt_docs",
+    # T5-style span corruption: deterministic hash-masked token spans
+    # → <extra_id_K>-sentineled (input, target) pairs. The oracle
+    # replays the identical integer mask arithmetic and rebuilds both
+    # strings with ordered string_agg — full value-hash parity on the
+    # reconstructed text
+    """
+    WITH toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS idx
+      FROM (
+        SELECT doc_id, UNNEST(l) AS tok, generate_subscripts(l, 1) AS ord
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+              FROM documents)
+      ) WHERE tok <> ''
+    ), marked AS (
+      SELECT doc_id, tok, idx, idx // 3 AS blk, idx % 3 AS wi,
+             CAST(('0x' || substr(md5(doc_id || ':' || (idx // 3)), 1, 8))
+                  AS BIGINT) % 100 < 15 AS m
+      FROM toks
+    ), masked AS (
+      SELECT *, DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY blk) - 1 AS k
+      FROM marked WHERE m
+    ), input_t AS (
+      SELECT doc_id, string_agg(p, ' ' ORDER BY o) AS input_text FROM (
+        SELECT doc_id, idx * 2 AS o, tok AS p FROM marked WHERE NOT m
+        UNION ALL
+        SELECT doc_id, idx * 2, '<extra_id_' || k || '>'
+        FROM masked WHERE wi = 0
+      ) GROUP BY 1
+    ), target_t AS (
+      SELECT doc_id, string_agg(p, ' ' ORDER BY o) AS target_text FROM (
+        SELECT doc_id, blk * 6 - 1 AS o, '<extra_id_' || k || '>' AS p
+        FROM masked WHERE wi = 0
+        UNION ALL
+        SELECT doc_id, idx * 2, tok FROM masked
+      ) GROUP BY 1
+    ), nm AS (
+      SELECT doc_id, CAST(COUNT(*) FILTER (m) AS BIGINT) AS n_masked
+      FROM marked GROUP BY 1
+    )
+    SELECT i.doc_id, i.input_text,
+           COALESCE(t.target_text, '') AS target_text, nm.n_masked
+    FROM input_t i
+    LEFT JOIN target_t t ON t.doc_id = i.doc_id
+    JOIN nm ON nm.doc_id = i.doc_id
+    """,
+)
+def q_span_corrupt_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return TXT.span_corrupt(docs, "text", "doc_id", block=3, mask_pct=15)
+
+
+@_q(
     "diversity_kcenter",
     # greedy k-center coreset selection (Gonzalez 2-approx): 16
     # maximally-diverse centers picked on the deterministic sample,
@@ -8797,6 +8851,7 @@ _DRIVER_ROW_PRIORITY = [
     "streaming_minhash_dedup",
     "agg_count_min_events",
     "diversity_kcenter",
+    "span_corrupt_docs",
     "scd2_user_values",
     "gap_fill_events",
     "merge_changes_orders",

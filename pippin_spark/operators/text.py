@@ -10,7 +10,7 @@ correctness oracle (pippin_spark/entry_queries.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: word runs or single non-space symbols — the
@@ -642,3 +642,120 @@ def compression_ratio(docs, text_col: str = "text", id_col: str = "doc_id",
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def span_corrupt(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    block: int = 3,
+    mask_pct: int = 15,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020) — the seq2seq
+    denoising objective's data prep: selected token spans are replaced
+    by ``<extra_id_K>`` sentinels in the input, and the target is the
+    sentinel-delimited sequence of the masked spans, in order.
+
+    Span selection is a pure function of (doc id, span index): token
+    positions group into fixed ``block``-length spans, and span b of
+    doc d is masked iff md5(d ‖ ':' ‖ b) % 100 < mask_pct — fixed
+    blocks instead of T5's geometric span lengths so the mask (and the
+    DuckDB oracle, which replays the identical arithmetic) is a pure
+    integer function; no RNG state anywhere. The trailing T5 sentinel
+    after the last span is omitted (documented divergence).
+
+    Scale shape: one explode + per-doc keyed windows (the per-doc
+    token-sequence bound of the ngram/window family — a document's
+    tokens always fit a task); reconstruction is a per-doc
+    array_sort/array_join aggregation, so only (doc, token) rows
+    shuffle, keyed by doc id. Returns (id, input_text, target_text,
+    n_masked) for every doc with at least one token."""
+    toks = docs.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__ord__", "__tok__"),
+    ).filter(F.col("__tok__") != "")
+    w = Window.partitionBy("__id__").orderBy("__ord__")
+    marked = (
+        toks.select(
+            "__id__",
+            "__tok__",
+            (F.row_number().over(w) - 1).alias("__idx__"),
+        )
+        .select(
+            "__id__",
+            "__tok__",
+            "__idx__",
+            F.expr(f"__idx__ div {block}").alias("__blk__"),
+            (F.col("__idx__") % block).alias("__wi__"),
+        )
+        .withColumn(
+            "__m__",
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(__id__ as string), ':',"
+                " cast(__blk__ as string))), 1, 8), 16, 10) as bigint) % 100"
+            )
+            < mask_pct,
+        )
+    )
+    # sentinel numbering: dense rank of the masked span within the doc
+    # (duplicate blk rows collapse, no distinct+join needed)
+    masked = marked.filter(F.col("__m__")).withColumn(
+        "__k__",
+        F.dense_rank().over(Window.partitionBy("__id__").orderBy("__blk__")) - 1,
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("__k__").cast("string"), F.lit(">")
+    )
+    # order keys: token at idx → 2·idx; a span's sentinel sits just
+    # before its first token (2·block·blk − 1) and after the previous
+    # span's last (≤ 2·block·blk − 2)
+    inp_pieces = marked.filter(~F.col("__m__")).select(
+        "__id__",
+        (F.col("__idx__") * 2).alias("__o__"),
+        F.col("__tok__").alias("__p__"),
+    ).unionByName(
+        masked.filter(F.col("__wi__") == 0).select(
+            "__id__",
+            (F.col("__idx__") * 2).alias("__o__"),
+            sentinel.alias("__p__"),
+        )
+    )
+    tgt_pieces = masked.filter(F.col("__wi__") == 0).select(
+        "__id__",
+        (F.col("__blk__") * (2 * block) - 1).alias("__o__"),
+        sentinel.alias("__p__"),
+    ).unionByName(
+        masked.select(
+            "__id__",
+            (F.col("__idx__") * 2).alias("__o__"),
+            F.col("__tok__").alias("__p__"),
+        )
+    )
+
+    def build(pieces: DataFrame, name: str) -> DataFrame:
+        return pieces.groupBy("__id__").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__o__", "__p__"))),
+                    lambda s: s["__p__"],
+                ),
+                " ",
+            ).alias(name)
+        )
+
+    nm = marked.groupBy("__id__").agg(
+        F.sum(F.when(F.col("__m__"), 1).otherwise(0)).cast("bigint").alias("n_masked")
+    )
+    return (
+        build(inp_pieces, "input_text")
+        .join(build(tgt_pieces, "target_text"), "__id__", "left")
+        .join(nm, "__id__")
+        .select(
+            F.col("__id__").alias(id_col),
+            "input_text",
+            F.coalesce("target_text", F.lit("")).alias("target_text"),
+            "n_masked",
+        )
+    )

@@ -1061,3 +1061,20 @@ def test_count_min_null_and_absent_probe_keys(spark):
     assert got["a"] == (2, True)
     assert got["zz"] == (0, True)
     assert None not in got
+
+
+def test_span_corrupt_golden(spark):
+    # pin the exact sentinel semantics on a hand-checkable doc: block=2,
+    # mask_pct=100 masks EVERY span -> input is all sentinels, target
+    # replays every span with its sentinel prefix, in order
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    r = X.span_corrupt(df, "text", "doc_id", block=2, mask_pct=100).first()
+    assert r["input_text"] == "<extra_id_0> <extra_id_1> <extra_id_2>"
+    assert r["target_text"] == (
+        "<extra_id_0> a b <extra_id_1> c d <extra_id_2> e"
+    )
+    assert r["n_masked"] == 5
+    # mask_pct=0 is the identity on input and yields an empty target
+    r0 = X.span_corrupt(df, "text", "doc_id", block=2, mask_pct=0).first()
+    assert r0["input_text"] == "a b c d e"
+    assert r0["target_text"] == "" and r0["n_masked"] == 0
