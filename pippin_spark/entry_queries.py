@@ -8442,6 +8442,44 @@ def q_q20_potential_promotion(spark, sf_dir):
 
 
 @_q(
+    "fim_transform_docs",
+    # fill-in-the-middle prep (Bavarian et al.): half the docs rewrite
+    # PSM-style with md5-derived split points; pure substring/concat
+    # arithmetic replayed identically by the oracle — every byte of
+    # the reconstruction value-hash-checks
+    """
+    WITH c AS (
+      SELECT doc_id, text, length(text) AS n,
+             CAST(('0x' || substr(md5(doc_id || ':fim'), 1, 8)) AS BIGINT)
+               % 100 < 50 AS pick,
+             CAST(('0x' || substr(md5(doc_id || ':c1'), 1, 8)) AS BIGINT)
+               % (length(text) + 1) AS c1
+      FROM documents
+    ), d AS (
+      SELECT *, c1 + CAST(('0x' || substr(md5(doc_id || ':c2'), 1, 8))
+                          AS BIGINT) % (n - c1 + 1) AS c2
+      FROM c
+    )
+    SELECT doc_id,
+           CASE WHEN pick THEN
+             '<fim_prefix>' || substr(text, 1, CAST(c1 AS INT)) ||
+             '<fim_suffix>' || substr(text, CAST(c2 + 1 AS INT),
+                                      CAST(n - c2 AS INT)) ||
+             '<fim_middle>' || substr(text, CAST(c1 + 1 AS INT),
+                                      CAST(c2 - c1 AS INT))
+           ELSE text END AS fim_text,
+           pick AS is_fim,
+           CAST(CASE WHEN pick THEN c2 - c1 ELSE 0 END AS BIGINT)
+             AS middle_len
+    FROM d
+    """,
+)
+def q_fim_transform_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return TXT.fim_transform(docs, "text", "doc_id", rate_pct=50)
+
+
+@_q(
     "span_corrupt_docs",
     # T5-style span corruption: deterministic hash-masked token spans
     # → <extra_id_K>-sentineled (input, target) pairs. The oracle
@@ -8852,6 +8890,7 @@ _DRIVER_ROW_PRIORITY = [
     "agg_count_min_events",
     "diversity_kcenter",
     "span_corrupt_docs",
+    "fim_transform_docs",
     "scd2_user_values",
     "gap_fill_events",
     "merge_changes_orders",

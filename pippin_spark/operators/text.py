@@ -759,3 +759,72 @@ def span_corrupt(
             "n_masked",
         )
     )
+
+
+def fim_transform(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    rate_pct: int = 50,
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022) — the
+    code/infilling pretraining prep: a deterministic fraction of docs
+    is rewritten PSM-style as
+
+        <fim_prefix> prefix <fim_suffix> suffix <fim_middle> middle
+
+    (the model learns to emit the middle given both sides); the rest
+    pass through unchanged. Document selection and both split points
+    are pure md5 integer arithmetic on (id ‖ tag), so the oracle
+    replays them exactly and every byte of the reconstruction
+    value-hash-checks.
+
+    Scale shape: pure per-row column expressions (substring + concat)
+    — zero shuffle, whole-stage codegen end to end; the transform
+    composes with pack_sequences downstream exactly like the raw
+    text."""
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def h(tag: str) -> Column:
+        return F.expr(
+            f"cast(conv(substring(md5(concat(cast({id_col} as string),"
+            f" '{tag}')), 1, 8), 16, 10) as bigint)"
+        )
+
+    pick = h(":fim") % 100 < rate_pct
+    # cut1 ∈ [0, n], cut2 ∈ [cut1, n] — empty prefix/middle/suffix are
+    # all legal FIM cases and exercised; % guards need n ≥ 0 only
+    cut1 = h(":c1") % (n + 1)
+    cut2 = cut1 + h(":c2") % (n - cut1 + 1)
+    fim = F.concat(
+        F.lit("<fim_prefix>"),
+        F.expr("substring(__t__, 1, cast(__c1__ as int))"),
+        F.lit("<fim_suffix>"),
+        F.expr(
+            "substring(__t__, cast(__c2__ + 1 as int),"
+            " cast(length(__t__) - __c2__ as int))"
+        ),
+        F.lit("<fim_middle>"),
+        F.expr(
+            "substring(__t__, cast(__c1__ + 1 as int),"
+            " cast(__c2__ - __c1__ as int))"
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        t.alias("__t__"),
+        cut1.alias("__c1__"),
+        cut2.alias("__c2__"),
+        pick.alias("__pick__"),
+    ).select(
+        id_col,
+        F.when(F.col("__pick__"), fim).otherwise(F.col("__t__")).alias(
+            "fim_text"
+        ),
+        F.col("__pick__").alias("is_fim"),
+        F.when(F.col("__pick__"), F.col("__c2__") - F.col("__c1__"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("middle_len"),
+    )

@@ -1078,3 +1078,27 @@ def test_span_corrupt_golden(spark):
     r0 = X.span_corrupt(df, "text", "doc_id", block=2, mask_pct=0).first()
     assert r0["input_text"] == "a b c d e"
     assert r0["target_text"] == "" and r0["n_masked"] == 0
+
+
+def test_fim_transform_reconstructible(spark):
+    # every FIM'd doc must reassemble to the original text:
+    # prefix + middle + suffix == text, and non-picked docs untouched
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body with some middle content {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.fim_transform(df, "text", "doc_id").collect()}
+    orig = {i: f"doc {i} body with some middle content {i}" for i in range(40)}
+    n_fim = 0
+    for i, r in out.items():
+        if not r["is_fim"]:
+            assert r["fim_text"] == orig[i] and r["middle_len"] == 0
+            continue
+        n_fim += 1
+        s = r["fim_text"]
+        assert s.startswith("<fim_prefix>")
+        pre, rest = s[len("<fim_prefix>"):].split("<fim_suffix>", 1)
+        suf, mid = rest.split("<fim_middle>", 1)
+        assert pre + mid + suf == orig[i]
+        assert len(mid) == r["middle_len"]
+    assert 0 < n_fim < 40  # the 50% pick rate actually splits the set
