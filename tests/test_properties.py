@@ -324,3 +324,50 @@ def test_set_similarity_join_complete_vs_bruteforce(spark, docs):
             if 2 * inter >= union:
                 exp.add((i, j))
     assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1,
+            max_size=17,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    block=st.integers(min_value=1, max_value=4),
+    mask_pct=st.sampled_from([0, 15, 50, 100]),
+)
+@settings(**SETTINGS)
+def test_span_corrupt_roundtrip(spark, docs, block, mask_pct):
+    # invariant: splicing each target span back over its sentinel in
+    # the input reproduces the original token sequence exactly — for
+    # any block length, mask rate, and partial final block
+    from pippin_spark.operators.text import span_corrupt
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in span_corrupt(df, "text", "doc_id", block=block, mask_pct=mask_pct).collect()
+    }
+    for i, words in enumerate(docs):
+        r = out[i]
+        # parse target into span lists keyed by sentinel index
+        spans: dict = {}
+        cur = None
+        for tok in r["target_text"].split():
+            if tok.startswith("<extra_id_"):
+                cur = int(tok[len("<extra_id_"):-1])
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in r["input_text"].split():
+            if tok.startswith("<extra_id_"):
+                rebuilt.extend(spans[int(tok[len("<extra_id_"):-1])])
+            else:
+                rebuilt.append(tok)
+        assert rebuilt == words
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
