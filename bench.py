@@ -110,6 +110,12 @@ HEADLINE = [
     "streaming_minhash_dedup",
     "diversity_kcenter",
     "agg_count_min_events",
+    # round-5 additions: the remaining never-benched nontrivial ops
+    # (VERDICT r4 #5)
+    "span_corrupt_docs",
+    "fim_transform_docs",
+    "pretrain_prep_e2e",
+    "semantic_dedup_e2e",
 ]
 
 
@@ -301,18 +307,54 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline-suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    full_line = json.dumps(full, separators=(",", ":"))
     spark.stop()
+    # The driver records only the LAST ~2000 chars of stdout
+    # (BENCH_r04.json: "tail" is exactly 2000 chars and the single
+    # JSON line, grown past that, arrived head-cut — "parsed": null).
+    # Output discipline so any tail window holds a parseable headline:
+    #  1. the complete contract line is printed FIRST (full-log
+    #     consumers) and written to BENCH_LOCAL.json (committed, the
+    #     per-query record for round-over-round comparison);
+    #  2. the LAST line is a compact headline guaranteed to fit the
+    #     tail budget: same metric/value/unit/sf, plus as many
+    #     per-query rows as fit, most expensive first (regressions
+    #     live in the big rows) — "queries_total"/"queries_shown"/
+    #     "full_in" flag the truncation explicitly.
+    print(full_line, flush=True)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            f.write(full_line + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed full line still has it
+    budget = 1800
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries_total": len(timings),
+        "queries_shown": 0,
+        "full_in": "BENCH_LOCAL.json",
+        "queries": {},
+    }
+    for name, t in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        compact["queries"][name] = t
+        compact["queries_shown"] = len(compact["queries"])
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            compact["queries_shown"] = len(compact["queries"])
+            break
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

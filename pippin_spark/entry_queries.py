@@ -5795,10 +5795,15 @@ def q_heavy_hitters_events(spark, sf_dir):
     # CMS contract flags (estimate in [exact, exact + eps·N]) — exact
     # counter-addition merges make the flag partition-invariant for a
     # fixed seed, the same accuracy-band pattern as approx_percentile
+    # NULL contract shared with the Spark side: count_min_frequencies
+    # documents NULL keys as un-probeable and drops them from the
+    # probe set, so the oracle's GROUP BY must not emit a NULL group
+    # either (r4 ADVICE: a fixture regen introducing NULL event_type
+    # would otherwise hash-mismatch asymmetrically)
     """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact,
            TRUE AS within_band
-    FROM events GROUP BY 1
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
     """,
 )
 def q_agg_count_min_events(spark, sf_dir):
@@ -8545,7 +8550,17 @@ def q_span_corrupt_docs(spark, sf_dir):
     # literals refreshed from a measured run (tools/sketch_expected.py)
     # the pinned avg is re-derived as (exact decimal sum as double)/n
     # — the SAME two operations Spark performs, so the doubles match
-    # bit-for-bit
+    # bit-for-bit.
+    # within_2approx is the NON-pinned exact arm (VERDICT r4 #4): the
+    # Spark side checks the Gonzalez invariant IN-QUERY — the covering
+    # radius² (max_d2) must not exceed the min pairwise center
+    # distance² (selection distances are non-increasing, so every
+    # center pair is at least the final radius apart; and since any
+    # k-clustering must co-locate two of the k centers + farthest
+    # point, R_opt >= min_pw/2, giving the 2-approx bound). A silently
+    # degraded greedy (wrong argmax, stale min-distance fold, random
+    # centers) violates it even after pins are regenerated; the oracle
+    # side is the constant TRUE the invariant guarantees.
     """
     WITH s AS (SELECT COUNT(*) AS n,
                       SUM(list_sum(CAST(embedding AS DOUBLE[]))) AS t
@@ -8560,16 +8575,33 @@ def q_span_corrupt_docs(spark, sf_dir):
           FROM s)
     SELECT CAST(16 AS BIGINT) AS n_centers,
            CAST(n AS BIGINT) AS n_assigned,
-           mx AS max_d2, sm / n AS avg_d2
+           mx AS max_d2, sm / n AS avg_d2,
+           TRUE AS within_2approx
     FROM v
     """,
 )
 def q_diversity_kcenter(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").df
     centers, assigned = SIM.kcenter_select(emb, "embedding", "vec_id", k=16)
-    return assigned.crossJoin(
-        F.broadcast(centers.agg(F.count(F.lit(1)).alias("n_centers")))
-    ).agg(
+    pair_d2 = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    # 16×16 driver-literal rows: the pairwise-min is a constant-sized
+    # side computation, never corpus-scale
+    min_pw = (
+        centers.select(F.col("cell").alias("ca"), F.col("centroid").alias("va"))
+        .crossJoin(
+            centers.select(
+                F.col("cell").alias("cb"), F.col("centroid").alias("vb")
+            )
+        )
+        .filter(F.col("ca") < F.col("cb"))
+        .agg(F.min(pair_d2).alias("min_pw"))
+    )
+    stats = centers.agg(F.count(F.lit(1)).alias("n_centers")).crossJoin(min_pw)
+    return assigned.crossJoin(F.broadcast(stats)).agg(
         F.first("n_centers").alias("n_centers"),
         F.count(F.lit(1)).alias("n_assigned"),
         F.max("d2").alias("max_d2"),
@@ -8577,6 +8609,11 @@ def q_diversity_kcenter(spark, sf_dir):
             F.sum(F.col("d2").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_d2"),
+        # 1e-6 slack: assigned d2 is rounded to 6 dp (can round up by
+        # 5e-7); min_pw is exact
+        (F.max("d2") <= F.first("min_pw") + F.lit(1e-6)).alias(
+            "within_2approx"
+        ),
     )
 
 
@@ -8809,28 +8846,140 @@ def q_for_each_sink_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# driver-gate registration order (round-4 rotation)
+# driver-gate registration order (round-5 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
-# queries (observed in rounds 1 and 2: CORRECTNESS_r0{1,2}.json each
-# contain exactly the first 50 registrations). Every declared query is
-# verified locally by tools/verify_strict.py at sf0.001 AND sf0.01
-# under the same typed-hash policy, so ordering carries zero
+# queries (observed in every round so far: CORRECTNESS_r0{1..4}.json
+# each contain exactly the first 50 registrations). Every declared
+# query is verified locally by tools/verify_strict.py at sf0.001 AND
+# sf0.01 under the same typed-hash policy, so ordering carries zero
 # correctness risk — but only queries in the driver's window get a
-# hard CORRECTNESS_r{N} row. The explicit order below rotates the 67
-# queries with no driver row after round 2 to the front (most
-# operator-family-distinctive first); the r1/r2 driver-green parity
-# core keeps its relative order at the back. tests/test_entry.py
-# asserts this list stays exhaustive.
+# hard CORRECTNESS_r{N} row. Driver-row union after r4: 155/262; the
+# explicit order below rotates 50 of the 107 never-driver-checked
+# queries to the front (target union after r5: 205/262), the other 57
+# queue behind the boundary for round 6; the driver-green core keeps
+# its relative order at the back. tests/test_oracle.py asserts this
+# list stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
-    # --- round-4 driver window: 50 never-driver-checked queries ---
-    # 5 new partsupp TPC-H shapes (no row by definition)
+    # --- round-5 driver window: next 50 never-driver-checked queries
+    # (VERDICT r4 #1 order: the eight r4 additions, the join/set-op
+    # family, multimodal, embeddings, the e2e compositions, then the
+    # remainder pool in prior order) ---
+    "for_each_sink_roundtrip",
+    "knn_join_ivf",
+    "ann_topk_pq",
+    "streaming_minhash_dedup",
+    "agg_count_min_events",
+    "diversity_kcenter",
+    "span_corrupt_docs",
+    "fim_transform_docs",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_outer_counts",
+    "join_shuffle_hash",
+    "set_union",
+    "set_intersect_all",
+    "set_except_all",
+    "not_in_customers",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "dedup_media_bytes",
+    "emb_normalize",
+    "emb_quantize",
+    "emb_standardize",
+    "emb_label_centroids",
+    "embed_documents",
+    "pretrain_prep_e2e",
+    "semantic_dedup_e2e",
+    "scd2_user_values",
+    "gap_fill_events",
+    "merge_changes_orders",
+    "incremental_pricing_merge",
+    "asof_join_events_bucketed",
+    "sessionize_events_bucketed",
+    "key_skew_events",
+    "bucketed_join_pricing",
+    "zorder_parts",
+    "text_gopher_filter",
+    "token_freq_spectrum",
+    "text_top_bigrams",
+    "text_tfidf_topterms",
+    "source_binary_files",
+    "profile_orders",
+    "agg_mode_status",
+    "agg_bitwise",
+    "running_distinct_users",
+    "ewma_events",
+    "props_value_stats",
+    "streaming_stream_stream_join",
+    "asof_join_tolerance",
+    # --- ~driver-window boundary (first 50 above) ---
+    # never-driver-checked remainder (r6+ rotation pool, prior order)
+    "agg_argmax",
+    "text_unicode_clean",
+    "sql_query_api",
+    "ngram_lm_counts",
+    "order_violations",
+    "impute_locf_events",
+    "bm25_topk",
+    "rollup_time_events",
+    "twap_events",
+    "cap_docs_per_source",
+    "expect_orders",
+    "snapshot_diff_orders",
+    "user_event_history",
+    "vocab_coverage",
+    "dup_cluster_sizes",
+    "lang_rebalance_plan",
+    "sql_scalar_udf",
+    "user_type_setops",
+    "date_breadth_orders",
+    "variant_props_stats",
+    "target_encode_loo",
+    "string_breadth_docs",
+    "session_window_native",
+    "mom_revenue_growth",
+    "catalog_ctas",
+    "gap_detect_events",
+    "agg_correlations",
+    "funnel_users",
+    "fuzzy_match_names",
+    "nucleus_top_sources",
+    "winsorize_events",
+    "length_bucketed_batches",
+    "streaming_foreach_upsert",
+    "quality_quantiles_by_facet",
+    "mad_outlier_events",
+    "merge_intervals_events",
+    "agg_conditional_bools",
+    "extract_numbers_stats",
+    "length_decile_docs",
+    "dedup_transitive_keep",
+    "asof_join_forward_events",
+    "event_transitions",
+    "retention_cohorts",
+    "streaming_approx_users",
+    "props_key_counts",
+    "union_missing_columns",
+    "sample_per_group_docs",
+    "sample_balance_lang",
+    "cube_pricing",
+    "json_extract_props",
+    "ann_topk_ivf_kmeans",
+    "agg_array_ops",
+    "text_repetition",
+    "text_pii_redact",
+    "topk_per_group",
+    "histogram_prices",
+    "text_lang_id",
+    # r1-r4 driver-green core (hard rows exist; original order)
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
     "q16_parts_supplier_counts",
     "q20_potential_promotion",
-    # window-function suite (zero hard rows across r1-r3)
     "window_dist_rank",
     "window_first_last",
     "window_percent_rank",
@@ -8838,7 +8987,6 @@ _DRIVER_ROW_PRIORITY = [
     "window_range_frame",
     "window_ntile",
     "window_lag_lead",
-    # percentile / stats / HLL aggregate families
     "agg_approx_percentile",
     "agg_percentile",
     "agg_percentile_by_group",
@@ -8849,7 +8997,6 @@ _DRIVER_ROW_PRIORITY = [
     "agg_hll_by_group",
     "agg_hll_union_merge",
     "agg_hll_datasketches",
-    # TPC-H shapes with no driver row
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",
@@ -8862,13 +9009,11 @@ _DRIVER_ROW_PRIORITY = [
     "q19_disjunctive_revenue",
     "q21_sole_fault_supplier",
     "q22_dormant_customers",
-    # sinks
     "sink_partitioned_parquet",
     "sink_csv_roundtrip",
     "sink_sorted_parquet",
     "sink_jsonl_roundtrip",
     "sink_compacted_parquet",
-    # sources
     "source_from_orc",
     "source_from_xml",
     "source_from_text",
@@ -8876,121 +9021,10 @@ _DRIVER_ROW_PRIORITY = [
     "source_parquet_evolved",
     "source_file_lineage",
     "source_custom_python",
-    # graph / sketch / recursive / UDTF singletons
     "udtf_sentences",
     "pagerank_trade_graph",
     "heavy_hitters_events",
     "recursive_cte_reach",
-    # --- ~driver-window boundary (first 50 above) ---
-    # never-driver-checked remainder (r5+ rotation pool, prior order)
-    "for_each_sink_roundtrip",
-    "knn_join_ivf",
-    "ann_topk_pq",
-    "streaming_minhash_dedup",
-    "agg_count_min_events",
-    "diversity_kcenter",
-    "span_corrupt_docs",
-    "fim_transform_docs",
-    "scd2_user_values",
-    "gap_fill_events",
-    "merge_changes_orders",
-    "incremental_pricing_merge",
-    "asof_join_events_bucketed",
-    "sessionize_events_bucketed",
-    "key_skew_events",
-    "multimodal_decode",
-    "bucketed_join_pricing",
-    "zorder_parts",
-    "text_gopher_filter",
-    "token_freq_spectrum",
-    "text_top_bigrams",
-    "text_tfidf_topterms",
-    "emb_label_centroids",
-    "semantic_dedup_e2e",
-    "source_binary_files",
-    "profile_orders",
-    "agg_mode_status",
-    "agg_bitwise",
-    "running_distinct_users",
-    "ewma_events",
-    "props_value_stats",
-    "streaming_stream_stream_join",
-    "asof_join_tolerance",
-    "join_shuffle_hash",
-    "agg_argmax",
-    "text_unicode_clean",
-    "sql_query_api",
-    "ngram_lm_counts",
-    "pretrain_prep_e2e",
-    "order_violations",
-    "impute_locf_events",
-    "bm25_topk",
-    "rollup_time_events",
-    "twap_events",
-    "cap_docs_per_source",
-    "expect_orders",
-    "snapshot_diff_orders",
-    "user_event_history",
-    "set_intersect_all",
-    "set_except_all",
-    "vocab_coverage",
-    "dup_cluster_sizes",
-    "lang_rebalance_plan",
-    "sql_scalar_udf",
-    "user_type_setops",
-    "date_breadth_orders",
-    "variant_props_stats",
-    "join_cross",
-    "not_in_customers",
-    "target_encode_loo",
-    "string_breadth_docs",
-    "session_window_native",
-    "mom_revenue_growth",
-    "catalog_ctas",
-    "gap_detect_events",
-    "agg_correlations",
-    "funnel_users",
-    "fuzzy_match_names",
-    "nucleus_top_sources",
-    "winsorize_events",
-    "embed_documents",
-    "length_bucketed_batches",
-    "streaming_foreach_upsert",
-    "quality_quantiles_by_facet",
-    "mad_outlier_events",
-    "merge_intervals_events",
-    "agg_conditional_bools",
-    "extract_numbers_stats",
-    "dedup_media_bytes",
-    "emb_standardize",
-    "length_decile_docs",
-    "dedup_transitive_keep",
-    "asof_join_forward_events",
-    "event_transitions",
-    "retention_cohorts",
-    "streaming_approx_users",
-    "props_key_counts",
-    "union_missing_columns",
-    "multimodal_resize",
-    "sample_per_group_docs",
-    "sample_balance_lang",
-    "cube_pricing",
-    "json_extract_props",
-    "multimodal_frame_sample",
-    "ann_topk_ivf_kmeans",
-    "agg_array_ops",
-    "text_repetition",
-    "text_pii_redact",
-    "topk_per_group",
-    "join_outer_counts",
-    "set_union",
-    "join_semi",
-    "join_anti",
-    "histogram_prices",
-    "emb_normalize",
-    "emb_quantize",
-    "text_lang_id",
-    # r1-r3 driver-green core (hard rows exist; original order)
     "join_bloom_prefilter",
     "multimodal_audio_chunk",
     "emb_random_projection",

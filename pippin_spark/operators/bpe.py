@@ -46,15 +46,19 @@ _PAIRS = (
     "struct(x as w1, try_element_at(s, i + 2) as w2)), p -> p.w2 is not null)"
 )
 
-# greedy left-to-right merge of the (w1, w2) best-pair columns into
-# each word's symbol array: state = (emitted symbols, skip-next flag)
+# greedy left-to-right merge of the best pair into each word's symbol
+# array: state = (emitted symbols, skip-next flag). The pair operands
+# are {W1}/{W2} str.format placeholders — unambiguous tokens, unlike a
+# bare-identifier textual replace, which would silently corrupt the
+# expression if a future edit introduced an identifier containing the
+# substring (r4 ADVICE).
 _MERGE_FOLD = """
 aggregate(
   transform(s, (x, i) -> struct(x as c, try_element_at(s, i + 2) as n)),
   struct(cast(array() as array<string>) as arr, false as skip),
   (st, e) -> case
       when st.skip then struct(st.arr as arr, false as skip)
-      when e.c = w1 and coalesce(e.n = w2, false)
+      when e.c = {W1} and coalesce(e.n = {W2}, false)
         then struct(concat(st.arr, array(concat(e.c, e.n))) as arr,
                     true as skip)
       else struct(concat(st.arr, array(e.c)) as arr, false as skip)
@@ -110,8 +114,7 @@ def _train(docs: DataFrame, text_col: str, rounds: int):
             .selectExpr(
                 "word",
                 "cnt",
-                _MERGE_FOLD.replace("w1", "__b__.w1").replace("w2", "__b__.w2")
-                + " as s",
+                _MERGE_FOLD.format(W1="__b__.w1", W2="__b__.w2") + " as s",
             )
             .persist()
         )
@@ -170,7 +173,6 @@ def bpe_segment(words: DataFrame, merge_table: DataFrame) -> DataFrame:
         lit_pair = F.struct(F.lit(w1).alias("w1"), F.lit(w2).alias("w2"))
         seq = seq.withColumn("__b__", lit_pair).selectExpr(
             "word",
-            _MERGE_FOLD.replace("w1", "__b__.w1").replace("w2", "__b__.w2")
-            + " as s",
+            _MERGE_FOLD.format(W1="__b__.w1", W2="__b__.w2") + " as s",
         )
     return seq.select("word", F.col("s").alias("pieces"))

@@ -725,7 +725,12 @@ def pq_codebooks(
     subvectors would learn codewords off the unit sphere for any
     corpus with varying norms and silently inflate quantization error.
 
-    Returns a numpy (m, codebook_k, d) array."""
+    Returns a numpy (m, k_eff, d) array where k_eff =
+    min(codebook_k, sample size) — the codebook axis is sized to the
+    TRAINED codewords only. (Zero-padding to codebook_k would leave
+    untrained all-zero codewords in the encode argmin, and for
+    subvectors with small norms an origin codeword can beat every real
+    one, silently degrading quantization on tiny corpora.)"""
     import numpy as np
 
     V = _collect_sample(corpus, vec_col, id_col, train_mod, train_cap, normalize=True)
@@ -735,9 +740,9 @@ def pq_codebooks(
     d = dim // m
     sub = V.reshape(len(V), m, d)
     k = min(codebook_k, len(V))
-    books = np.zeros((m, codebook_k, d))
+    books = np.zeros((m, k, d))
     for s in range(m):
-        books[s, :k] = _numpy_lloyd(sub[:, s, :], k, train_iters)
+        books[s] = _numpy_lloyd(sub[:, s, :], k, train_iters)
     return books
 
 
@@ -752,6 +757,8 @@ def pq_topk(
     train_iters: int = 2,
     train_mod: int = 1,
     overfetch: int = 8,
+    query_chunk: int = 1024,
+    max_queries: int = 262144,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization with
     asymmetric distance computation (ADC) — the memory-scale ANN path:
@@ -770,31 +777,84 @@ def pq_topk(
     surviving candidates JVM-side with the standard (round-6 DESC,
     id ASC) tie-break: output shape matches brute_force_topk.
 
+    Query-set regime: ADC search ships per-query distance tables to
+    the executors, so the query side is streamed to the driver in
+    ``query_chunk``-sized slices (toLocalIterator — driver peak is one
+    chunk, and each chunk's closure carries only its own tables) and
+    the per-chunk results are unioned: queries are independent, so
+    chunking is exact, at the cost of one corpus scan per chunk.
+    ``max_queries`` (default 256k ≈ 128 MB of 64-dim doubles) is the
+    documented guard against pointing the PROBE-workload operator at a
+    corpus-sized query set — past it, raise and use knn_join_ivf /
+    knn_join_blocked, whose corpus-to-corpus shape never stages
+    queries through the driver.
+
     Scale: codebooks/tables are closure-shipped constants (m·k·d
-    doubles); the corpus shuffles NOTHING — the only moved rows are
-    ~batches·|Q|·(k+overfetch) candidate ids; recall tunes with m
-    (down) / codebook_k / overfetch (up), scored by the same
-    recall-oracle pattern as IVF/LSH."""
+    doubles per chunk); the corpus shuffles NOTHING — the only moved
+    rows are ~batches·|chunk|·(k+overfetch) candidate ids; recall
+    tunes with m (down) / codebook_k / overfetch (up), scored by the
+    same recall-oracle pattern as IVF/LSH."""
     import numpy as np
 
     books = pq_codebooks(
         corpus, vec_col, id_col, m, codebook_k, train_iters, train_mod
     )
-    d = books.shape[2]
-    q_rows = queries.select(
+    nk = int(k + overfetch)
+    c = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    spark = corpus.sparkSession
+    chunk_results: list[DataFrame] = []
+    buf_ids: list[int] = []
+    buf_vecs: list = []
+
+    def flush() -> None:
+        q_ids = np.array(buf_ids, dtype=np.int64)
+        Q = np.stack(buf_vecs)
+        chunk_results.append(
+            _pq_topk_chunk(c, spark, q_ids, Q, books, k, nk)
+        )
+        buf_ids.clear()
+        buf_vecs.clear()
+
+    n_seen = 0
+    for r in queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).collect()
-    if not q_rows:
+    ).toLocalIterator():
+        n_seen += 1
+        if n_seen > max_queries:
+            raise ValueError(
+                f"pq_topk: query set exceeds max_queries={max_queries}; "
+                "this is the ANN-probe operator — for corpus-sized query "
+                "sets use knn_join_ivf / knn_join_blocked"
+            )
+        buf_ids.append(r["query_id"])
+        buf_vecs.append(np.asarray(r["qv"], dtype=np.float64))
+        if len(buf_ids) >= query_chunk:
+            flush()
+    if buf_ids:
+        flush()
+    if not chunk_results:
         raise ValueError("pq_topk: empty query set")
-    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    out = chunk_results[0]
+    for part in chunk_results[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _pq_topk_chunk(c, spark, q_ids, Q, books, k: int, nk: int) -> DataFrame:
+    """One pq_topk query chunk: ADC scan + batch pruning + exact
+    re-rank for the (q_ids, Q) slice. A single-chunk call is plan-
+    identical to the pre-chunking pq_topk (hash-stability contract)."""
+    import numpy as np
+
+    d = books.shape[2]
     norms = np.linalg.norm(Q, axis=1)
     norms[norms == 0.0] = 1.0
     Qn = Q / norms[:, None]
     # per-query subspace distance tables against UNIT-normalized
     # codebooks' raw entries: ADC approximates ||q_n - c_n||²; on unit
     # vectors L2² = 2 - 2·cos, so ascending ADC ≈ descending cosine
-    nk = int(k + overfetch)
 
     def scan(batches):
         import numpy as _np
@@ -843,9 +903,6 @@ def pq_topk(
                     }
                 )
 
-    c = corpus.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
-    )
     cands = ensure_parallelism(c).mapInPandas(
         scan, "query_id long, neighbor_id long, adc double"
     )
@@ -857,7 +914,7 @@ def pq_topk(
         .filter(F.col("__rn__") <= nk)
         .select("query_id", "neighbor_id")
     )
-    qdf = corpus.sparkSession.createDataFrame(
+    qdf = spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
         "query_id long, qv array<double>",
     )

@@ -132,9 +132,18 @@ def count_min_frequencies(
         r[0]: cms.estimateCount(r[0])
         for r in keys.select(col).filter(F.col(col).isNotNull()).collect()
     }
+    # probe schema carries the key column's REAL type (a bigint key
+    # probed through a hardcoded string field would mistype the join)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    est_schema = StructType(
+        [
+            StructField(col, df.schema[col].dataType, True),
+            StructField("__est__", LongType(), False),
+        ]
+    )
     est_df = spark.createDataFrame(
-        [(k, int(v)) for k, v in sorted(ests.items())],
-        f"{col} string, __est__ bigint",
+        [(k, int(v)) for k, v in sorted(ests.items())], est_schema
     )
     exact = df.join(F.broadcast(est_df.select(col)), col, "left_semi").groupBy(
         col

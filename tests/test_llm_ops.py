@@ -101,6 +101,57 @@ def test_ivf_topk_shapes(spark):
     assert len(bf_set & ivf_set) / len(bf_set) >= 0.5
 
 
+def test_pq_topk_chunked_matches_single_chunk(spark):
+    # |Q| > query_chunk must route through the chunked path and
+    # produce EXACTLY the single-chunk result (queries are
+    # independent, so chunking is exact) — VERDICT r4 #3
+    import random
+
+    random.seed(11)
+    data = [(i, [random.random() - 0.5 for _ in range(8)]) for i in range(40)]
+    corpus = spark.createDataFrame(data, ["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") < 7)
+    kw = dict(k=3, m=4, codebook_k=8, train_iters=2, overfetch=8)
+    one = S.pq_topk(corpus, queries, "embedding", "vec_id", **kw)
+    chunked = S.pq_topk(
+        corpus, queries, "embedding", "vec_id", query_chunk=3, **kw
+    )
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+               for r in one.collect())
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+               for r in chunked.collect())
+    assert a == b and len({r[0] for r in a}) == 7
+
+
+def test_pq_topk_max_queries_guard(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        S.pq_topk(
+            corpus, corpus, "embedding", "vec_id", k=2, m=2, codebook_k=4,
+            max_queries=5,
+        )
+
+
+def test_pq_codebooks_sized_to_trained_k(spark):
+    # a training sample smaller than codebook_k must yield a codebook
+    # sliced to the trained rows — zero-padded untrained codewords
+    # would join the encode argmin and can win (r4 ADVICE)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    books = S.pq_codebooks(corpus, "embedding", "vec_id", m=2, codebook_k=16)
+    assert books.shape == (2, 3, 1)
+    # and the search path still returns well-formed top-k on it
+    out = S.pq_topk(
+        corpus, corpus.filter(F.col("vec_id") == 1), "embedding", "vec_id",
+        k=2, m=2, codebook_k=16, overfetch=2,
+    ).collect()
+    assert {r["neighbor_id"] for r in out} == {2, 3}
+
+
 def test_text_ops(spark, docs):
     out = docs.select(
         "doc_id",
@@ -1061,6 +1112,24 @@ def test_count_min_null_and_absent_probe_keys(spark):
     assert got["a"] == (2, True)
     assert got["zz"] == (0, True)
     assert None not in got
+
+
+def test_count_min_bigint_keys(spark):
+    # the probe-key frame must carry the key column's REAL type: a
+    # bigint key column probed through a string-typed field would
+    # mistype the exact-recount join (r4 ADVICE)
+    from pippin_spark.operators.sketches import count_min_frequencies
+
+    df = spark.createDataFrame(
+        [(10,), (10,), (10,), (20,), (99,)], "k bigint"
+    )
+    got = {
+        r["k"]: (r["n_exact"], r["within_band"])
+        for r in count_min_frequencies(df, "k").collect()
+    }
+    assert got[10] == (3, True)
+    assert got[20] == (1, True)
+    assert got[99] == (1, True)
 
 
 def test_span_corrupt_golden(spark):
