@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pippin_spark.operators.text import fingerprint
-from pippin_spark.operators.util import ensure_parallelism
+from pippin_spark.operators.util import CacheHandle, ensure_parallelism
 
 
 # ---------------------------------------------------------------------------
@@ -1362,12 +1362,52 @@ def winnow_fingerprints(
     )
 
 
+def decontaminate_winnow(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_pred: Column,
+    k: int = 5,
+    window: int = 10,
+    caches: CacheHandle | None = None,
+) -> DataFrame:
+    """Span-level train/eval decontamination via winnowing
+    fingerprints: a training document is flagged when it shares ANY
+    selected fingerprint with the ``eval_pred`` split — a verbatim
+    overlap of >= window + k - 1 chars is guaranteed caught
+    (winnow_fingerprints' coverage property), at ~2/(window+1) the
+    fingerprint volume of a full n-gram decontamination pass. Returns
+    (id_col, n_shared_fps) for the flagged training docs.
+
+    Both splits read the same fingerprint table, so it is persisted —
+    the md5-per-k-gram extraction runs once, not once per branch. Pass
+    ``caches`` (a ``CacheHandle``) to release that cache
+    deterministically after the terminal action (set_similarity_join's
+    lifecycle contract).
+
+    Scale shape: only fp digests shuffle; the eval fingerprint set is
+    small by nature (held-out benchmarks vs the corpus) and
+    broadcast-joins against the train side."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k=k, window=window)
+    fps = fps.select(id_col, "fp").distinct().persist()
+    if caches is not None:
+        caches.register(fps)
+    ev = fps.filter(eval_pred).select("fp").distinct()
+    train = fps.filter(~eval_pred)
+    return (
+        train.join(F.broadcast(ev), "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
 def set_similarity_join(
     df: DataFrame,
     id_col: str,
     set_col: str,
     tau_num: int = 1,
     tau_den: int = 2,
+    caches: CacheHandle | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join (SSJoin/PPJoin prefix filtering,
     Chaudhuri et al. / Xiao et al.): all id pairs whose element sets
@@ -1388,9 +1428,10 @@ def set_similarity_join(
 
     Cache lifecycle: the returned (lazy) plan reads a persisted
     ``sets`` intermediate three times (frequency pass, prefix pass,
-    verify joins), so it cannot be unpersisted here; Spark evicts it
-    LRU under pressure, and a long-lived session can release it after
-    the terminal action via ``spark.catalog.clearCache()``.
+    verify joins), so it cannot be unpersisted here. Pass ``caches``
+    (a ``CacheHandle``) to release it deterministically after the
+    terminal action; without one, Spark evicts it LRU under pressure
+    or a blanket ``spark.catalog.clearCache()`` clears it.
     """
     sets = (
         df.select(
@@ -1400,6 +1441,8 @@ def set_similarity_join(
         .filter(F.size("__sh__") > 0)
         .persist()
     )
+    if caches is not None:
+        caches.register(sets)
     tok = sets.select(
         "__id__", F.size("__sh__").alias("__n__"), F.explode("__sh__").alias("__t__")
     )

@@ -669,28 +669,166 @@ def knn_join_ivf(
     num_cells: int = 16,
     train_iters: int = 0,
     overfetch: int = 8,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Corpus-to-corpus kNN fed by IVF cells — the composition
     ``knn_join_blocked`` documents as its corpus-scale path ("for
     blocks past ~100k vectors feed an IVF cell id as block_col"):
-    build the IVF index (optionally Lloyd-trained), then run the
-    blocked kNN with each vector's CELL as the blocking key.
+    build the IVF index (optionally Lloyd-trained), then search each
+    vector's ``nprobe`` nearest cells.
 
-    Approximation contract: neighbors are searched within a vector's
-    own cell only (the self-join analog of nprobe=1) — recall depends
-    on cell granularity exactly like ivf_topk's, and is scored the
-    same way (recall-vs-brute-force oracle on the declared query).
+    Approximation contract: ``nprobe=1`` (default) searches a vector's
+    own cell only — recall depends on cell granularity exactly like
+    ivf_topk's. ``nprobe>1`` is the standard multi-probe knob (the
+    first thing every IVF user reaches for on cell-boundary recall
+    loss): each vector's candidates come from the union of its
+    ``nprobe`` closest cells, so per-query recall is monotonically
+    ≥ the nprobe=1 result — the candidate universe only grows, every
+    probed cell keeps its own (k+overfetch) prefix under the re-rank
+    ordering, and the final top-k is exact over the union. Scored by
+    the same recall-vs-brute-force oracle on the declared query.
+
+    Multi-probe shape: probe cells are computed MAP-SIDE — the C
+    centroids ride in the plan as literals (the kcenter /
+    random_projection pattern, C·dim doubles), each vector sorts its
+    per-cell cosines in an array expression and explodes its nprobe
+    cell ids — probe assignment itself is shuffle-free, and the cell
+    shuffle then carries nprobe copies of each vector row (the
+    multi-probe cost, linear in nprobe, never quadratic in anything).
+    Candidates pair each cell's PROBING vectors against
+    the cell's HOME members; a (query, neighbor) pair can only arise
+    in the neighbor's single home cell, so cross-cell duplicates are
+    impossible and no dedup shuffle is needed.
 
     Scale: assignment is one broadcast-centroid corpus pass; the only
-    data-volume shuffle is on the cell id, per-task memory is
-    cell_size·dim doubles, and the O(cell²) scoring stays inside the
-    blocked kNN's chunked numpy matmul — nothing quadratic crosses a
-    shuffle at any corpus size. Training uses the sample path (the
-    centroid table is a tiny artifact; see sample_kmeans_centroids)."""
-    _, assigned = ivf_build(
+    data-volume shuffle is on the cell id (nprobe rows per vector),
+    per-task memory is cell_size·dim doubles, and the O(cell²)
+    scoring stays inside the chunked numpy matmul — nothing quadratic
+    crosses a shuffle at any corpus size. Training uses the sample
+    path (the centroid table is a tiny artifact; see
+    sample_kmeans_centroids)."""
+    centroids, assigned = ivf_build(
         df, vec_col, id_col, num_cells, train_iters, train_mode="sample"
     )
-    return knn_join_blocked(assigned, "cv", "id", "cell", k=k, overfetch=overfetch)
+    if nprobe <= 1:
+        return knn_join_blocked(
+            assigned, "cv", "id", "cell", k=k, overfetch=overfetch
+        )
+    import numpy as np
+    import pandas as _pd
+
+    cent_rows = centroids.collect()
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias(
+                    "centroid"
+                ),
+            )
+            for r in sorted(cent_rows, key=lambda r: r["cell"])
+        ]
+    )
+    # (-csim, cell) struct sort == (csim DESC, cell ASC) — the same
+    # tie-break _assign_cells uses, so probe slot 1 IS the home cell
+    scored_cells = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            (-cosine_similarity(F.col("cv"), s["centroid"])).alias("negsim"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    probe_cells = F.slice(
+        F.array_sort(scored_cells), 1, min(nprobe, len(cent_rows))
+    )
+    probes = assigned.select(
+        "id",
+        "cv",
+        F.explode(
+            F.transform(probe_cells, lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    both = probes.select(
+        F.col("cell").alias("__b__"), "id", "cv", F.lit(True).alias("__q__")
+    ).unionByName(
+        assigned.select(
+            F.col("cell").alias("__b__"),
+            "id",
+            "cv",
+            F.lit(False).alias("__q__"),
+        )
+    )
+    nk = int(k + overfetch)
+
+    def gen(pdf):
+        qmask = pdf["__q__"].to_numpy()
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms[:, None]
+        qi = np.nonzero(qmask)[0]
+        ci = np.nonzero(~qmask)[0]
+        if len(qi) == 0 or len(ci) == 0:
+            return _pd.DataFrame({"id": [], "neighbor_id": []}).astype(
+                "int64"
+            )
+        # corpus side sorted by id ASC so every stable tie below
+        # resolves to the lower id — matching the re-rank's
+        # (round(cos,6) DESC, id ASC) ordering, like knn_join_blocked
+        order = np.argsort(ids[ci], kind="stable")
+        c_ids = ids[ci][order]
+        Vc = Vn[ci][order]
+        q_ids = ids[qi]
+        Vq = Vn[qi]
+        out_i: list = []
+        out_j: list = []
+        chunk = max(1, min(len(q_ids), (16 << 20) // max(len(c_ids), 1)))
+        for s in range(0, len(q_ids), chunk):
+            e = min(len(q_ids), s + chunk)
+            sims = np.round(Vq[s:e] @ Vc.T, 6)
+            for r in range(e - s):
+                row = sims[r]
+                row[c_ids == q_ids[s + r]] = -np.inf  # not self
+                t = min(nk, int((row > -np.inf).sum()))
+                if t <= 0:
+                    continue
+                part = np.argpartition(-row, t - 1)
+                cut = row[part[t - 1]]
+                cand = np.nonzero(row >= cut)[0]  # ids asc (row order)
+                take = cand[np.argsort(-row[cand], kind="stable")][:t]
+                out_i.append(np.full(len(take), q_ids[s + r]))
+                out_j.append(c_ids[take])
+        if not out_i:
+            return _pd.DataFrame({"id": [], "neighbor_id": []}).astype(
+                "int64"
+            )
+        return _pd.DataFrame(
+            {"id": np.concatenate(out_i), "neighbor_id": np.concatenate(out_j)}
+        )
+
+    cands = both.groupBy("__b__").applyInPandas(
+        gen, "id long, neighbor_id long"
+    )
+    a = assigned.select(F.col("id"), F.col("cv").alias("__va__"))
+    b = assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("cv").alias("__vb__")
+    )
+    scored = (
+        cands.join(a, "id")
+        .join(b, "neighbor_id")
+        .select(
+            "id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__va__"), F.col("__vb__")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def pq_codebooks(
