@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 
 from pippin_spark.operators.text import _ws_token_array
 
+from pippin_spark.operators.util import local_table
+
 _CHARS = (
     "array_append(transform(sequence(1, length(word)), "
     "i -> substring(word, i, 1)), '</w>')"
@@ -125,7 +127,8 @@ def _train(docs: DataFrame, text_col: str, rounds: int):
 
 
 def _merge_table(spark, merges) -> DataFrame:
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         [(r, w1, w2, w1 + w2, total) for r, w1, w2, total in merges],
         "step int, w1 string, w2 string, merged string, pair_count bigint",
     )

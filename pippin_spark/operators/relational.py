@@ -16,6 +16,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pippin_spark.operators.util import local_table
+
 
 def top_k(
     df: DataFrame,
@@ -1095,8 +1097,10 @@ def exact_kth_2pass(
             "the input re-evaluated nondeterministically; persist it"
         )
     spark = df.sparkSession
-    return spark.createDataFrame(
-        [(k, kth_value)], f"k bigint, value {df.schema[value_col].dataType.simpleString()}"
+    return local_table(
+        spark,
+        [(k, kth_value)],
+        f"k bigint, value {df.schema[value_col].dataType.simpleString()}",
     )
 
 

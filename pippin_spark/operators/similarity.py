@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pippin_spark.operators.dedup import cosine_similarity
-from pippin_spark.operators.util import ensure_parallelism
+from pippin_spark.operators.util import ensure_parallelism, local_table
 
 
 def _as_double(c: Column) -> Column:
@@ -135,8 +135,10 @@ def kmeans_centroids(
     )
     cents = {i + 1: list(r["cv"]) for i, r in enumerate(seed_rows)}
     for _ in range(max(0, iters)):
-        cdf = spark.createDataFrame(
-            [(c, v) for c, v in sorted(cents.items())], "cell int, centroid array<double>"
+        cdf = local_table(
+            spark,
+            [(c, v) for c, v in sorted(cents.items())],
+            "cell int, centroid array<double>",
         )
         new = (
             _assign_cells(vecs, cdf, metric)
@@ -152,8 +154,10 @@ def kmeans_centroids(
             .collect()
         )
         cents.update({r["cell"]: list(r["centroid"]) for r in new})
-    return spark.createDataFrame(
-        [(c, v) for c, v in sorted(cents.items())], "cell int, centroid array<double>"
+    return local_table(
+        spark,
+        [(c, v) for c, v in sorted(cents.items())],
+        "cell int, centroid array<double>",
     )
 
 
@@ -164,13 +168,17 @@ def _collect_sample(
     train_mod: int,
     train_cap: int,
     normalize: bool = False,
+    return_ids: bool = False,
 ):
     """The shared deterministic driver-sample pull behind every
     sample-trained model (sample k-means, PQ codebooks, k-center):
     hash-sample ``xxhash64(id) % train_mod == 0``, ascending-id order,
     ``train_cap``-capped, collected as a float64 numpy matrix. Being a
     pure function of the ids, the sample — and every model trained on
-    it — is identical on any cluster/partition layout."""
+    it — is identical on any cluster/partition layout.
+    ``return_ids=True`` returns (ids, X) with the ascending int64 id
+    vector (callers that scope invariants to the sample need its id
+    range)."""
     import numpy as np
 
     train = corpus
@@ -187,7 +195,10 @@ def _collect_sample(
     )
     if not rows:
         raise ValueError("_collect_sample: empty training sample")
-    return np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    X = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    if return_ids:
+        return np.array([r["id"] for r in rows], dtype=np.int64), X
+    return X
 
 
 def _numpy_lloyd(X, k: int, iters: int):
@@ -238,7 +249,8 @@ def sample_kmeans_centroids(
     different (comparable-quality) cells across the two."""
     C = _collect_sample(corpus, vec_col, id_col, train_mod, train_cap, normalize)
     C = _numpy_lloyd(C, num_cells, iters)
-    return corpus.sparkSession.createDataFrame(
+    return local_table(
+        corpus.sparkSession,
         [(i + 1, [float(x) for x in C[i]]) for i in range(len(C))],
         "cell int, centroid array<double>",
     )
@@ -458,13 +470,23 @@ def kcenter_select(
     farthest-point argmax break to the lowest sample index — fully
     deterministic, partition-invariant.
 
-    Returns (centers, assigned): centers = (cell, centroid) with cell
-    ids 1..k in selection order; assigned = (id, cv, cell, d2) where
-    d2 is the squared L2 distance to the assigned center (on unit
-    vectors d2 = 2 − 2·cos), rounded to 6 dp."""
+    Returns (centers, assigned, sample_max_id): centers =
+    (cell, centroid) with cell ids 1..k in selection order; assigned =
+    (id, cv, cell, d2) where d2 is the squared L2 distance to the
+    assigned center (on unit vectors d2 = 2 − 2·cos), rounded to 6 dp;
+    sample_max_id is the largest id IN THE TRAINING SAMPLE — the
+    Gonzalez invariant (covering radius ≤ min pairwise center
+    distance, hence ≤ 2·OPT) is guaranteed only over the sample, so
+    an invariant check must scope its max-d2 to sample members
+    (``id <= sample_max_id``, plus the hash predicate when
+    train_mod > 1); corpus vectors OUTSIDE the sample can
+    legitimately sit farther out at corpus sizes past train_cap."""
     import numpy as np
 
-    X = _collect_sample(corpus, vec_col, id_col, train_mod, train_cap, normalize=True)
+    ids, X = _collect_sample(
+        corpus, vec_col, id_col, train_mod, train_cap,
+        normalize=True, return_ids=True,
+    )
     kk = min(k, len(X))
     chosen = [0]
     mind2 = ((X - X[0]) ** 2).sum(axis=1)
@@ -473,17 +495,24 @@ def kcenter_select(
         chosen.append(nxt)
         mind2 = np.minimum(mind2, ((X - X[nxt]) ** 2).sum(axis=1))
     spark = corpus.sparkSession
-    centers = spark.createDataFrame(
+    centers = local_table(
+        spark,
         [(i + 1, [float(x) for x in X[c]]) for i, c in enumerate(chosen)],
         "cell int, centroid array<double>",
     )
-    vecs = corpus.select(
+    # ensure_parallelism BEFORE the select: the normalize + k-way L2
+    # scoring are interpreted Catalyst HOFs, and a compact parquet
+    # corpus arrives as ONE scan split — without the spread the whole
+    # assignment pass runs on a single core (measured 14 s → <1 s at
+    # sf0.1 on local[32]); repartitioning raw (id, vec) rows keeps the
+    # heavy expressions on the wide side of the exchange
+    vecs = ensure_parallelism(corpus).select(
         F.col(id_col).alias("id"), normalize_vectors(F.col(vec_col)).alias("cv")
     )
     assigned = _assign_cells(vecs, centers, metric="l2", keep_score=True).select(
         "id", "cv", "cell", F.round(-F.col("csim"), 6).alias("d2")
     )
-    return centers, assigned
+    return centers, assigned, int(ids[-1])
 
 
 def normalize_vectors(vec_col: Column) -> Column:
@@ -689,10 +718,14 @@ def knn_join_ivf(
     the same recall-vs-brute-force oracle on the declared query.
 
     Multi-probe shape: probe cells are computed MAP-SIDE — the C
-    centroids ride in the plan as literals (the kcenter /
-    random_projection pattern, C·dim doubles), each vector sorts its
-    per-cell cosines in an array expression and explodes its nprobe
-    cell ids — probe assignment itself is shuffle-free, and the cell
+    centroids arrive as ONE broadcast row holding a sorted
+    (cell, centroid) array (collect_list over the centroid table;
+    broadcast, not plan literals, so C can grow with the corpus
+    without bloating the plan or codegen), each vector scores and
+    sorts its per-cell cosines in an array expression (O(C·d) dot
+    products dominate the O(C log C) sort, the same per-vector cost
+    any exhaustive cell assignment pays) and explodes its nprobe cell
+    ids — probe assignment itself is shuffle-free, and the cell
     shuffle then carries nprobe copies of each vector row (the
     multi-probe cost, linear in nprobe, never quadratic in anything).
     Candidates pair each cell's PROBING vectors against
@@ -717,36 +750,32 @@ def knn_join_ivf(
     import numpy as np
     import pandas as _pd
 
-    cent_rows = centroids.collect()
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cell"])).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias(
-                    "centroid"
-                ),
-            )
-            for r in sorted(cent_rows, key=lambda r: r["cell"])
-        ]
+    # ONE broadcast row carrying the (cell, centroid) array — C scales
+    # with the corpus without plan-literal bloat
+    cent_arr = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cell", "centroid"))
+        ).alias("__cents__")
     )
     # (-csim, cell) struct sort == (csim DESC, cell ASC) — the same
     # tie-break _assign_cells uses, so probe slot 1 IS the home cell
     scored_cells = F.transform(
-        cent_lit,
+        F.col("__cents__"),
         lambda s: F.struct(
             (-cosine_similarity(F.col("cv"), s["centroid"])).alias("negsim"),
             s["cell"].alias("cell"),
         ),
     )
-    probe_cells = F.slice(
-        F.array_sort(scored_cells), 1, min(nprobe, len(cent_rows))
-    )
-    probes = assigned.select(
-        "id",
-        "cv",
-        F.explode(
-            F.transform(probe_cells, lambda s: s["cell"])
-        ).alias("cell"),
+    probe_cells = F.slice(F.array_sort(scored_cells), 1, nprobe)
+    probes = (
+        assigned.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "id",
+            "cv",
+            F.explode(
+                F.transform(probe_cells, lambda s: s["cell"])
+            ).alias("cell"),
+        )
     )
     both = probes.select(
         F.col("cell").alias("__b__"), "id", "cv", F.lit(True).alias("__q__")
@@ -1052,7 +1081,8 @@ def _pq_topk_chunk(c, spark, q_ids, Q, books, k: int, nk: int) -> DataFrame:
         .filter(F.col("__rn__") <= nk)
         .select("query_id", "neighbor_id")
     )
-    qdf = spark.createDataFrame(
+    qdf = local_table(
+        spark,
         [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
         "query_id long, qv array<double>",
     )

@@ -28,6 +28,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from pippin_spark.operators.util import local_table
+
 
 def _mg_sketch_batches(col: str, k: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,8 +144,8 @@ def count_min_frequencies(
             StructField("__est__", LongType(), False),
         ]
     )
-    est_df = spark.createDataFrame(
-        [(k, int(v)) for k, v in sorted(ests.items())], est_schema
+    est_df = local_table(
+        spark, [(k, int(v)) for k, v in sorted(ests.items())], est_schema
     )
     exact = df.join(F.broadcast(est_df.select(col)), col, "left_semi").groupBy(
         col

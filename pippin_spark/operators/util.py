@@ -58,6 +58,77 @@ class CacheHandle:
         self.release()
 
 
+def _ddl_field_names(ddl: str) -> List[str]:
+    """Field names of a DDL schema string, splitting only on
+    top-level commas (``array<struct<a int, b int>>`` is one field)."""
+    parts: List[str] = []
+    buf: List[str] = []
+    depth = 0
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip().split()[0].strip("`") for p in parts if p.strip()]
+
+
+def local_table(spark, rows, schema: str, num_partitions: int = 1) -> DataFrame:
+    """A driver-built table the JVM can scan WITHOUT a Python worker.
+
+    ``spark.createDataFrame(list_of_tuples, ...)`` backs the result
+    with a pickled Python RDD — every downstream materialization
+    re-evaluates it through a Python worker round (measured ~3.7 s per
+    scan for a 16-row centroid table on this box; a plan that scans
+    the table twice, e.g. a pairwise-distance self-join, pays twice).
+    Routing the same rows through a pandas DataFrame with Arrow
+    serialization enabled hands the JVM ready-made Arrow batches:
+    scans are pure JVM (~0.1 s), values are bit-identical (float64 /
+    int64 / utf8 / list<double> round-trip exactly through Arrow).
+
+    Every operator-internal driver-sized artifact (centroid tables,
+    trained codebook query sets, sketch probe rows, 1-row results)
+    should come through here. Defaults to ONE partition — these
+    tables are by contract tiny, and k rows spread over
+    defaultParallelism partitions turn any downstream self-join into
+    a P²-task cartesian.
+
+    ``schema`` is a DDL string (``"cell int, centroid
+    array<double>"``) or a StructType. The Arrow conf is set for the
+    call and restored, so a caller session that relies on non-Arrow
+    ``createDataFrame``/``toPandas`` semantics is untouched."""
+    import pandas as pd
+
+    names = (
+        _ddl_field_names(schema) if isinstance(schema, str) else list(schema.names)
+    )
+    rows = list(rows)
+    data = {
+        n: [r[i] for r in rows] for i, n in enumerate(names)
+    }
+    pdf = pd.DataFrame(data, columns=names)
+    conf = spark.conf
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        prev = conf.get(key)
+    except Exception:
+        prev = None
+    conf.set(key, "true")
+    try:
+        df = spark.createDataFrame(pdf, schema=schema)
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
+    return df.coalesce(num_partitions) if num_partitions else df
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
     """Repartition up to the cluster's default parallelism before a
     compute-heavy narrow stage. A small/compact parquet file arrives as

@@ -65,19 +65,25 @@ SHIFT_TABLES = [
 ]
 
 CONSONANTS = "bcdfghjklmnpqrstvwxz"
+VOWELS = "aeiou"
 
 
 def consonant_map(r: int) -> tuple[str, str]:
-    """Deterministic per-replica consonant rotation (replica 0 =
-    identity). Rotating consonants (lower+upper) keeps text length,
+    """Deterministic per-replica letter permutation (replica 0 =
+    identity): consonant rotation keyed on r, COMPOSED with a vowel
+    rotation keyed on r // 20 — 20·5 = 100 distinct permutations, so
+    up to 100 replicas have pairwise-distinct transforms (with only
+    the consonant rotation, replicas 20 apart shared a permutation
+    and became cross-replica near-duplicates — measured to inflate
+    the 100× MinHash pair count ~40×). Rotations keep text length,
     whitespace, and word shape — only shingle identities change."""
-    rot = r % len(CONSONANTS)
-    src = CONSONANTS + CONSONANTS.upper()
-    dst = (
-        CONSONANTS[rot:] + CONSONANTS[:rot]
-        + (CONSONANTS[rot:] + CONSONANTS[:rot]).upper()
-    )
-    return src, dst
+    crot = r % len(CONSONANTS)
+    vrot = (r // len(CONSONANTS)) % len(VOWELS)
+    c_dst = CONSONANTS[crot:] + CONSONANTS[:crot]
+    v_dst = VOWELS[vrot:] + VOWELS[:vrot]
+    src = CONSONANTS + VOWELS
+    dst = c_dst + v_dst
+    return src + src.upper(), dst + dst.upper()
 
 
 def main() -> None:

@@ -11,16 +11,28 @@ scale here too, and are reported alongside:
 - knn_join_ivf's num_cells grows with the corpus (constant ~500-vector
   cells — the IVF contract; fixed cells at 10× data would time O(n²/C)
   cell scoring, which no operator contract promises);
+- the TPC-H representative is q5 (region revenue: lineitem × 5
+  FK-consistent dims), NOT q9 — q9's derived partsupp assigns
+  suppliers by ``% COUNT(supplier)`` over the WHOLE replicated
+  supplier set, so replicated lineitem (partkey, suppkey) pairs match
+  it at a constant 1× rate and the join's output side never grows
+  (measured: identical match count at 1× and 10×) — its slope would
+  measure a degenerate join, not the operator;
 - everything else runs with the bench.py parameters unchanged.
 
-Timing protocol = bench.py's: noop-sink materialization, one discarded
-cold run, best of three warm runs; construction-time work is inside
-the timed region for the build-timed ops (knn_join_ivf trains and the
-greedy/codebook work happens at construction).
+Timing protocol differs from bench.py's steady-state protocol on
+purpose: every op here is timed END-TO-END (construction + one full
+materialization) with ``spark.catalog.clearCache()`` before each of
+the three timed repetitions, best-of-three reported. bench.py's
+warm-cache protocol would let an op with an internal persist
+(set_similarity_join's sets table) serve every timed run from the
+cold run's cache, silently excluding the corpus-linear extraction
+stage — the exact term whose slope this tool exists to certify.
 
 Usage: python tools/scale_bench.py [sf_dir ...]
        (default: /root/testdata/sf0.1 /root/repo/.scale/sf1)
 Prints one JSON line per (query, sf_dir) and a final summary line.
+PIPPIN_DRIVER_MEM=16g is a sensible override for the 100× replica.
 """
 
 from __future__ import annotations
@@ -86,41 +98,34 @@ def main() -> None:
             tc, "doc_id", F.col("n_tok"), target_len=2048, num_shards=8
         )
 
-    def q9(spark, d):
-        return ENTRY_QUERIES["q9_product_profit"](spark, d)
+    def q5(spark, d):
+        return ENTRY_QUERIES["q5_region_revenue"](spark, d)
 
     OPS = {
-        "dedup_minhash": (minhash, False),
-        "set_join_jaccard": (set_join, False),
-        "knn_join_ivf": (knn_ivf, True),  # trains at construction
-        "pack_sequences": (pack, False),
-        "q9_product_profit": (q9, False),
+        "dedup_minhash": minhash,
+        "set_join_jaccard": set_join,
+        "knn_join_ivf": knn_ivf,
+        "pack_sequences": pack,
+        "q5_region_revenue": q5,
     }
 
     results: dict[str, dict[str, float]] = {n: {} for n in OPS}
-    rows: dict[str, dict[str, int]] = {n: {} for n in OPS}
     for d in dirs:
         spark.read.parquet(f"{d}/lineitem.parquet").count()  # warm footers
-        for name, (fn, build_timed) in OPS.items():
-            if build_timed:
+        for name, fn in OPS.items():
+            # one discarded cold pass absorbs codegen/footer warmup,
+            # then three END-TO-END repetitions from a cleared cache
+            df = fn(spark, d)
+            df.write.format("noop").mode("overwrite").save()
+            n_out = int(df.count())
+            best = float("inf")
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    df = fn(spark, d)
-                    df.write.format("noop").mode("overwrite").save()
-                    best = min(best, time.perf_counter() - t0)
-            else:
-                df = fn(spark, d)
-                df.write.format("noop").mode("overwrite").save()
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    df.write.format("noop").mode("overwrite").save()
-                    best = min(best, time.perf_counter() - t0)
-            n_out = fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
             results[name][d] = round(best, 3)
-            rows[name][d] = int(n_out)
             print(
                 json.dumps(
                     {"query": name, "sf_dir": d, "sec": round(best, 3),
