@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pippin_spark.functions import safe_cast, two_level_sums
 from pyspark.sql import types as T
 
+from pippin_spark.operators.util import local_table
 from pippin_spark.pipeline import Pipeline
 
 ENTRY_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -423,9 +424,7 @@ def q_async_sum(spark, sf_dir):
     )
     fut = stage.sum_async()
     val = fut.get_with_timeout(300)
-    return spark.createDataFrame(
-        [(int(val),)], T.StructType([T.StructField("r", T.LongType())])
-    )
+    return local_table(spark, [(int(val),)], "r bigint")
 
 
 @_q(
@@ -437,9 +436,7 @@ def q_async_distinct_count(spark, sf_dir):
     stage = _t(spark, sf_dir, "lineitem").select(F.col("l_quantity").alias("value"))
     fut = stage.distinct_count_async()
     val = fut.get_with_timeout(300)
-    return spark.createDataFrame(
-        [(int(val),)], T.StructType([T.StructField("r", T.LongType())])
-    )
+    return local_table(spark, [(int(val),)], "r bigint")
 
 
 @_q(
@@ -2607,7 +2604,8 @@ def q_merge_changes_orders(spark, sf_dir):
         "o_totalprice",
         F.lit("delete").alias("op"),
     )
-    ins = spark.createDataFrame(
+    ins = local_table(
+        spark,
         [(-1, "N", 42.0, "upsert")],
         "o_orderkey bigint, o_orderstatus string, o_totalprice double, op string",
     )
@@ -6529,7 +6527,8 @@ def q_benford_order_prices(spark, sf_dir):
     )
     obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
     n = obs.agg(F.sum("observed").alias("total"))
-    bf = o.sparkSession.createDataFrame(
+    bf = local_table(
+        o.sparkSession,
         [(d, math.log10(1 + 1 / d)) for d in range(1, 10)],
         "digit bigint, p double",
     )

@@ -965,9 +965,14 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     # zero-norm guard: a zero vector (padding row, failed encoder) has
     # undefined cosine — define it as 0 rather than dividing by zero,
-    # which under Spark 4's default ANSI mode kills the whole job
-    denom = na * nb
-    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+    # which under Spark 4's default ANSI mode kills the whole job.
+    # dot/denom are bound ONCE as lambda variables: referencing denom
+    # in both the condition and the quotient would inline (and
+    # re-evaluate) each norm aggregate twice per row
+    return F.transform(
+        F.array(F.struct(dot.alias("d"), (na * nb).alias("n"))),
+        lambda s: F.when(s["n"] > 0, s["d"] / s["n"]).otherwise(F.lit(0.0)),
+    )[0]
 
 
 def dedup_embedding_cosine(

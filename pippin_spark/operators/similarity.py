@@ -69,36 +69,78 @@ def _assign_cells(
     code path — what a PQ sub-quantizer needs so the training
     assignment rule matches the encoder's argmin-L2).
     ``vectors`` must have (id, cv); returns (id, cv, cell)."""
-    if metric == "l2":
-        score = -F.aggregate(
-            F.zip_with(F.col("cv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    else:
-        score = cosine_similarity(F.col("cv"), F.col("centroid"))
-    # argmax via min_by, NOT a per-id window: the broadcast cross join
-    # keeps all C copies of a row in its map partition, so the partial
-    # aggregate collapses them BEFORE the exchange — the shuffle
-    # carries one row per vector instead of C×N rows plus a sort.
-    # Ordering struct (−score, cell) reproduces the former window's
-    # (score DESC, cell ASC) tie-break exactly; scores are never NaN
-    # (cosine_similarity zero-norm-guards to 0.0, −L2² is finite)
-    scored = vectors.join(F.broadcast(centroids), how="cross").select(
-        "id", "cv", "cell", score.alias("csim")
+    # ONE Arrow pass, no shuffle at all: the C·dim centroid matrix is
+    # driver-sized by contract (every caller trains ≤ thousands of
+    # cells), so it ships as a closure ndarray and each batch scores
+    # all C cells in one numpy matmul. The former Catalyst route
+    # (broadcast cross join + interpreted zip_with/aggregate HOFs +
+    # min_by) evaluated C·dim interpreted lambdas per vector — ~50M
+    # evals for 20k vectors × 40 cells × 64 dims, the dominant cost of
+    # every IVF/kcenter/kmeans consumer at bench scale — and still
+    # paid a full-corpus exchange for the argmax. Semantics preserved
+    # exactly: argmax score, ties to the LOWEST cell id (np.argmax
+    # first-max over ascending-cell columns == min_by
+    # struct(−csim, cell)); cosine zero-norm-guards to 0.0 like
+    # dedup.cosine_similarity; −L2² is finite. Scores are float64 in
+    # both routes — only summation order differs (ulp-level), and no
+    # consumer branches on raw-score ties between non-identical cells.
+    import numpy as np
+    import pandas as _pd
+
+    cent_rows = sorted(centroids.collect(), key=lambda r: int(r["cell"]))
+    cell_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int64)
+    C = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
     )
-    best = scored.groupBy("id").agg(
-        F.min_by(
-            F.struct("cell", "cv", "csim"),
-            F.struct((-F.col("csim")).alias("o1"), F.col("cell").alias("o2")),
-        ).alias("__b__")
+    if metric != "l2":
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0.0] = 1.0
+    c_sq = (C * C).sum(axis=1)
+
+    id_t = vectors.schema["id"].dataType.simpleString()
+    cv_t = vectors.schema["cv"].dataType.simpleString()
+    out_fields = f"id {id_t}, cv {cv_t}, cell int" + (
+        ", csim double" if keep_score else ""
     )
-    return best.select(
-        "id",
-        F.col("__b__.cv").alias("cv"),
-        F.col("__b__.cell").alias("cell"),
-        *([F.col("__b__.csim").alias("csim")] if keep_score else []),
-    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+            )
+            if metric == "l2":
+                # −||v−c||² expanded: 2·v·c − ||v||² − ||c||² keeps one
+                # matmul; identical argmax, and the score VALUE is
+                # recomputed exactly below for keep_score
+                S = 2.0 * (V @ C.T) - (V * V).sum(axis=1)[:, None] - c_sq[None, :]
+            else:
+                vn = np.linalg.norm(V, axis=1)
+                zero = vn == 0.0
+                vn[zero] = 1.0
+                S = (V @ C.T) / vn[:, None] / cn[None, :]
+                if zero.any():
+                    S[zero, :] = 0.0
+            idx = np.argmax(S, axis=1)
+            out = _pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cv": pdf["cv"],
+                    "cell": cell_ids[idx],
+                }
+            )
+            if keep_score:
+                if metric == "l2":
+                    # exact −Σ(v−c)² (the expanded form above is
+                    # argmax-equivalent but not bit-identical)
+                    D = V - C[idx]
+                    out["csim"] = -(D * D).sum(axis=1)
+                else:
+                    out["csim"] = S[np.arange(len(V)), idx]
+            yield out
+
+    return ensure_parallelism(vectors).mapInPandas(gen, out_fields)
 
 
 def kmeans_centroids(
@@ -524,7 +566,15 @@ def normalize_vectors(vec_col: Column) -> Column:
     norm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    return F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+    # bind the norm ONCE as a lambda variable: referencing the norm
+    # expression directly inside the per-element lambda lets projection
+    # collapse inline the whole Σx² aggregate into EVERY element —
+    # an O(dim²) interpreted blowup per row (the SNIPPETS projection-
+    # collapse trap). Same arithmetic, bit-identical outputs.
+    return F.transform(
+        F.array(norm),
+        lambda nrm: F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v),
+    )[0]
 
 
 def quantize_int8(vec_col: Column) -> Column:
@@ -536,10 +586,15 @@ def quantize_int8(vec_col: Column) -> Column:
     amax = F.aggregate(
         F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda s, x: F.greatest(s, x)
     )
-    return F.when(
-        amax > 0,
-        F.transform(v, lambda x: F.round(x * (F.lit(127.0) / amax)).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    # bind amax once (see normalize_vectors: inlining the aggregate
+    # into the per-element lambda is an O(dim²) interpreted blowup)
+    return F.transform(
+        F.array(amax),
+        lambda mx: F.when(
+            mx > 0,
+            F.transform(v, lambda x: F.round(x * (F.lit(127.0) / mx)).cast("int")),
+        ).otherwise(F.transform(v, lambda x: F.lit(0))),
+    )[0]
 
 
 def label_centroids(
@@ -750,32 +805,51 @@ def knn_join_ivf(
     import numpy as np
     import pandas as _pd
 
-    # ONE broadcast row carrying the (cell, centroid) array — C scales
-    # with the corpus without plan-literal bloat
-    cent_arr = centroids.agg(
-        F.array_sort(
-            F.collect_list(F.struct("cell", "centroid"))
-        ).alias("__cents__")
+    # Probe cells in ONE Arrow pass (the _assign_cells pattern): the
+    # C·dim centroid matrix is a driver-sized artifact, shipped as a
+    # closure ndarray; each batch scores all C cells in one matmul and
+    # takes its nprobe best with a STABLE argsort on −cosine — stable
+    # ties resolve to the lowest column index = lowest cell id,
+    # exactly the (csim DESC, cell ASC) struct-sort tie-break the
+    # interpreted route used, so probe slot 1 IS the home cell. Probe
+    # assignment stays shuffle-free; the cell shuffle then carries
+    # nprobe copies of each vector row.
+    cent_rows = sorted(centroids.collect(), key=lambda r: int(r["cell"]))
+    cell_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int64)
+    CM = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
     )
-    # (-csim, cell) struct sort == (csim DESC, cell ASC) — the same
-    # tie-break _assign_cells uses, so probe slot 1 IS the home cell
-    scored_cells = F.transform(
-        F.col("__cents__"),
-        lambda s: F.struct(
-            (-cosine_similarity(F.col("cv"), s["centroid"])).alias("negsim"),
-            s["cell"].alias("cell"),
-        ),
-    )
-    probe_cells = F.slice(F.array_sort(scored_cells), 1, nprobe)
-    probes = (
-        assigned.crossJoin(F.broadcast(cent_arr))
-        .select(
-            "id",
-            "cv",
-            F.explode(
-                F.transform(probe_cells, lambda s: s["cell"])
-            ).alias("cell"),
-        )
+    cmn = np.linalg.norm(CM, axis=1)
+    cmn[cmn == 0.0] = 1.0
+    p_eff = min(nprobe, len(cell_ids))
+    id_t = assigned.schema["id"].dataType.simpleString()
+    cv_t = assigned.schema["cv"].dataType.simpleString()
+
+    def probe_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+            )
+            vn = np.linalg.norm(V, axis=1)
+            zero = vn == 0.0
+            vn[zero] = 1.0
+            S = (V @ CM.T) / vn[:, None] / cmn[None, :]
+            if zero.any():
+                S[zero, :] = 0.0
+            top = np.argsort(-S, axis=1, kind="stable")[:, :p_eff]
+            rep = np.repeat(np.arange(len(pdf)), p_eff)
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy()[rep],
+                    "cv": pdf["cv"].iloc[rep].to_numpy(),
+                    "cell": cell_ids[top.ravel()],
+                }
+            )
+
+    probes = assigned.mapInPandas(
+        probe_gen, f"id {id_t}, cv {cv_t}, cell int"
     )
     both = probes.select(
         F.col("cell").alias("__b__"), "id", "cv", F.lit(True).alias("__q__")

@@ -45,6 +45,77 @@ from pippin_spark.statuses import Status
 VALUE = "value"
 KEY = "key"
 
+_ARROW_SCALARS = (int, float, str, bool, bytes)
+
+
+def _driver_rows_df(spark, rows, colnames, struct_schema):
+    """Driver-values source table (FromSlice/FromMap backing).
+
+    Plain-scalar rows route through the Arrow-serialized pandas path
+    (see operators/util.local_table): a tuple-list createDataFrame is
+    backed by a pickled Python RDD that re-runs a Python worker round
+    on EVERY downstream scan (~3.7 s per scan measured) — a tax the
+    user pays per action on a source built from a driver list. Rows
+    carrying anything richer than int/float/str/bool/bytes/None
+    (nested containers, datetimes, Decimals, Rows) keep the classic
+    createDataFrame path, whose inference/coercion semantics for those
+    types differ from Arrow's and are the documented reference-parity
+    behavior. Empty input with no schema also stays classic so the
+    reference error surface ("can not infer schema") is unchanged."""
+    # Fast-path gate, checked per COLUMN: scalar types only, no NaN
+    # (pandas reads NaN as MISSING — the Arrow route would silently
+    # turn a real NaN value into NULL), and one concrete type per
+    # column (classic inference REJECTS e.g. [1, 2.5] with a merge
+    # error; Arrow would silently coerce to double) — each divergence
+    # is pinned by a test_from_slice_* case.
+    simple = bool(rows) and all(
+        v is None or (type(v) in _ARROW_SCALARS and v == v)
+        for r in rows
+        for v in r
+    )
+    if simple:
+        for i in range(len(colnames)):
+            if len({type(r[i]) for r in rows if r[i] is not None}) > 1:
+                simple = False
+                break
+    if simple:
+        try:
+            import pandas as pd
+
+            from pippin_spark.operators.util import local_table
+
+            if struct_schema is not None:
+                return local_table(
+                    spark, rows, struct_schema, num_partitions=0
+                )
+            # object dtype per column: a plain DataFrame would coerce
+            # [1, None, 3] to float64 and surface as DOUBLE instead of
+            # classic's BIGINT-with-NULL; from objects, Arrow infers
+            # int64 + null like classic does
+            pdf = pd.DataFrame(
+                {
+                    n: pd.Series([r[i] for r in rows], dtype=object)
+                    for i, n in enumerate(colnames)
+                },
+                columns=list(colnames),
+            )
+            conf = spark.conf
+            key = "spark.sql.execution.arrow.pyspark.enabled"
+            try:
+                prev = conf.get(key)
+            except Exception:
+                prev = None
+            conf.set(key, "true")
+            try:
+                return spark.createDataFrame(pdf)
+            finally:
+                conf.set(key, prev) if prev is not None else conf.unset(key)
+        except Exception:
+            pass  # fall through to the classic path on any Arrow gap
+    if struct_schema is not None:
+        return spark.createDataFrame(rows, struct_schema)
+    return spark.createDataFrame(rows, list(colnames))
+
 
 def _native_reduce_df(df: DataFrame, value_col: str, fn: Callable[[Column, Column], Column]) -> DataFrame:
     """Two-level distributed fold for a Column-pair reduce fn
@@ -348,10 +419,12 @@ class Pipeline:
         """
         pipeline = cls(spark, config)
         values = list(values)
-        if schema is not None:
-            df = spark.createDataFrame([(v,) for v in values], T.StructType([T.StructField(VALUE, schema)]))
-        else:
-            df = spark.createDataFrame([(v,) for v in values], [VALUE])
+        df = _driver_rows_df(
+            spark,
+            [(v,) for v in values],
+            [VALUE],
+            T.StructType([T.StructField(VALUE, schema)]) if schema is not None else None,
+        )
         return Stage(pipeline, df)
 
     @classmethod
@@ -364,7 +437,7 @@ class Pipeline:
         """FromMap (pipeline/pipeline.go:114-123): emit (key, value)
         tuples — Tuple[K,V] (types/types.go:7-10) → two columns."""
         pipeline = cls(spark, config)
-        df = spark.createDataFrame(list(mapping.items()), [KEY, VALUE])
+        df = _driver_rows_df(spark, list(mapping.items()), [KEY, VALUE], None)
         return Stage(pipeline, df)
 
     @classmethod

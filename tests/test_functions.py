@@ -91,3 +91,94 @@ def test_safe_cast_matches_try_cast(spark, dtype):
         assert r["safe"] == r["try"] or (
             r["safe"] != r["safe"] and r["try"] != r["try"]  # NaN == NaN
         ), f"{dtype}: input {r['v']!r}: safe={r['safe']!r} try={r['try']!r}"
+
+
+# ---------------------------------------------------------------------------
+# _driver_rows_df: the Arrow fast path behind from_slice/from_map must be
+# semantically invisible — same schema and values as the classic
+# createDataFrame route for every scalar shape, classic fallback for the rest
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [1, 2, 3],
+        [1.5, -2.0, float("nan")],
+        ["a", "b", None],
+        [True, False, None],
+        [b"x", b"yz"],
+        [1, None, 3],
+    ],
+    ids=["int", "float-nan", "str-null", "bool-null", "bytes", "int-null"],
+)
+def test_from_slice_arrow_path_matches_classic(spark, values):
+    from pippin_spark.pipeline import Pipeline
+
+    fast = Pipeline.from_slice(spark, values).df
+    classic = spark.createDataFrame([(v,) for v in values], ["value"])
+    assert fast.schema == classic.schema
+    norm = lambda r: [
+        None if v is None else (v if v == v else "NaN") for (v,) in r
+    ]
+    assert sorted(norm(fast.collect()), key=str) == sorted(
+        norm(classic.collect()), key=str
+    )
+
+
+def test_from_slice_complex_values_fall_back(spark):
+    from pippin_spark.pipeline import Pipeline
+
+    # nested containers keep classic inference (struct-ification of
+    # tuples, array element typing) — the Arrow path must not kick in
+    s = Pipeline.from_slice(spark, [[1, 2], [3]]).df
+    assert s.schema["value"].dataType.typeName() == "array"
+    assert [list(r["value"]) for r in s.orderBy(F.size("value").desc()).collect()] == [
+        [1, 2],
+        [3],
+    ]
+
+
+def test_from_slice_empty_raises_like_classic(spark):
+    from pippin_spark.pipeline import Pipeline
+
+    with pytest.raises(Exception):
+        Pipeline.from_slice(spark, [])
+
+
+def test_from_map_matches_classic(spark):
+    from pippin_spark.pipeline import Pipeline
+
+    m = {1: "a", 2: "b", 3: None}
+    fast = Pipeline.from_map(spark, m).df
+    classic = spark.createDataFrame(list(m.items()), ["key", "value"])
+    assert fast.schema == classic.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, classic.collect())
+    )
+
+
+def test_from_slice_arrow_conf_restored(spark):
+    from pippin_spark.pipeline import Pipeline
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+    Pipeline.from_slice(spark, [1, 2, 3]).df.collect()
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert before == after
+
+
+def test_from_slice_mixed_numeric_rejects_like_classic(spark):
+    from pippin_spark.pipeline import Pipeline
+
+    # classic inference refuses to merge Long and Double — the fast
+    # path must fall through so the user sees the same error, not a
+    # silent coercion to double
+    with pytest.raises(Exception, match="[Mm]erge|MERGE|type"):
+        Pipeline.from_slice(spark, [1, 2.5]).df.collect()
