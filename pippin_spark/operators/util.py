@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import List, Optional
 
 from pyspark.sql import DataFrame
@@ -60,14 +62,16 @@ class CacheHandle:
 
 def _ddl_field_names(ddl: str) -> List[str]:
     """Field names of a DDL schema string, splitting only on
-    top-level commas (``array<struct<a int, b int>>`` is one field)."""
+    top-level commas — commas nested in angle brackets
+    (``array<struct<a int, b int>>``) or parentheses
+    (``decimal(18,2)``, ``varchar(10)``) stay inside their field."""
     parts: List[str] = []
     buf: List[str] = []
     depth = 0
     for ch in ddl:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(buf))
@@ -76,6 +80,38 @@ def _ddl_field_names(ddl: str) -> List[str]:
             buf.append(ch)
     parts.append("".join(buf))
     return [p.strip().split()[0].strip("`") for p in parts if p.strip()]
+
+
+_ARROW_CONF_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def arrow_conversion(spark):
+    """Session conf scoped to one Arrow ``createDataFrame`` call.
+
+    The toggle mutates session-global state, so it is serialized under
+    a process-wide lock: without it, two overlapping local_table calls
+    could interleave save/restore and leave the conf permanently
+    flipped, and an async action calling ``toPandas`` in the window
+    would silently run with Arrow semantics it didn't opt into. The
+    lock bounds the exposure to the (driver-side, milliseconds)
+    conversion itself; concurrent JVM jobs are unaffected — the conf
+    is only read by createDataFrame/toPandas entry points."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    with _ARROW_CONF_LOCK:
+        conf = spark.conf
+        try:
+            prev = conf.get(key)
+        except Exception:
+            prev = None
+        conf.set(key, "true")
+        try:
+            yield
+        finally:
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
 
 
 def local_table(spark, rows, schema: str, num_partitions: int = 1) -> DataFrame:
@@ -112,20 +148,8 @@ def local_table(spark, rows, schema: str, num_partitions: int = 1) -> DataFrame:
         n: [r[i] for r in rows] for i, n in enumerate(names)
     }
     pdf = pd.DataFrame(data, columns=names)
-    conf = spark.conf
-    key = "spark.sql.execution.arrow.pyspark.enabled"
-    try:
-        prev = conf.get(key)
-    except Exception:
-        prev = None
-    conf.set(key, "true")
-    try:
+    with arrow_conversion(spark):
         df = spark.createDataFrame(pdf, schema=schema)
-    finally:
-        if prev is None:
-            conf.unset(key)
-        else:
-            conf.set(key, prev)
     return df.coalesce(num_partitions) if num_partitions else df
 
 

@@ -55,39 +55,40 @@ def _driver_rows_df(spark, rows, colnames, struct_schema):
     (see operators/util.local_table): a tuple-list createDataFrame is
     backed by a pickled Python RDD that re-runs a Python worker round
     on EVERY downstream scan (~3.7 s per scan measured) — a tax the
-    user pays per action on a source built from a driver list. Rows
-    carrying anything richer than int/float/str/bool/bytes/None
-    (nested containers, datetimes, Decimals, Rows) keep the classic
-    createDataFrame path, whose inference/coercion semantics for those
-    types differ from Arrow's and are the documented reference-parity
-    behavior. Empty input with no schema also stays classic so the
-    reference error surface ("can not infer schema") is unchanged."""
-    # Fast-path gate, checked per COLUMN: scalar types only, no NaN
-    # (pandas reads NaN as MISSING — the Arrow route would silently
-    # turn a real NaN value into NULL), and one concrete type per
-    # column (classic inference REJECTS e.g. [1, 2.5] with a merge
-    # error; Arrow would silently coerce to double) — each divergence
-    # is pinned by a test_from_slice_* case.
-    simple = bool(rows) and all(
-        v is None or (type(v) in _ARROW_SCALARS and v == v)
-        for r in rows
-        for v in r
+    user pays per action on a source built from a driver list.
+    Everything else keeps the classic createDataFrame path, whose
+    inference/coercion/error semantics are the documented
+    reference-parity behavior. Classic in particular for: rows with
+    anything richer than int/float/str/bool/bytes (nested containers,
+    datetimes, Decimals, Rows); an EXPLICIT schema (classic VERIFIES
+    each value against the field type — DoubleType rejects an int —
+    where Arrow would silently coerce); NaN (pandas reads it as
+    MISSING → NULL); mixed-type columns (classic raises a merge
+    error; Arrow would coerce); all-None columns (classic raises
+    CANNOT_DETERMINE_TYPE); empty input (classic raises "can not
+    infer schema"). Each divergence is pinned by a test_from_slice_*
+    case."""
+    simple = (
+        struct_schema is None
+        and bool(rows)
+        and all(
+            v is None or (type(v) in _ARROW_SCALARS and v == v)
+            for r in rows
+            for v in r
+        )
     )
     if simple:
         for i in range(len(colnames)):
-            if len({type(r[i]) for r in rows if r[i] is not None}) > 1:
+            types = {type(r[i]) for r in rows if r[i] is not None}
+            if len(types) != 1:  # mixed OR all-None column
                 simple = False
                 break
     if simple:
         try:
             import pandas as pd
 
-            from pippin_spark.operators.util import local_table
+            from pippin_spark.operators.util import arrow_conversion
 
-            if struct_schema is not None:
-                return local_table(
-                    spark, rows, struct_schema, num_partitions=0
-                )
             # object dtype per column: a plain DataFrame would coerce
             # [1, None, 3] to float64 and surface as DOUBLE instead of
             # classic's BIGINT-with-NULL; from objects, Arrow infers
@@ -99,17 +100,8 @@ def _driver_rows_df(spark, rows, colnames, struct_schema):
                 },
                 columns=list(colnames),
             )
-            conf = spark.conf
-            key = "spark.sql.execution.arrow.pyspark.enabled"
-            try:
-                prev = conf.get(key)
-            except Exception:
-                prev = None
-            conf.set(key, "true")
-            try:
+            with arrow_conversion(spark):
                 return spark.createDataFrame(pdf)
-            finally:
-                conf.set(key, prev) if prev is not None else conf.unset(key)
         except Exception:
             pass  # fall through to the classic path on any Arrow gap
     if struct_schema is not None:

@@ -182,3 +182,71 @@ def test_from_slice_mixed_numeric_rejects_like_classic(spark):
     # silent coercion to double
     with pytest.raises(Exception, match="[Mm]erge|MERGE|type"):
         Pipeline.from_slice(spark, [1, 2.5]).df.collect()
+
+
+def test_from_slice_explicit_schema_verifies_like_classic(spark):
+    from pyspark.sql import types as T
+
+    from pippin_spark.pipeline import Pipeline
+
+    # classic createDataFrame VERIFIES each value against an explicit
+    # schema (DoubleType rejects a python int); the fast path must not
+    # replace that with Arrow's silent coercion
+    with pytest.raises(Exception):
+        Pipeline.from_slice(spark, [1, 2], schema=T.DoubleType()).df.collect()
+    # and valid explicit-schema input still works
+    out = Pipeline.from_slice(spark, [1.0, 2.0], schema=T.DoubleType()).df
+    assert [r["value"] for r in out.orderBy("value").collect()] == [1.0, 2.0]
+
+
+def test_from_slice_all_none_raises_like_classic(spark):
+    from pippin_spark.pipeline import Pipeline
+
+    # classic raises CANNOT_DETERMINE_TYPE; the fast path must not
+    # manufacture a NullType column instead
+    with pytest.raises(Exception, match="[Dd]etermin|CANNOT"):
+        Pipeline.from_slice(spark, [None, None]).df.collect()
+
+
+def test_local_table_parenthesized_ddl_types(spark):
+    from decimal import Decimal
+
+    from pippin_spark.operators.util import local_table
+
+    df = local_table(
+        spark, [(5, Decimal("12.34"))], "k bigint, value decimal(18,2)"
+    )
+    row = df.collect()[0]
+    assert row["k"] == 5 and row["value"] == Decimal("12.34")
+    assert df.schema["value"].dataType.simpleString() == "decimal(18,2)"
+
+
+def test_arrow_conversion_concurrent_toggle(spark):
+    import threading
+
+    from pippin_spark.operators.util import arrow_conversion
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+    errs = []
+
+    def worker():
+        try:
+            for _ in range(10):
+                with arrow_conversion(spark):
+                    pass
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker) for _ in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert before == after  # interleaved save/restore must not leak
