@@ -31,6 +31,8 @@ stage — the exact term whose slope this tool exists to certify.
 
 Usage: python tools/scale_bench.py [sf_dir ...]
        (default: /root/testdata/sf0.1 /root/repo/.scale/sf1)
+       SCALE_OPS=a,b,c restricts to the named ops (re-measuring one
+       op after a change without re-running the suite).
 Prints one JSON line per (query, sf_dir) and a final summary line.
 PIPPIN_DRIVER_MEM=16g is a sensible override for the 100× replica.
 """
@@ -101,13 +103,24 @@ def main() -> None:
     def q5(spark, d):
         return ENTRY_QUERIES["q5_region_revenue"](spark, d)
 
+    def pretrain(spark, d):
+        # the declared end-to-end composition: length gate -> exact
+        # dedup (digest shuffle + semi join) -> greedy sequence
+        # packing -> shard/seq rollup
+        return ENTRY_QUERIES["pretrain_prep_e2e"](spark, d)
+
     OPS = {
         "dedup_minhash": minhash,
         "set_join_jaccard": set_join,
         "knn_join_ivf": knn_ivf,
         "pack_sequences": pack,
         "q5_region_revenue": q5,
+        "pretrain_prep_e2e": pretrain,
     }
+    only = os.environ.get("SCALE_OPS")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        OPS = {n: f for n, f in OPS.items() if n in keep}
 
     results: dict[str, dict[str, float]] = {n: {} for n in OPS}
     for d in dirs:
