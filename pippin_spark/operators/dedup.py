@@ -984,44 +984,65 @@ def dedup_embedding_cosine(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine within a blocking key
     (a label, an IVF cell id, an LSH bucket). The block key bounds the
-    quadratic term; the join shuffles on it once."""
+    quadratic term; the join shuffles on it once.
+
+    In-block scoring is ONE Arrow pass per block: a normalized numpy
+    matmul over the block's m×dim matrix, upper triangle only
+    (id_a < id_b on ascending-id order), row-chunked so peak temp is
+    chunk×m scores — never m²·dim expanded pair rows. The former
+    Catalyst route exploded m²/2 struct pairs carrying BOTH vectors
+    (m²·dim doubles through the explode) and scored each with an
+    interpreted HOF cosine. Zero-norm vectors keep the documented
+    cosine=0 guard; values round to 6 dp exactly as before."""
+    import numpy as np
+    import pandas as _pd
+
     v = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    # groupBy-bucket (see dedup_ngram_jaccard): one shuffle of each
-    # vector, pairs expanded in-bucket, id_a < id_b via array_sort.
-    buckets = (
-        v.groupBy("blk")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "vec"))).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ms",
-                    lambda x, i: F.transform(
-                        F.slice("ms", i + F.lit(2), F.size("ms")),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            x["vec"].alias("va"),
-                            y["vec"].alias("vb"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return (
-        pairs.select(
-            "p.id_a",
-            "p.id_b",
-            F.round(cosine_similarity(F.col("p.va"), F.col("p.vb")), 6).alias("cosine"),
+    id_t = v.schema["id"].dataType.simpleString()
+
+    def gen(key, pdf):
+        m = len(pdf)
+        if m < 2:
+            return _pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["vec"].iloc[order]]
         )
-        .filter(F.col("cosine") >= threshold)
+        nrm = np.linalg.norm(V, axis=1)
+        zero = nrm == 0.0
+        nrm[zero] = 1.0
+        Vn = V / nrm[:, None]
+        Vn[zero] = 0.0  # zero-norm rows: cosine 0 with everything
+        out_a, out_b, out_c = [], [], []
+        chunk = 1024
+        for s in range(0, m - 1, chunk):
+            e = min(m - 1, s + chunk)
+            S = np.round(Vn[s:e] @ Vn.T, 6)
+            for r in range(e - s):
+                i = s + r
+                row = S[r, i + 1 :]
+                hit = np.nonzero(row >= threshold)[0]
+                if len(hit):
+                    out_a.append(np.full(len(hit), ids[i]))
+                    out_b.append(ids[i + 1 + hit])
+                    out_c.append(row[hit])
+        if not out_a:
+            return _pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return _pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return v.groupBy("blk").applyInPandas(
+        gen, f"id_a {id_t}, id_b {id_t}, cosine double"
     )
 
 

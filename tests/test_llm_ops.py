@@ -1238,3 +1238,54 @@ def test_fim_transform_reconstructible(spark):
         assert pre + mid + suf == orig[i]
         assert len(mid) == r["middle_len"]
     assert 0 < n_fim < 40  # the 50% pick rate actually splits the set
+
+
+def test_assign_cells_matches_pure_python_reference(spark):
+    # the Arrow matmul pass must reproduce the documented contract
+    # exactly: argmax score, ties -> LOWEST cell id, cosine zero-norm
+    # guard, keep_score returns the exact (non-expanded) -L2^2 / cosine
+    import math
+    import random
+
+    from pippin_spark.operators.similarity import _assign_cells
+    from pippin_spark.operators.util import local_table
+
+    rng = random.Random(13)
+    dim = 5
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    vecs.append((40, [0.0] * dim))  # zero-norm row
+    vecs.append((41, list(vecs[3][1])))  # exact duplicate of a vector
+    cents = [(c + 1, [rng.uniform(-1, 1) for _ in range(dim)]) for c in range(6)]
+    # two identical centroids force a genuine tie -> lowest cell wins
+    cents.append((7, list(cents[0][1])))
+
+    vdf = local_table(spark, vecs, "id long, cv array<double>", num_partitions=0)
+    cdf = local_table(spark, cents, "cell int, centroid array<double>")
+
+    for metric in ("cosine", "l2"):
+        got = {
+            r["id"]: (r["cell"], r["csim"])
+            for r in _assign_cells(vdf, cdf, metric, keep_score=True).collect()
+        }
+        for vid, v in vecs:
+            best = None
+            for cell, c in cents:
+                if metric == "l2":
+                    s = -sum((a - b) ** 2 for a, b in zip(v, c))
+                else:
+                    na = math.sqrt(sum(a * a for a in v))
+                    nb = math.sqrt(sum(b * b for b in c))
+                    s = (
+                        sum(a * b for a, b in zip(v, c)) / (na * nb)
+                        if na * nb > 0
+                        else 0.0
+                    )
+                if best is None or s > best[1] + 1e-12 or (
+                    abs(s - best[1]) <= 1e-12 and cell < best[0]
+                ):
+                    best = (cell, s)
+            cell, csim = got[vid]
+            assert cell == best[0], (metric, vid, cell, best)
+            assert csim == pytest.approx(best[1], abs=1e-9), (metric, vid)
