@@ -6556,16 +6556,28 @@ def q_benford_order_prices(spark, sf_dir):
     # ground truth blocks on first token + length; this is the
     # complete-by-theorem form): prefix = n - ceil(n/2) + 1 rarest
     # shingles, threshold tested by integer cross-multiplication.
-    # Oracle is the unblocked all-pairs join
+    # Oracle is complete over ALL pairs via the co-occurrence
+    # identity: sh lists are list_distinct SETS, so
+    # |A∩B| = COUNT(*) of shared unnested shingles and
+    # |A∪B| = |A|+|B|−|A∩B| — same integers, same division, same
+    # ROUND as the former all-pairs list_intersect join
+    # (pandas-verified frame-equal at sf0.01), and pairs sharing zero
+    # shingles can never pass 2·inter ≥ union, so the equi-join loses
+    # nothing. The former O(n²) IEJoin form ran ~25 min single-core
+    # at sf0.1; this runs ~2 s parallel.
     _DDB_SHINGLES
     + """
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(a.sh) > 0 AND len(b.sh) > 0
-      AND 2 * len(list_intersect(a.sh, b.sh)) >=
-          len(list_distinct(list_concat(a.sh, b.sh)))
+    , ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+    pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(sh) AS n FROM sh)
+    SELECT id_a, id_b,
+           ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pair
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE 2 * inter >= sa.n + sb.n - inter
     """,
 )
 def q_set_join_jaccard_docs(spark, sf_dir):
