@@ -988,62 +988,87 @@ def dedup_embedding_cosine(
 
     In-block scoring is ONE Arrow pass per block: a normalized numpy
     matmul over the block's m×dim matrix, upper triangle only
-    (id_a < id_b on ascending-id order), row-chunked so peak temp is
-    chunk×m scores — never m²·dim expanded pair rows. The former
-    Catalyst route exploded m²/2 struct pairs carrying BOTH vectors
-    (m²·dim doubles through the explode) and scored each with an
-    interpreted HOF cosine. Zero-norm vectors keep the documented
-    cosine=0 guard; values round to 6 dp exactly as before."""
+    (id_a < id_b on ascending-id order), row-chunked against the
+    remaining suffix so peak temp is chunk×suffix scores and total
+    FLOPs are the ~m²/2 the triangle needs — never m²·dim expanded
+    pair rows. The former Catalyst route exploded m²/2 struct pairs
+    carrying BOTH vectors and scored each with an interpreted HOF
+    cosine.
+
+    Parity contract with that route, preserved exactly: the Arrow
+    pass only PRE-FILTERS candidates on the raw score with 1e-6 of
+    slack; the returned ``cosine`` is computed by the same JVM
+    ``F.round(raw, 6)`` (HALF_UP — numpy's np.round is
+    half-to-EVEN, a midpoint divergence from both F.round and the
+    DuckDB oracle's ROUND) and the threshold applies to the rounded
+    value. NULL vectors and cross-length pairs produced NULL/0
+    cosines before (zip_with NULL-pads) and were dropped by the
+    threshold filter — here NULL vectors are dropped up front and
+    pairs form only within a vector length, the same surviving set
+    for any threshold > 0. Zero-norm vectors keep the documented
+    cosine=0 guard (operators/util.unit_rows)."""
     import numpy as np
     import pandas as _pd
 
-    v = df.select(
+    from pippin_spark.operators.util import unit_rows
+
+    v = df.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
     id_t = v.schema["id"].dataType.simpleString()
+    pre = float(threshold) - 1e-6  # round(raw,6) ≥ t ⇒ raw ≥ t − 5e-7
 
     def gen(key, pdf):
-        m = len(pdf)
-        if m < 2:
-            return _pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        empty = _pd.DataFrame({"id_a": [], "id_b": [], "raw": []})
+        if len(pdf) < 2:
+            return empty
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
-        ids = pdf["id"].to_numpy()[order]
-        V = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in pdf["vec"].iloc[order]]
-        )
-        nrm = np.linalg.norm(V, axis=1)
-        zero = nrm == 0.0
-        nrm[zero] = 1.0
-        Vn = V / nrm[:, None]
-        Vn[zero] = 0.0  # zero-norm rows: cosine 0 with everything
+        ids_all = pdf["id"].to_numpy()[order]
+        vecs = pdf["vec"].iloc[order]
+        lens = np.array([len(x) for x in vecs])
         out_a, out_b, out_c = [], [], []
-        chunk = 1024
-        for s in range(0, m - 1, chunk):
-            e = min(m - 1, s + chunk)
-            S = np.round(Vn[s:e] @ Vn.T, 6)
-            for r in range(e - s):
-                i = s + r
-                row = S[r, i + 1 :]
-                hit = np.nonzero(row >= threshold)[0]
-                if len(hit):
-                    out_a.append(np.full(len(hit), ids[i]))
-                    out_b.append(ids[i + 1 + hit])
-                    out_c.append(row[hit])
+        for L in np.unique(lens):
+            sel = np.nonzero(lens == L)[0]
+            m = len(sel)
+            if m < 2 or L == 0:
+                continue
+            ids = ids_all[sel]
+            Vn = unit_rows(
+                np.stack(
+                    [np.asarray(vecs.iloc[i], dtype=np.float64) for i in sel]
+                )
+            )
+            chunk = 1024
+            for s in range(0, m - 1, chunk):
+                e = min(m - 1, s + chunk)
+                # suffix-only matmul: row r of S scores ids[s+r]
+                # against ids[s+r+1:], so total FLOPs stay ~m²/2
+                S = Vn[s:e] @ Vn[s:].T
+                for r in range(e - s):
+                    row = S[r, r + 1 :]
+                    hit = np.nonzero(row >= pre)[0]
+                    if len(hit):
+                        out_a.append(np.full(len(hit), ids[s + r]))
+                        out_b.append(ids[s + r + 1 + hit])
+                        out_c.append(row[hit])
         if not out_a:
-            return _pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return empty
         return _pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
                 "id_b": np.concatenate(out_b),
-                "cosine": np.concatenate(out_c),
+                "raw": np.concatenate(out_c),
             }
         )
 
-    return v.groupBy("blk").applyInPandas(
-        gen, f"id_a {id_t}, id_b {id_t}, cosine double"
+    cands = v.groupBy("blk").applyInPandas(
+        gen, f"id_a {id_t}, id_b {id_t}, raw double"
     )
+    return cands.select(
+        "id_a", "id_b", F.round(F.col("raw"), 6).alias("cosine")
+    ).filter(F.col("cosine") >= F.lit(float(threshold)))
 
 
 # ---------------------------------------------------------------------------

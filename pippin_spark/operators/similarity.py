@@ -122,6 +122,11 @@ def _assign_cells(
                 # recomputed exactly below for keep_score
                 S = 2.0 * (V @ C.T) - (V * V).sum(axis=1)[:, None] - c_sq[None, :]
             else:
+                # zero-norm guard contract shared with
+                # operators/util.unit_rows (zero rows score 0.0 against
+                # everything); kept in DIVISION form here — switching
+                # to normalize-then-dot would shift raw scores by ulps
+                # and this operator's outputs back pinned oracles
                 vn = np.linalg.norm(V, axis=1)
                 zero = vn == 0.0
                 vn[zero] = 1.0

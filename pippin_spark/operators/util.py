@@ -153,6 +153,25 @@ def local_table(spark, rows, schema: str, num_partitions: int = 1) -> DataFrame:
     return df.coalesce(num_partitions) if num_partitions else df
 
 
+def unit_rows(M):
+    """Row-normalize a 2-D float64 matrix with the shared zero-norm
+    guard: zero-norm rows come back as ALL-ZERO rows, so any dot
+    product against them is 0.0 — the numpy mirror of
+    dedup.cosine_similarity's zero-norm → cosine 0 contract. One
+    definition so the float-sensitive guard cannot drift between the
+    Arrow scoring passes (_assign_cells, multi-probe, in-block
+    embedding pairs)."""
+    import numpy as np
+
+    n = np.linalg.norm(M, axis=1)
+    zero = n == 0.0
+    n[zero] = 1.0
+    Mn = M / n[:, None]
+    if zero.any():
+        Mn[zero] = 0.0
+    return Mn
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
     """Repartition up to the cluster's default parallelism before a
     compute-heavy narrow stage. A small/compact parquet file arrives as

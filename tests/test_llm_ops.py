@@ -1289,3 +1289,44 @@ def test_assign_cells_matches_pure_python_reference(spark):
             cell, csim = got[vid]
             assert cell == best[0], (metric, vid, cell, best)
             assert csim == pytest.approx(best[1], abs=1e-9), (metric, vid)
+
+
+def test_dedup_embedding_cosine_null_and_ragged_rows(spark):
+    from pippin_spark.operators.dedup import dedup_embedding_cosine
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [1.0, 0.0], "a"),        # exact dup of 1 -> cosine 1.0
+        (3, None, "a"),              # NULL vector: dropped, never crashes
+        (4, [1.0, 0.0, 0.0], "a"),   # ragged: pairs only within a length
+        (5, [1.0, 0.0, 0.0], "a"),   # dup of 4 at the other length
+        (6, [0.0, 0.0], "a"),        # zero-norm: cosine 0 with everything
+    ]
+    df = spark.createDataFrame(
+        rows, "vid long, emb array<double>, label string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup_embedding_cosine(
+            df, "emb", "vid", "label", threshold=0.9
+        ).collect()
+    )
+    assert got == [(1, 2, 1.0), (4, 5, 1.0)]
+
+
+def test_dedup_embedding_cosine_threshold_on_rounded_value(spark):
+    import math
+
+    from pippin_spark.operators.dedup import dedup_embedding_cosine
+
+    # raw cosine just UNDER the threshold but rounding to exactly it:
+    # cos = 0.9999996 -> round6 = 1.0 -> must survive threshold 1.0,
+    # matching the former F.round-then-filter Catalyst pipeline
+    theta = math.acos(0.9999996)
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [math.cos(theta), math.sin(theta)], "a"),
+    ]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>, label string")
+    got = dedup_embedding_cosine(df, "emb", "vid", "label", threshold=1.0).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == [(1, 2, 1.0)]
