@@ -103,6 +103,12 @@ def main() -> None:
     def q5(spark, d):
         return ENTRY_QUERIES["q5_region_revenue"](spark, d)
 
+    def winnow(spark, d):
+        # winnowing (MOSS) fingerprints — the op whose r3 perf-weak
+        # fix (numpy sliding-min in one Arrow pass) must hold at scale
+        docs = Pipeline.from_table(spark, d, "documents").df
+        return DEDUP.winnow_fingerprints(docs, "text", "doc_id", k=5, window=10)
+
     def pretrain(spark, d):
         # the declared end-to-end composition: length gate -> exact
         # dedup (digest shuffle + semi join) -> greedy sequence
@@ -116,6 +122,7 @@ def main() -> None:
         "pack_sequences": pack,
         "q5_region_revenue": q5,
         "pretrain_prep_e2e": pretrain,
+        "dedup_winnowing": winnow,
     }
     only = os.environ.get("SCALE_OPS")
     if only:
