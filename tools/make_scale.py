@@ -71,15 +71,22 @@ VOWELS = "aeiou"
 def consonant_map(r: int) -> tuple[str, str]:
     """Deterministic per-replica letter permutation (replica 0 =
     identity): consonant rotation keyed on r, COMPOSED with a vowel
-    rotation keyed on r // 20 — 20·5 = 100 distinct permutations, so
-    up to 100 replicas have pairwise-distinct transforms (with only
-    the consonant rotation, replicas 20 apart shared a permutation
-    and became cross-replica near-duplicates — measured to inflate
-    the 100× MinHash pair count ~40×). Rotations keep text length,
-    whitespace, and word shape — only shingle identities change."""
+    rotation keyed on r // 20 and a sub-rotation of the first 10
+    consonant TARGETS keyed on r // 100 — 20·5·10 = 1000 distinct
+    permutations, so up to 1000 replicas have pairwise-distinct
+    transforms (with only the consonant rotation, replicas 20 apart
+    shared a permutation and became cross-replica near-duplicates —
+    measured to inflate the 100× MinHash pair count ~40×; the
+    sub-rotation extends the same fix to the 1000× replica).
+    Permutations keep text length, whitespace, and word shape — only
+    shingle identities change."""
     crot = r % len(CONSONANTS)
     vrot = (r // len(CONSONANTS)) % len(VOWELS)
+    srot = (r // (len(CONSONANTS) * len(VOWELS))) % 10
     c_dst = CONSONANTS[crot:] + CONSONANTS[:crot]
+    # second independent key: rotate the first 10 TARGET slots (still
+    # a permutation of the alphabet; distinct srot ⇒ distinct map)
+    c_dst = c_dst[srot:10] + c_dst[:srot] + c_dst[10:]
     v_dst = VOWELS[vrot:] + VOWELS[:vrot]
     src = CONSONANTS + VOWELS
     dst = c_dst + v_dst
