@@ -116,15 +116,20 @@ def main() -> None:
             f"SELECT COUNT(DISTINCT {key}) FROM '{src}/{ent}.parquet'"
         ).fetchone()[0]
 
+    # replicas are written in ≤50-branch UNION chunks: a single
+    # 1000-branch UNION ALL blows DuckDB's max_expression_depth, so
+    # past one chunk the target becomes a DIRECTORY of part files —
+    # Spark (and DuckDB's glob) read it exactly like a single file
+    CHUNK = 50
     for t in SHIFT_TABLES:
-        parts = []
         schema = [
             (c[0], c[1])
             for c in con.sql(
                 f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
             ).fetchall()
         ]
-        for r in range(reps):
+
+        def replica_select(r: int) -> str:
             cols = []
             for name, _dtype in schema:
                 if name in ENTITY_OF:
@@ -135,15 +140,31 @@ def main() -> None:
                     cols.append(f"translate(text, '{s}', '{d}') AS text")
                 else:
                     cols.append(name)
-            parts.append(
-                f"SELECT {', '.join(cols)} FROM '{src}/{t}.parquet'"
+            return f"SELECT {', '.join(cols)} FROM '{src}/{t}.parquet'"
+
+        if reps <= CHUNK:
+            union = " UNION ALL ".join(replica_select(r) for r in range(reps))
+            con.sql(
+                f"COPY ({union}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
             )
-        con.sql(
-            f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/{t}.parquet' "
-            f"(FORMAT PARQUET)"
-        )
-        n = con.sql(f"SELECT COUNT(*) FROM '{out}/{t}.parquet'").fetchone()[0]
-        print(f"{t}: {n} rows ({reps}x)")
+            target = f"'{out}/{t}.parquet'"
+        else:
+            d = f"{out}/{t}.parquet"
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    os.remove(os.path.join(d, f))
+            os.makedirs(d, exist_ok=True)
+            for i, lo in enumerate(range(0, reps, CHUNK)):
+                union = " UNION ALL ".join(
+                    replica_select(r) for r in range(lo, min(reps, lo + CHUNK))
+                )
+                con.sql(
+                    f"COPY ({union}) TO '{d}/part-{i:04d}.parquet' "
+                    f"(FORMAT PARQUET)"
+                )
+            target = f"'{d}/part-*.parquet'"
+        n = con.sql(f"SELECT COUNT(*) FROM {target}").fetchone()[0]
+        print(f"{t}: {n} rows ({reps}x)", flush=True)
 
     # embeddings: numpy perturbation per replica
     tbl = pq.read_table(f"{src}/embeddings.parquet")
