@@ -120,6 +120,14 @@ HEADLINE = [
     "pretrain_prep_e2e",
     "semantic_dedup_e2e",
     "knn_join_ivf_nprobe2",
+    # round-5 session-2 additions: span-level scrub (the Lee et al.
+    # rewrite) and the exact-integer quality-classifier trainer.
+    # quality_classifier_score is NOT benched: its builder re-runs the
+    # full training (the honest construction cost), so a bench row
+    # would just re-time quality_classifier_train with a lazy
+    # projection appended — the train row already carries the signal.
+    "dedup_span_scrub",
+    "quality_classifier_train",
 ]
 
 
@@ -299,6 +307,8 @@ def main() -> None:
         "streaming_minhash_dedup",  # drains the stream in the builder
         "diversity_kcenter",  # greedy selection collects at construction
         "agg_count_min_events",  # sketch built + probed at construction
+        "quality_classifier_train",  # 16 GD jobs run at construction
+        "quality_classifier_score",  # trains at construction, scores lazily
     }
 
     timings: dict[str, float] = {}

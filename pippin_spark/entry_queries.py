@@ -602,6 +602,7 @@ from pippin_spark.operators import similarity as SIM  # noqa: E402
 from pippin_spark.operators import text as TXT  # noqa: E402
 from pippin_spark.operators import multimodal as MM  # noqa: E402
 from pippin_spark.operators import sampling as SMP  # noqa: E402
+from pippin_spark.operators import classifier as CLF  # noqa: E402
 
 
 @_q(
@@ -3706,6 +3707,215 @@ def q_dedup_lines_docs(spark, sf_dir):
 def q_dedup_span_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df
     return DEDUP.dedup_span_stats(docs, "text", "doc_id")
+
+
+@_q(
+    "dedup_span_scrub",
+    # the REWRITE step of Lee et al. substring dedup on the same
+    # 40/20 window grid as dedup_span_stats: cross-doc duplicated
+    # windows become char intervals, overlapping/touching intervals
+    # merge (gaps-and-islands), the survivors re-concatenate. Full
+    # rewritten-text parity — the oracle rebuilds every scrubbed
+    # document string, not a digest
+    """
+    WITH wins AS (
+      SELECT doc_id, p, md5(substr(text, p + 1, 40)) AS h FROM (
+        SELECT doc_id, text,
+               UNNEST(generate_series(0, length(text) - 40, 20)) AS p
+        FROM documents
+      )
+    ), dup_h AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+      GROUP BY h HAVING COUNT(*) >= 2
+    ), ival AS (
+      SELECT w.doc_id, w.p AS s, w.p + 40 AS e
+      FROM wins w JOIN dup_h USING (h)
+    ), isl AS (
+      SELECT doc_id, s, e,
+             SUM(nf) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(
+                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS nf
+        FROM ival
+      )
+    ), merged AS (
+      SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, island
+    ), pieces AS (
+      SELECT m.doc_id, m.s AS ord,
+             substr(d.text, COALESCE(LAG(m.e) OVER (PARTITION BY m.doc_id
+                                                    ORDER BY m.s), 0) + 1,
+                    m.s - COALESCE(LAG(m.e) OVER (PARTITION BY m.doc_id
+                                                  ORDER BY m.s), 0)) AS piece
+      FROM merged m JOIN documents d USING (doc_id)
+      UNION ALL
+      SELECT mx.doc_id, 2147483647 AS ord,
+             substr(d.text, mx.e + 1) AS piece
+      FROM (SELECT doc_id, MAX(e) AS e FROM merged GROUP BY doc_id) mx
+      JOIN documents d USING (doc_id)
+    ), scrub AS (
+      SELECT doc_id, STRING_AGG(piece, '' ORDER BY ord) AS text2
+      FROM pieces GROUP BY doc_id
+    ), rem AS (
+      SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_removed
+      FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.text2, d.text) AS text,
+           COALESCE(r.n_removed, 0) AS n_removed_chars
+    FROM documents d
+    LEFT JOIN scrub s USING (doc_id)
+    LEFT JOIN rem r USING (doc_id)
+    """,
+)
+def q_dedup_span_scrub(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return DEDUP.dedup_span_scrub(docs, "text", "doc_id")
+
+
+def _clf_prefix() -> str:
+    """Shared oracle CTE chain for the quality classifier: hashed
+    bag-of-words featurization (normalized tf scaled 1e4) + the FULL
+    8-iteration exact-integer gradient-descent unrolled in SQL. Every
+    division is `//` (truncation toward zero == Spark `div`); every
+    SUM is cast BIGINT before use so no HUGEINT leaks into arithmetic
+    or output. This is a complete cross-engine recomputation of the
+    training trajectory — not a snapshot pin."""
+    stop_list = "[" + ", ".join(f"'{w}'" for w in CLF_STOPWORDS) + "]"
+    iters = []
+    prev = "w0"
+    # every CTE in the unrolled chain is MATERIALIZED: the default
+    # inlining would duplicate w{k-1} into both of w{k}'s references
+    # and the whole chain would blow up 2^iters (observed: the
+    # un-hinted oracle ran minutes at 500 docs; materialized it runs
+    # in well under a second)
+    for k in range(1, 9):
+        iters.append(f"""
+    , z{k} AS MATERIALIZED (
+      SELECT f.doc_id, f.y, CAST(SUM(f.x * w.ws) AS BIGINT) // 10000 AS z
+      FROM feat f JOIN {prev} w USING (j) GROUP BY 1, 2
+    ), e{k} AS MATERIALIZED (
+      SELECT doc_id,
+             500000 + (z * 1000000) // (2 * (1000000 + abs(z)))
+               - y * 1000000 AS err
+      FROM z{k}
+    ), g{k} AS MATERIALIZED (
+      SELECT f.j, CAST(SUM(e.err * f.x) AS BIGINT) AS g
+      FROM feat f JOIN e{k} e USING (doc_id) GROUP BY 1
+    ), w{k} AS MATERIALIZED (
+      SELECT w.j,
+             CAST(w.ws - COALESCE((g.g * 4) // (nn.n * 10000), 0)
+                  AS BIGINT) AS ws
+      FROM {prev} w LEFT JOIN g{k} g USING (j) CROSS JOIN nn
+    )""")
+        prev = f"w{k}"
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS l
+      FROM documents
+    ), lab AS MATERIALIZED (
+      SELECT doc_id, l,
+             CASE WHEN len(list_intersect(list_distinct(l), {stop_list}))
+                  >= 2 THEN 1 ELSE 0 END AS y
+      FROM toks WHERE len(l) >= 1
+    ), tokrows AS MATERIALIZED (
+      SELECT doc_id, y,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS j
+      FROM (SELECT doc_id, y, UNNEST(l) AS tok FROM lab)
+    ), cnt AS MATERIALIZED (
+      SELECT doc_id, y, j, COUNT(*) AS c FROM tokrows GROUP BY 1, 2, 3
+    ), tot AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1
+    ), feat AS MATERIALIZED (
+      SELECT c.doc_id, c.y, c.j, c.c * 10000 // t.tot AS x
+      FROM cnt c JOIN tot t USING (doc_id) WHERE c.doc_id % 10 < 8
+    ), nn AS MATERIALIZED (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM feat
+    ), w0 AS MATERIALIZED (
+      SELECT UNNEST(generate_series(0, 63)) AS j, CAST(0 AS BIGINT) AS ws
+    ){"".join(iters)}"""
+
+
+def _clf_train_oracle() -> str:
+    return (
+        _clf_prefix()
+        + """
+    SELECT j AS feature_id, CAST(ws AS BIGINT) AS w_scaled FROM w8
+    """
+    )
+
+
+def _clf_score_oracle() -> str:
+    return (
+        _clf_prefix()
+        + """
+    , hfeat AS (
+      SELECT c.doc_id, c.y, c.j, c.c * 10000 // t.tot AS x
+      FROM cnt c JOIN tot t USING (doc_id) WHERE c.doc_id % 10 >= 8
+    ), hz AS (
+      SELECT f.doc_id, f.y, CAST(SUM(f.x * w.ws) AS BIGINT) // 10000 AS z
+      FROM hfeat f JOIN w8 w USING (j) GROUP BY 1, 2
+    ), hp AS (
+      SELECT doc_id, y, z,
+             500000 + (z * 1000000) // (2 * (1000000 + abs(z))) AS p
+      FROM hz
+    )
+    SELECT doc_id, z AS z_scaled, p AS prob_scaled,
+           CASE WHEN p >= 500000 THEN 1 ELSE 0 END AS pred,
+           y AS label,
+           CASE WHEN (p >= 500000) = (y = 1) THEN 1 ELSE 0 END AS correct
+    FROM hp
+    """
+    )
+
+
+CLF_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+
+@_q(
+    "quality_classifier_train",
+    # fastText-style quality-classifier training distilled onto a
+    # stopword-density rule, with the WHOLE 8-round exact-integer GD
+    # trajectory recomputed in SQL (rational fast-sigmoid, no libm,
+    # no float sums -> bit-identical across engines and partition
+    # layouts). Output: the trained scaled weight vector, 64 rows
+    _clf_train_oracle(),
+)
+def q_quality_classifier_train(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    lab = CLF.stopword_rule_label(F.col("text"), list(CLF_STOPWORDS), 2)
+    feat = CLF.hash_token_features(
+        docs.filter(F.col("doc_id") % 10 < 8), "text", "doc_id", lab
+    )
+    return CLF.logreg_weights_df(spark, CLF.logreg_train(feat))
+
+
+@_q(
+    "quality_classifier_score",
+    # the inference pass: re-train on the 80% split (same exact
+    # trajectory), score every held-out doc — z, fast-sigmoid prob,
+    # prediction, label, correctness flag, all exact integers with
+    # full cross-engine value parity
+    _clf_score_oracle(),
+)
+def q_quality_classifier_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    lab = CLF.stopword_rule_label(F.col("text"), list(CLF_STOPWORDS), 2)
+    train = CLF.hash_token_features(
+        docs.filter(F.col("doc_id") % 10 < 8), "text", "doc_id", lab
+    )
+    held = CLF.hash_token_features(
+        docs.filter(F.col("doc_id") % 10 >= 8), "text", "doc_id", lab
+    )
+    return CLF.logreg_score(held, CLF.logreg_train(train))
 
 
 @_q(
@@ -8950,7 +9160,11 @@ _DRIVER_ROW_PRIORITY = [
     "streaming_stream_stream_join",
     "asof_join_tolerance",
     # --- ~driver-window boundary (first 50 above) ---
-    # never-driver-checked remainder (r6+ rotation pool, prior order)
+    # never-driver-checked remainder (r6+ rotation pool; round-5
+    # session-2 additions lead, then prior order)
+    "dedup_span_scrub",
+    "quality_classifier_train",
+    "quality_classifier_score",
     "agg_argmax",
     "text_unicode_clean",
     "sql_query_api",

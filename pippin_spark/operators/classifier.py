@@ -1,0 +1,259 @@
+"""Distributed quality-classifier training (fastText-style logistic
+regression over hashed bag-of-words), exact-arithmetic edition.
+
+Real curation pipelines (CCNet, GPT-3, LLaMA) train a linear
+classifier on hashed n-gram features to distill an expensive or
+heuristic quality signal into a cheap scorer that runs over the whole
+corpus. This module reproduces that shape Spark-first with one twist
+that makes it *oracle-checkable across engines*: every quantity in the
+training loop is integer-scaled and the sigmoid is the rational "fast
+sigmoid" s(z) = 0.5 + z / (2 * (1 + |z|)) — no libm, no float sums —
+so the full gradient-descent trajectory is bit-identical regardless of
+partitioning, engine, or summation order. The declared queries carry a
+FULL cross-engine DuckDB parity oracle (the unrolled iterations in
+SQL), not a snapshot gate.
+
+Fixed-point layout (all int64-safe; bounds in parentheses assume the
+documented caps):
+- features x_j: per-doc normalized term frequency scaled 1e4
+  (sum_j x_j <= 1e4 per doc).
+- weights w_j: scaled 1e6. With lr <= 4 and iters <= 16, |w| <= 64e6.
+- dot product: z = (sum_j w_j * x_j) div 1e4, |z| <= 6.4e11 pre-div.
+- sigmoid (scaled 1e6): 5e5 + (z * 1e6) div (2 * (1e6 + |z|));
+  z * 1e6 <= 6.4e13 < 2^63.
+- gradient sums: sum over docs of err * x_j <= n * 1e10 — int64-safe
+  to n ~ 9e8 documents per training shard; beyond that, re-scale
+  SCALE_X down or shard the training split (documented contract).
+- every integer division is TRUNCATION TOWARD ZERO, which is what
+  both Spark's `div` and DuckDB's `//` implement (verified -7 div 2
+  == -3 in both).
+
+Scale shape: the featurizer shuffles (doc, bucket) count rows once
+and emits ONE dense-array row per document, which is cached; each GD
+iteration is one scan of that cache — the per-row error is
+materialized ONCE in a projection (bind-once discipline; the gradient
+terms consume the attribute, not re-evaluations of the fold) —
+followed by a posexplode -> dim-group map-side-partial aggregate
+whose result is `dim` driver rows (the round's weight vector, a
+bounded artifact exactly like BPE's merge table). No row UDFs
+anywhere.
+
+Not a reference-repo operator: engine extension for LLM curation
+parity (the reference has no ML surface; cf. fastText
+`supervised` + CCNet's quality LM as the modeled behavior).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pippin_spark.operators.util import local_table
+
+DIM = 64
+SCALE_X = 10_000
+SCALE_W = 1_000_000
+HALF_W = SCALE_W // 2
+
+
+def tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the shared semantic
+    of Spark `div` and DuckDB `//` (Python's // floors, which differs
+    on negatives; the driver-side weight update must match the SQL
+    engines bit-for-bit)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _bucket(col: Column, dim: int) -> Column:
+    """Token -> feature bucket: first 8 md5 hex chars as an int mod
+    dim. Matches `CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) %
+    dim` in DuckDB (verified: 'the' -> 45 in both engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % dim
+
+
+def stopword_rule_label(
+    text_col: Column, stopwords: Sequence[str], min_distinct: int = 2
+) -> Column:
+    """The heuristic the classifier distills: 1 when the doc contains
+    at least `min_distinct` DISTINCT stopwords (the same stopword-hit
+    signal the quality_score op uses), else 0."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(text_col), "\\s+"), lambda t: t != "")
+    )
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in stopwords])))
+    return F.when(hits >= min_distinct, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+
+def hash_token_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label: Column,
+    dim: int = DIM,
+) -> DataFrame:
+    """(id, y, x) with x a dense length-`dim` array of normalized term
+    frequencies scaled by SCALE_X (x_j = count_j * 1e4 div total).
+    Documents with zero tokens are dropped (they carry no gradient and
+    no score). The only shuffle is (doc, bucket) count rows keyed by
+    doc id; output is one row per document."""
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        label.alias("y"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+        ).alias("__tok__"),
+    ).select(
+        # bucket in a PROJECTION, not in the groupBy key list: a
+        # grouping-key expression is evaluated once per key occurrence
+        # in partial AND final aggregation (measured 2x slower)
+        "__id__",
+        "y",
+        _bucket(F.col("__tok__"), dim).alias("__j__"),
+    )
+    cnt = toks.groupBy("__id__", "y", "__j__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    dense = (
+        cnt.groupBy("__id__", "y")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__j__"), F.col("__c__")))
+            ).alias("__m__"),
+            F.sum("__c__").alias("__tot__"),
+        )
+        .select(
+            F.col("__id__").alias(id_col),
+            "y",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), "
+                "i -> coalesce(try_element_at(__m__, cast(i as bigint)), 0L) "
+                f"* {SCALE_X} div __tot__)"
+            ).alias("x"),
+        )
+    )
+    return dense
+
+
+def _scored(feat: DataFrame, weights: List[int], via_table: bool = False) -> DataFrame:
+    """feat + (z, prob, err) columns for a fixed weight vector.
+    The fold is bound once per row; downstream consumers reference the
+    materialized attributes.
+
+    via_table routes the weights through a broadcast 1-row Arrow local
+    table instead of literal folding: the physical plan (and its
+    generated code) is then IDENTICAL across GD iterations, so the JVM
+    compiles it once — measured 0.7 s/iter vs 2-3.5 s/iter with
+    literal weights at sf0.001, bit-identical weights. Training uses
+    the table route; one-shot scoring keeps literals."""
+    if via_table:
+        w_df = local_table(
+            feat.sparkSession,
+            [([int(w) for w in weights],)],
+            "w array<long>",
+        )
+        feat = feat.crossJoin(F.broadcast(w_df))
+        w_arr = F.col("w")
+    else:
+        w_arr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    z_pre = F.aggregate(
+        F.zip_with(F.col("x"), w_arr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        feat.withColumn("__zp__", z_pre)
+        .withColumn("z", F.expr(f"__zp__ div {SCALE_X}"))
+        .withColumn(
+            "prob",
+            F.expr(
+                f"{HALF_W} + (z * {SCALE_W}) div (2 * ({SCALE_W} + abs(z)))"
+            ),
+        )
+        .withColumn("err", F.col("prob") - F.col("y") * F.lit(SCALE_W))
+    )
+
+
+def logreg_train(
+    feat: DataFrame,
+    dim: int = DIM,
+    iters: int = 8,
+    lr_num: int = 4,
+    lr_den: int = 1,
+) -> List[int]:
+    """Full-batch gradient descent on the fast-sigmoid logistic loss,
+    exact integer arithmetic throughout. Returns the final scaled
+    weight vector (a bounded driver artifact: `dim` longs).
+
+    Each iteration is ONE scan of the cached feature table: project
+    the per-row error once, then a posexplode -> dim-group partial
+    aggregate (map-side combine; at most `dim` rows cross the
+    exchange per partition). The weight update happens driver-side in
+    exact ints with truncation-toward-zero division, mirroring the
+    SQL engines."""
+    feat = feat.persist()
+    try:
+        n = feat.count()
+        if n == 0:
+            return [0] * dim
+        weights = [0] * dim
+        for _ in range(iters):
+            scored = _scored(feat, weights, via_table=True).select("x", "err")
+            # gradient as posexplode -> dim-group aggregate: same exact
+            # long sums as a dim-column wide aggregate, but the plan
+            # has 5 expressions instead of `dim` sum columns, so the
+            # per-iteration Catalyst analysis cost stays flat in dim
+            # (measured ~20% faster per iteration at dim=64; the
+            # exchange carries at most dim rows per partition)
+            rows = (
+                scored.select(
+                    F.posexplode(
+                        F.expr("transform(x, v -> v * err)")
+                    ).alias("j", "gv")
+                )
+                .groupBy("j")
+                .agg(F.sum("gv").alias("g"))
+                .collect()
+            )
+            grad = {int(r["j"]): int(r["g"]) for r in rows}
+            weights = [
+                weights[j]
+                - tdiv(grad.get(j, 0) * lr_num, n * SCALE_X * lr_den)
+                for j in range(dim)
+            ]
+        return weights
+    finally:
+        feat.unpersist()
+
+
+def logreg_weights_df(spark: SparkSession, weights: List[int]) -> DataFrame:
+    """Weight vector as a (feature_id, w_scaled) table (Arrow-backed
+    local table — no Python-RDD scan tax)."""
+    return local_table(
+        spark,
+        [(j, int(w)) for j, w in enumerate(weights)],
+        "feature_id int, w_scaled long",
+    )
+
+
+def logreg_score(feat: DataFrame, weights: List[int]) -> DataFrame:
+    """Score a (held-out) feature table with a trained weight vector:
+    (id, z_scaled, prob_scaled, pred, label, correct) — all exact
+    integers, full cross-engine parity. One scan, no shuffle beyond
+    the featurizer's."""
+    id_col = feat.columns[0]
+    s = _scored(feat, weights)
+    return s.select(
+        F.col(id_col),
+        F.col("z").alias("z_scaled"),
+        F.col("prob").alias("prob_scaled"),
+        F.when(F.col("prob") >= HALF_W, F.lit(1)).otherwise(F.lit(0)).alias(
+            "pred"
+        ),
+        F.col("y").alias("label"),
+        F.when(
+            (F.col("prob") >= HALF_W) == (F.col("y") == 1), F.lit(1)
+        ).otherwise(F.lit(0)).alias("correct"),
+    )

@@ -1578,3 +1578,129 @@ def sorted_neighborhood_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def dedup_span_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_chars: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Span-level scrubbing — the rewrite step of suffix-array
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"), on the same stride-grid window
+    approximation as :func:`dedup_span_stats`: every fixed-width
+    window whose exact text occurs in at least one OTHER document is
+    excised from the document, overlapping/touching excisions are
+    merged into maximal intervals, and the surviving segments are
+    re-concatenated. Returns ``(id, text, n_removed_chars)`` for every
+    input document (documents with no cross-doc span keep their text
+    verbatim with ``n_removed_chars = 0``).
+
+    This is the op `dedup_span_stats` only *signals*: stats triage a
+    corpus; scrub produces the training corpus itself. Parity of the
+    rewritten text is exact (full-string oracle, no digests in the
+    output).
+
+    Scale shape mirrors span_stats — window extraction is a narrow
+    explode; the first shuffle carries one row per distinct
+    (doc, span-digest) md5 digest, never raw spans; cross-doc counting
+    and the flag join-back are digest-keyed. The interval merge is a
+    per-document window (partitioned by doc id — each document's
+    duplicated-window list is grid-bounded at len/stride rows), and
+    the rebuild joins ONE interval-array row per affected doc back to
+    the corpus, then re-concatenates with a bound-once fold over that
+    (small) array — no per-character work crosses an exchange, and
+    unaffected documents never enter the interval pipeline (they
+    arrive via the left join).
+
+    Reference behavior modeled: the ExactSubstr dedup pass of Lee et
+    al. 2022 (arXiv:2107.06499) §4.1 — not a reference-repo operator;
+    engine extension for LLM curation parity.
+    """
+    grid = F.when(
+        F.length(F.col(text_col)) >= window_chars,
+        F.sequence(
+            F.lit(0),
+            F.length(F.col(text_col)) - F.lit(window_chars),
+            F.lit(stride),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(grid).alias("__p__"),
+        F.col(text_col).alias("__t__"),
+    ).select(
+        "__id__",
+        "__p__",
+        F.md5(
+            F.expr(f"substring(__t__, __p__ + 1, {window_chars})")
+        ).alias("__h__"),
+    )
+    # digest-level cross-doc flag: span text in >= 2 distinct docs
+    dup_h = (
+        wins.select("__id__", "__h__")
+        .distinct()
+        .groupBy("__h__")
+        .agg(F.count(F.lit(1)).alias("__n_docs__"))
+        .filter(F.col("__n_docs__") >= 2)
+        .select("__h__")
+    )
+    ivals = wins.join(dup_h, "__h__").select(
+        "__id__",
+        F.col("__p__").alias("__s__"),
+        (F.col("__p__") + F.lit(window_chars)).alias("__e__"),
+    )
+    # gaps-and-islands merge of overlapping/touching intervals per doc
+    w_prev = (
+        Window.partitionBy("__id__")
+        .orderBy("__s__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("__id__")
+        .orderBy("__s__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        ivals.withColumn("__pe__", F.max("__e__").over(w_prev))
+        .withColumn(
+            "__new__",
+            F.when(
+                F.col("__pe__").isNull() | (F.col("__s__") > F.col("__pe__")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__isl__", F.sum("__new__").over(w_run))
+        .groupBy("__id__", "__isl__")
+        .agg(F.min("__s__").alias("__s__"), F.max("__e__").alias("__e__"))
+    )
+    per_doc = merged.groupBy("__id__").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__s__"), F.col("__e__")))
+        ).alias("__iv__"),
+        F.sum(F.col("__e__") - F.col("__s__")).alias("__rm__"),
+    )
+    out = df.select(
+        F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__")
+    ).join(per_doc, "__id__", "left")
+    # bound-once fold: walk the sorted merged intervals, emitting the
+    # kept segment before each and the tail after the last
+    rebuild = F.expr(
+        "aggregate(__iv__, "
+        "named_struct('pos', 0, 'acc', ''), "
+        "(st, x) -> named_struct("
+        "  'pos', x.__e__, "
+        "  'acc', concat(st.acc, substring(__t__, st.pos + 1, x.__s__ - st.pos))), "
+        "st -> concat(st.acc, substring(__t__, st.pos + 1, length(__t__) - st.pos)))"
+    )
+    return out.select(
+        F.col("__id__").alias(id_col),
+        F.when(F.col("__iv__").isNull(), F.col("__t__"))
+        .otherwise(rebuild)
+        .alias(text_col),
+        F.coalesce(F.col("__rm__"), F.lit(0)).cast("long").alias(
+            "n_removed_chars"
+        ),
+    )

@@ -1330,3 +1330,90 @@ def test_dedup_embedding_cosine_threshold_on_rounded_value(spark):
     df = spark.createDataFrame(rows, "vid long, emb array<double>, label string")
     got = dedup_embedding_cosine(df, "emb", "vid", "label", threshold=1.0).collect()
     assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == [(1, 2, 1.0)]
+
+
+# --- span scrub (Lee et al. rewrite step) ---------------------------------
+
+
+def _py_span_scrub(docs, W=40, S=20):
+    """Pure-Python reference for dedup_span_scrub semantics."""
+    span_docs = {}
+    wins = {}
+    for d, t in docs:
+        ps = list(range(0, len(t) - W + 1, S)) if len(t) >= W else []
+        wins[d] = ps
+        for p in ps:
+            span_docs.setdefault(t[p:p + W], set()).add(d)
+    out = {}
+    for d, t in docs:
+        ivs = sorted(
+            (p, p + W) for p in wins[d] if len(span_docs[t[p:p + W]]) >= 2
+        )
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        pos, acc, rm = 0, "", 0
+        for s, e in merged:
+            acc += t[pos:s]
+            pos = e
+            rm += e - s
+        acc += t[pos:]
+        out[d] = (acc, rm)
+    return out
+
+
+def test_span_scrub_golden(spark):
+    shared = "X" * 40  # exactly the window at offset 0; the offset-20
+    # window straddles into each doc's unique tail so only [0, 40) is
+    # cross-doc duplicated
+    docs = [
+        (1, shared + " unique tail one with extra words here"),
+        (2, shared + " another totally different suffix text"),
+        (3, "no duplicated content in this document at all, it stands alone"),
+        (4, "short"),
+    ]
+    ref = _py_span_scrub(docs)
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_chars"])
+        for r in D.dedup_span_scrub(
+            spark.createDataFrame(docs, ["doc_id", "text"]), "text", "doc_id"
+        ).collect()
+    }
+    assert got == ref
+    # the duplicated prefix must actually be gone from both carriers
+    assert got[1][1] > 0 and not got[1][0].startswith("X")
+    assert got[4] == ("short", 0)  # sub-window doc untouched
+    # removed chars == length delta
+    for d, t in docs:
+        assert got[d][1] == len(t) - len(got[d][0])
+
+
+def test_span_scrub_merges_touching_intervals(spark):
+    # two duplicated windows at stride distance merge into ONE interval
+    # covering [0, 60): window@0 and window@20 both duplicated
+    shared = "Y" * 60
+    docs = [(1, shared + " tail a"), (2, shared + " tail b")]
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_chars"])
+        for r in D.dedup_span_scrub(
+            spark.createDataFrame(docs, ["doc_id", "text"]), "text", "doc_id"
+        ).collect()
+    }
+    ref = _py_span_scrub(docs)
+    assert got == ref
+    assert got[1][0] == " tail a" and got[1][1] == 60
+
+
+def test_span_scrub_whole_doc_removed(spark):
+    t = "Z" * 40
+    docs = [(1, t), (2, t)]
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_chars"])
+        for r in D.dedup_span_scrub(
+            spark.createDataFrame(docs, ["doc_id", "text"]), "text", "doc_id"
+        ).collect()
+    }
+    assert got == {1: ("", 40), 2: ("", 40)}

@@ -371,3 +371,36 @@ def test_span_corrupt_roundtrip(spark, docs, block, mask_pct):
                 rebuilt.append(tok)
         assert rebuilt == words
         assert r["n_masked"] == sum(len(v) for v in spans.values())
+
+
+# --- span scrub vs pure-Python reference ----------------------------------
+
+_scrub_docs = st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=120),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(texts=_scrub_docs)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_span_scrub_matches_python_reference(spark, texts):
+    # tiny alphabet + overlapping lengths force frequent cross-doc
+    # duplicated windows; small window/stride exercise merge paths
+    from pippin_spark.operators import dedup as D
+    from tests.test_llm_ops import _py_span_scrub
+
+    docs = list(enumerate(texts))
+    ref = _py_span_scrub(docs, W=8, S=4)
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_chars"])
+        for r in D.dedup_span_scrub(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            "text",
+            "doc_id",
+            window_chars=8,
+            stride=4,
+        ).collect()
+    }
+    assert got == ref

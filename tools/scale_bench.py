@@ -115,6 +115,17 @@ def main() -> None:
         # packing -> shard/seq rollup
         return ENTRY_QUERIES["pretrain_prep_e2e"](spark, d)
 
+    def span_scrub(spark, d):
+        # the Lee et al. rewrite step: duplicated-window detection ->
+        # interval merge -> per-doc re-concatenation
+        docs = Pipeline.from_table(spark, d, "documents").df
+        return DEDUP.dedup_span_scrub(docs, "text", "doc_id")
+
+    def clf_train(spark, d):
+        # exact-integer logistic regression: featurize once (cached),
+        # 8 GD iterations of one-scan + 64-column partial aggregate
+        return ENTRY_QUERIES["quality_classifier_train"](spark, d)
+
     OPS = {
         "dedup_minhash": minhash,
         "set_join_jaccard": set_join,
@@ -123,6 +134,8 @@ def main() -> None:
         "q5_region_revenue": q5,
         "pretrain_prep_e2e": pretrain,
         "dedup_winnowing": winnow,
+        "dedup_span_scrub": span_scrub,
+        "quality_classifier_train": clf_train,
     }
     only = os.environ.get("SCALE_OPS")
     if only:
