@@ -99,11 +99,22 @@ def hash_token_features(
     Documents with zero tokens are dropped (they carry no gradient and
     no score). The only shuffle is (doc, bucket) count rows keyed by
     doc id; output is one row per document."""
-    toks = df.select(
+    # the label is a per-DOCUMENT expression (split + distinct +
+    # intersect over the full text): bind it in its own projection
+    # BELOW the generator. Projected in the same select as the
+    # explode, it lands above the Generate and is re-evaluated once
+    # per TOKEN row (measured 3.4 s vs 0.25 s for this stage at
+    # sf0.1) — the same bind-once discipline as the HOF rewrites.
+    base = df.select(
         F.col(id_col).alias("__id__"),
         label.alias("y"),
+        F.col(text_col).alias("__text__"),
+    )
+    toks = base.select(
+        "__id__",
+        "y",
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+            F.filter(F.split(F.lower(F.col("__text__")), "\\s+"), lambda t: t != "")
         ).alias("__tok__"),
     ).select(
         # bucket in a PROJECTION, not in the groupBy key list: a
@@ -198,6 +209,24 @@ def logreg_train(
         n = feat.count()
         if n == 0:
             return [0] * dim
+        # size the cached table's partitioning to the data before the
+        # iteration loop: the trainer re-scans this cache 'iters'
+        # times, so per-stage task-scheduling overhead multiplies by
+        # the round count. ~20k dense rows (~10 MB) per partition;
+        # never grow the partition count. Value-safe BY DESIGN: every
+        # training quantity is an exact integer sum, so the result is
+        # partition-layout invariant (the bit-parity pytest pins it).
+        # Measured at sf0.1 (4k docs): 8 rounds on 32 partitions
+        # 2.8 s/round -> ~1 s/round coalesced; at the 100x replica
+        # (400k docs) the target is 20 partitions and the coalesce is
+        # a near-no-op.
+        cur = feat.rdd.getNumPartitions()
+        want = max(1, min(cur, -(-n // 20_000)))
+        if want < cur // 2:
+            shaped = feat.coalesce(want).persist()
+            shaped.count()
+            feat.unpersist()
+            feat = shaped
         weights = [0] * dim
         for _ in range(iters):
             scored = _scored(feat, weights, via_table=True).select("x", "err")
