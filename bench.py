@@ -128,6 +128,7 @@ HEADLINE = [
     # projection appended — the train row already carries the signal.
     "dedup_span_scrub",
     "quality_classifier_train",
+    "classifier_scrub_e2e",
 ]
 
 
@@ -309,6 +310,7 @@ def main() -> None:
         "agg_count_min_events",  # sketch built + probed at construction
         "quality_classifier_train",  # 16 GD jobs run at construction
         "quality_classifier_score",  # trains at construction, scores lazily
+        "classifier_scrub_e2e",  # trains + selects the median threshold
     }
 
     timings: dict[str, float] = {}

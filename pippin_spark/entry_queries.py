@@ -3709,25 +3709,26 @@ def q_dedup_span_stats(spark, sf_dir):
     return DEDUP.dedup_span_stats(docs, "text", "doc_id")
 
 
-@_q(
-    "dedup_span_scrub",
-    # the REWRITE step of Lee et al. substring dedup on the same
-    # 40/20 window grid as dedup_span_stats: cross-doc duplicated
-    # windows become char intervals, overlapping/touching intervals
-    # merge (gaps-and-islands), the survivors re-concatenate. Full
-    # rewritten-text parity — the oracle rebuilds every scrubbed
-    # document string, not a digest
-    """
-    WITH wins AS (
+def _scrub_ctes(src: str) -> str:
+    """CTE chain for the span-scrub oracle, parameterized over the
+    source relation (a table or an upstream CTE with at least
+    (doc_id, text)): fixed 40/20 window grid -> cross-doc duplicated
+    digests -> char intervals -> gaps-and-islands merge -> rebuilt
+    piece list. Shared verbatim by the standalone `dedup_span_scrub`
+    oracle (src='documents') and the `classifier_scrub_e2e` oracle
+    (src='kept'), so both gates certify the identical rewrite
+    semantics."""
+    return f"""
+    wins AS MATERIALIZED (
       SELECT doc_id, p, md5(substr(text, p + 1, 40)) AS h FROM (
         SELECT doc_id, text,
                UNNEST(generate_series(0, length(text) - 40, 20)) AS p
-        FROM documents
+        FROM {src}
       )
-    ), dup_h AS (
+    ), dup_h AS MATERIALIZED (
       SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
       GROUP BY h HAVING COUNT(*) >= 2
-    ), ival AS (
+    ), ival AS MATERIALIZED (
       SELECT w.doc_id, w.p AS s, w.p + 40 AS e
       FROM wins w JOIN dup_h USING (h)
     ), isl AS (
@@ -3744,7 +3745,7 @@ def q_dedup_span_stats(spark, sf_dir):
                THEN 1 ELSE 0 END AS nf
         FROM ival
       )
-    ), merged AS (
+    ), merged AS MATERIALIZED (
       SELECT doc_id, MIN(s) AS s, MAX(e) AS e
       FROM isl GROUP BY doc_id, island
     ), pieces AS (
@@ -3753,19 +3754,32 @@ def q_dedup_span_stats(spark, sf_dir):
                                                     ORDER BY m.s), 0) + 1,
                     m.s - COALESCE(LAG(m.e) OVER (PARTITION BY m.doc_id
                                                   ORDER BY m.s), 0)) AS piece
-      FROM merged m JOIN documents d USING (doc_id)
+      FROM merged m JOIN {src} d USING (doc_id)
       UNION ALL
       SELECT mx.doc_id, 2147483647 AS ord,
              substr(d.text, mx.e + 1) AS piece
       FROM (SELECT doc_id, MAX(e) AS e FROM merged GROUP BY doc_id) mx
-      JOIN documents d USING (doc_id)
+      JOIN {src} d USING (doc_id)
     ), scrub AS (
       SELECT doc_id, STRING_AGG(piece, '' ORDER BY ord) AS text2
       FROM pieces GROUP BY doc_id
     ), rem AS (
       SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_removed
       FROM merged GROUP BY doc_id
-    )
+    )"""
+
+
+@_q(
+    "dedup_span_scrub",
+    # the REWRITE step of Lee et al. substring dedup on the same
+    # 40/20 window grid as dedup_span_stats: cross-doc duplicated
+    # windows become char intervals, overlapping/touching intervals
+    # merge (gaps-and-islands), the survivors re-concatenate. Full
+    # rewritten-text parity — the oracle rebuilds every scrubbed
+    # document string, not a digest
+    "WITH "
+    + _scrub_ctes("documents")
+    + """
     SELECT d.doc_id,
            COALESCE(s.text2, d.text) AS text,
            COALESCE(r.n_removed, 0) AS n_removed_chars
@@ -3916,6 +3930,107 @@ def q_quality_classifier_score(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 >= 8), "text", "doc_id", lab
     )
     return CLF.logreg_score(held, CLF.logreg_train(train))
+
+
+def _clf_scrub_e2e_oracle() -> str:
+    """classifier gate -> span scrub composition, fully recomputed
+    cross-engine: train the exact-integer classifier on the 80%
+    split (the unrolled GD trajectory from _clf_prefix), score EVERY
+    featurizable document with the trained weights, keep the docs
+    scoring at or above the corpus's exact lower-median score (the
+    standard keep-the-top-half-by-classifier-score curation gate —
+    value-based, so both engines keep identical sets regardless of
+    tie order), then run the complete span-scrub rewrite chain over
+    the kept subset only (duplicated windows counted among survivors,
+    exactly like the Spark side scrubbing the filtered DataFrame)."""
+    return (
+        _clf_prefix()
+        + """
+    , allfeat AS MATERIALIZED (
+      SELECT c.doc_id, c.j, c.c * 10000 // t.tot AS x
+      FROM cnt c JOIN tot t USING (doc_id)
+    ), allz AS MATERIALIZED (
+      SELECT f.doc_id, CAST(SUM(f.x * w.ws) AS BIGINT) // 10000 AS z
+      FROM allfeat f JOIN w8 w USING (j) GROUP BY 1
+    ), allp AS MATERIALIZED (
+      SELECT doc_id,
+             500000 + (z * 1000000) // (2 * (1000000 + abs(z))) AS p
+      FROM allz
+    ), tq AS MATERIALIZED (
+      SELECT p AS t FROM (
+        SELECT p, ROW_NUMBER() OVER (ORDER BY p) AS rn,
+               COUNT(*) OVER () AS n
+        FROM allp
+      ) WHERE rn = (n + 1) // 2
+    ), kept AS MATERIALIZED (
+      SELECT d.doc_id, d.text, p.p AS prob
+      FROM documents d JOIN allp p USING (doc_id) CROSS JOIN tq
+      WHERE p.p >= tq.t
+    ), """
+        + _scrub_ctes("kept")
+        + """
+    SELECT k.doc_id,
+           k.prob AS prob_scaled,
+           COALESCE(s.text2, k.text) AS text,
+           COALESCE(r.n_removed, 0) AS n_removed_chars,
+           len(list_filter(string_split_regex(
+                 lower(COALESCE(s.text2, k.text)), '\\s+'),
+               t -> t <> '')) AS n_tokens
+    FROM kept k
+    LEFT JOIN scrub s USING (doc_id)
+    LEFT JOIN rem r USING (doc_id)
+    """
+    )
+
+
+@_q(
+    "classifier_scrub_e2e",
+    # round-5 curation composition: the trained quality classifier
+    # scores the corpus, the exact lower-median score gates it (keep
+    # the top-scoring half — the standard keep-top-X%-by-classifier
+    # curation gate, via the scale-correct 2-pass histogram kth
+    # selection, never a global sort), the survivors are
+    # span-scrubbed (cross-doc duplicated windows counted among
+    # survivors only), and each output doc carries its quality score,
+    # removed-char count, and post-scrub whitespace token count.
+    # Train + inference + median gate + rewrite all recomputed in SQL
+    # — end-to-end cross-engine parity of the full curation chain,
+    # no pins
+    _clf_scrub_e2e_oracle(),
+)
+def q_classifier_scrub_e2e(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    lab = CLF.stopword_rule_label(F.col("text"), list(CLF_STOPWORDS), 2)
+    w = CLF.logreg_train(
+        CLF.hash_token_features(
+            docs.filter(F.col("doc_id") % 10 < 8), "text", "doc_id", lab
+        )
+    )
+    scored = CLF.logreg_score(
+        CLF.hash_token_features(docs, "text", "doc_id", lab), w
+    )
+    # exact lower median of the score column by two-pass histogram
+    # selection (one bounded-histogram shuffle + one bucket-local
+    # TakeOrdered — no global sort); the 1-row threshold broadcasts
+    med = REL.exact_kth_2pass(
+        scored.select("prob_scaled"), "prob_scaled"
+    ).select(F.col("value").alias("__t__"))
+    kept_ids = scored.crossJoin(F.broadcast(med)).filter(
+        F.col("prob_scaled") >= F.col("__t__")
+    ).select("doc_id", "prob_scaled")
+    kept = docs.join(kept_ids, "doc_id").select("doc_id", "text")
+    scrubbed = DEDUP.dedup_span_scrub(kept, "text", "doc_id")
+    return scrubbed.join(kept_ids, "doc_id").select(
+        "doc_id",
+        "prob_scaled",
+        "text",
+        "n_removed_chars",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != ""
+            )
+        ).alias("n_tokens"),
+    )
 
 
 @_q(
@@ -9166,6 +9281,7 @@ _DRIVER_ROW_PRIORITY = [
     "dedup_span_scrub",
     "quality_classifier_train",
     "quality_classifier_score",
+    "classifier_scrub_e2e",
     "agg_argmax",
     "text_unicode_clean",
     "sql_query_api",

