@@ -174,3 +174,21 @@ def test_classifier_scrub_e2e_median_gate(spark):
     for r in rows:
         assert r["n_removed_chars"] >= 0
         assert r["n_tokens"] >= 0
+
+
+def test_label_binds_below_the_generator(spark):
+    """Regression gate for the bind-once discipline: the per-document
+    label expression (array_intersect over the full token set) must be
+    evaluated in a projection BELOW the token Generate, not re-derived
+    once per generated token row (measured 13x slower). In the
+    formatted physical plan the Generate node prints above its child
+    projection, so the label's distinguishing function must appear
+    AFTER the Generate line."""
+    feat = _spark_feat(spark, DOCS)
+    plan = feat._jdf.queryExecution().executedPlan().toString()
+    gen = plan.index("Generate")
+    lab = plan.index("array_intersect")
+    assert gen < lab, (
+        "label expression found above the Generate — it will be "
+        "re-evaluated per token row"
+    )

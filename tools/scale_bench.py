@@ -126,6 +126,11 @@ def main() -> None:
         # 8 GD iterations of one-scan + 64-column partial aggregate
         return ENTRY_QUERIES["quality_classifier_train"](spark, d)
 
+    def clf_scrub(spark, d):
+        # the full curation composition: train -> score corpus ->
+        # exact-median gate (2-pass histogram) -> span-scrub survivors
+        return ENTRY_QUERIES["classifier_scrub_e2e"](spark, d)
+
     OPS = {
         "dedup_minhash": minhash,
         "set_join_jaccard": set_join,
@@ -136,6 +141,7 @@ def main() -> None:
         "dedup_winnowing": winnow,
         "dedup_span_scrub": span_scrub,
         "quality_classifier_train": clf_train,
+        "classifier_scrub_e2e": clf_scrub,
     }
     only = os.environ.get("SCALE_OPS")
     if only:
