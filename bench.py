@@ -129,6 +129,7 @@ HEADLINE = [
     "dedup_span_scrub",
     "quality_classifier_train",
     "classifier_scrub_e2e",
+    "dsir_select_docs",
 ]
 
 
@@ -311,6 +312,7 @@ def main() -> None:
         "quality_classifier_train",  # 16 GD jobs run at construction
         "quality_classifier_score",  # trains at construction, scores lazily
         "classifier_scrub_e2e",  # trains + selects the median threshold
+        "dsir_select_docs",  # scores cached + kth threshold at construction
     }
 
     timings: dict[str, float] = {}

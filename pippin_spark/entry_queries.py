@@ -4037,6 +4037,77 @@ def q_classifier_scrub_e2e(spark, sf_dir):
 
 
 @_q(
+    "dsir_select_docs",
+    # DSIR-shaped generative data selection (Xie et al. 2023),
+    # complementing the discriminative classifier gate: hashed-unigram
+    # bucket frequencies under the stopword-rule TARGET split vs the
+    # RAW corpus, add-one-smoothed integer frequency ratios, per-doc
+    # ratio-MEAN importance (documented monotone-integer divergence
+    # from the paper's log-ratio sum — no libm, bit-identical across
+    # engines), then keep the top importance quartile via the exact
+    # kth-order-statistic threshold (value-based, so threshold ties
+    # survive identically in both engines). Fully recomputed in SQL —
+    # no pins
+    """
+    WITH lab AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS l,
+             CASE WHEN len(list_intersect(
+                    list_distinct(list_filter(
+                      string_split_regex(lower(text), '\\s+'),
+                      t -> t <> '')),
+                    ['the', 'a', 'of', 'and', 'to', 'in', 'is',
+                     'that', 'it', 'for'])) >= 2
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), tokrows AS MATERIALIZED (
+      SELECT doc_id, y,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS j
+      FROM (SELECT doc_id, y, UNNEST(l) AS tok FROM lab)
+    ), cr AS (
+      SELECT j, COUNT(*) AS r FROM tokrows GROUP BY 1
+    ), ct AS (
+      SELECT j, COUNT(*) AS t FROM tokrows WHERE y = 1 GROUP BY 1
+    ), ratio AS MATERIALIZED (
+      SELECT cr.j, (COALESCE(ct.t, 0) + 1) * 10000 // (cr.r + 1) AS rb
+      FROM cr LEFT JOIN ct USING (j)
+    ), imp AS MATERIALIZED (
+      SELECT tk.doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(ratio.rb) AS BIGINT) // COUNT(*) AS imp_scaled
+      FROM tokrows tk JOIN ratio USING (j) GROUP BY 1
+    ), rk AS (
+      SELECT imp_scaled, ROW_NUMBER() OVER (ORDER BY imp_scaled) AS rn,
+             COUNT(*) OVER () AS n
+      FROM imp
+    ), tq AS MATERIALIZED (
+      SELECT imp_scaled AS t FROM rk WHERE rn = (3 * n + 3) // 4
+    )
+    SELECT i.doc_id, i.n_tok, i.imp_scaled
+    FROM imp i CROSS JOIN tq WHERE i.imp_scaled >= tq.t
+    """,
+)
+def q_dsir_select_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    lab = CLF.stopword_rule_label(F.col("text"), list(CLF_STOPWORDS), 2)
+    # (kept persisted: the kept branch of the returned plan reads this
+    # cache at consumer materialization — LRU-release contract)
+    scores = SMP.dsir_importance_scores(
+        docs, "text", "doc_id", lab
+    ).persist()
+    n = scores.count()
+    k = (3 * n + 3) // 4  # rank of the top-quartile threshold
+    thr = REL.exact_kth_2pass(
+        scores.select("imp_scaled"), "imp_scaled", k=k
+    ).select(F.col("value").alias("__t__"))
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .filter(F.col("imp_scaled") >= F.col("__t__"))
+        .select("doc_id", "n_tok", "imp_scaled")
+    )
+
+
+@_q(
     "dedup_winnowing",
     # winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash
     # every 5-gram, keep the RIGHTMOST MINIMUM of each 10-hash window.
@@ -9285,6 +9356,7 @@ _DRIVER_ROW_PRIORITY = [
     "quality_classifier_train",
     "quality_classifier_score",
     "classifier_scrub_e2e",
+    "dsir_select_docs",
     "agg_argmax",
     "text_unicode_clean",
     "sql_query_api",

@@ -272,3 +272,85 @@ def sample_weighted_topk(
         )
     top = scored.orderBy(*order).limit(k)
     return top.drop("__aes__")
+
+
+def dsir_importance_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_label: Column,
+    dim: int = 64,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Hashed-unigram frequency-ratio importance scores — the
+    data-selection-with-importance-resampling shape (DSIR, Xie et al.
+    2023, arXiv:2302.03169): estimate token-bucket frequencies under a
+    TARGET split (rows where ``target_label`` = 1) and under the RAW
+    corpus, and score every document by how target-like its tokens
+    are. Returns ``(id, n_tok, imp_scaled)`` for every document with
+    at least one token.
+
+    Exact-integer contract (the same no-libm discipline as
+    text_lm_score and the quality classifier): per-bucket ratio is
+    add-one smoothed ``(cnt_target[b] + 1) * scale div (cnt_raw[b] +
+    1)`` and the per-doc score is the truncating-div MEAN of its
+    token-occurrence ratios. Documented divergence from the paper:
+    ratio-MEAN pooling instead of log-ratio SUM — a monotone integer
+    transform of the same per-bucket evidence, chosen so the full
+    computation is bit-identical across engines and partition layouts
+    (log-ratio sums need libm floats with engine-dependent rounding).
+
+    Scale shape: ONE tokenize+explode corpus pass; the two bucket
+    histograms are dim-row aggregates (map-side combine, <= dim rows
+    per partition cross the exchange); the dim-row ratio table
+    broadcast-joins back to the token stream; the per-doc mean is one
+    keyed aggregate. No row UDFs, no driver data beyond dim rows.
+    """
+    from pippin_spark.operators.classifier import _bucket
+
+    # the per-doc label binds BELOW the token generator (the
+    # bind-once discipline: projected beside the explode it would
+    # re-evaluate once per token row)
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        target_label.alias("__y__"),
+        F.col(text_col).alias("__text__"),
+    )
+    toks = base.select(
+        "__id__",
+        "__y__",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("__text__")), "\\s+"),
+                lambda t: t != "",
+            )
+        ).alias("__tok__"),
+    ).select("__id__", "__y__", _bucket(F.col("__tok__"), dim).alias("__j__"))
+    cnt_r = toks.groupBy("__j__").agg(F.count(F.lit(1)).alias("__r__"))
+    cnt_t = (
+        toks.filter(F.col("__y__") == 1)
+        .groupBy("__j__")
+        .agg(F.count(F.lit(1)).alias("__t__"))
+    )
+    ratio = (
+        cnt_r.join(cnt_t, "__j__", "left")
+        .select(
+            "__j__",
+            F.expr(
+                f"(coalesce(__t__, 0L) + 1) * {scale} div (__r__ + 1)"
+            ).alias("__rb__"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "__j__")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("__rb__").alias("__s__"),
+        )
+        .select(
+            F.col("__id__").alias(id_col),
+            "n_tok",
+            F.expr("__s__ div n_tok").alias("imp_scaled"),
+        )
+    )

@@ -215,3 +215,64 @@ def test_sample_mixture_absent_group_matches_oracle_semantics(spark):
     assert srcs == {"a", "b"}  # absent 'zz' doesn't zero the budget
     none = sample_mixture(df, "id", "src", {"zz": 1_000_000})
     assert none.count() == 0
+
+
+def test_dsir_importance_matches_pure_python(spark):
+    """Bit-parity of the DSIR-shaped hashed frequency-ratio importance
+    against a pure-Python mirror of the integer contract, and the
+    semantic direction: target-looking docs (stopword-rich) must score
+    strictly higher than raw-only docs on a corpus where the splits
+    use disjoint vocabulary."""
+    import hashlib
+
+    stop = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+    docs = [
+        (1, "the cat sat on a mat and it is fine"),
+        (2, "zebra quark mango vortex plasma"),
+        (3, "of the and to in is that it for a"),
+        (4, "quark vortex zebra zebra plasma mango"),
+        (5, "the a zebra mango"),
+        (6, ""),
+    ]
+
+    def bucket(tok, dim=64):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+    tokrows = []
+    for d, t in docs:
+        toks = [w for w in t.lower().split() if w]
+        y = 1 if len(set(toks) & set(stop)) >= 2 else 0
+        for w in toks:
+            tokrows.append((d, y, bucket(w)))
+    cr, ct = {}, {}
+    for d, y, j in tokrows:
+        cr[j] = cr.get(j, 0) + 1
+        if y:
+            ct[j] = ct.get(j, 0) + 1
+    ratio = {j: (ct.get(j, 0) + 1) * 10_000 // (r + 1) for j, r in cr.items()}
+    exp = {}
+    for d, _, j in tokrows:
+        s, n = exp.get(d, (0, 0))
+        exp[d] = (s + ratio[j], n + 1)
+    exp = {d: (n, s // n) for d, (s, n) in exp.items()}
+
+    from pippin_spark.operators import classifier as C
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lab = C.stopword_rule_label(F.col("text"), stop, 2)
+    got = {
+        r["doc_id"]: (r["n_tok"], r["imp_scaled"])
+        for r in SMP.dsir_importance_scores(
+            df, "text", "doc_id", lab
+        ).collect()
+    }
+    assert got == exp
+    assert 6 not in got  # empty doc carries no tokens
+    # direction: pure-stopword doc 3 beats pure-raw doc 4
+    assert got[3][1] > got[4][1]
+    # no row UDFs in the plan
+    from pippin_spark import plans as P
+
+    assert P.plan_stats(
+        SMP.dsir_importance_scores(df, "text", "doc_id", lab)
+    )["row_udfs"] == 0

@@ -131,6 +131,11 @@ def main() -> None:
         # exact-median gate (2-pass histogram) -> span-scrub survivors
         return ENTRY_QUERIES["classifier_scrub_e2e"](spark, d)
 
+    def dsir(spark, d):
+        # generative selection: one tokenize pass, dim-row histograms,
+        # broadcast ratio join, exact top-quartile threshold
+        return ENTRY_QUERIES["dsir_select_docs"](spark, d)
+
     OPS = {
         "dedup_minhash": minhash,
         "set_join_jaccard": set_join,
@@ -142,6 +147,7 @@ def main() -> None:
         "dedup_span_scrub": span_scrub,
         "quality_classifier_train": clf_train,
         "classifier_scrub_e2e": clf_scrub,
+        "dsir_select_docs": dsir,
     }
     only = os.environ.get("SCALE_OPS")
     if only:
