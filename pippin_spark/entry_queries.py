@@ -9289,8 +9289,9 @@ def q_for_each_sink_roundtrip(spark, sf_dir):
 # correctness risk — but only queries in the driver's window get a
 # hard CORRECTNESS_r{N} row. Driver-row union after r4: 155/262; the
 # explicit order below rotates 50 of the 107 never-driver-checked
-# queries to the front (target union after r5: 205 of the 265 now
-# declared), the 57 others plus the three round-5 late additions
+# queries to the front (target union after r5: 205 of the 267 now
+# declared), the 57 others plus the five round-5 late additions
+# (span scrub, classifier train/score, the curation e2e, DSIR)
 # queue behind the boundary for round 6; the driver-green core keeps
 # its relative order at the back. tests/test_oracle.py asserts this
 # list stays exhaustive.
