@@ -130,6 +130,7 @@ HEADLINE = [
     "quality_classifier_train",
     "classifier_scrub_e2e",
     "dsir_select_docs",
+    "streaming_quality_gate",
 ]
 
 
@@ -313,6 +314,7 @@ def main() -> None:
         "quality_classifier_score",  # trains at construction, scores lazily
         "classifier_scrub_e2e",  # trains + selects the median threshold
         "dsir_select_docs",  # scores cached + kth threshold at construction
+        "streaming_quality_gate",  # trains + drains the stream in the builder
     }
 
     timings: dict[str, float] = {}

@@ -4108,6 +4108,54 @@ def q_dsir_select_docs(spark, sf_dir):
 
 
 @_q(
+    "streaming_quality_gate",
+    # streaming classifier INGEST gate with FULL cross-engine parity
+    # (unlike the snapshot-gated sketch streams): the exact-integer
+    # classifier trains batch-side on the 80% split, then the eval
+    # split flows through readStream and is scored IN-STREAM by a
+    # stateless per-row HOF rewrite of the scorer (zero shuffles, no
+    # state store — bucket counts, truncating-div tf, dot product and
+    # fast sigmoid all inside one projection). Integer sums are
+    # order-independent, so the drained rows must equal the batch
+    # scorer bit-for-bit — the oracle IS quality_classifier_score's
+    # full SQL recomputation of the trajectory + inference, no pins
+    _clf_score_oracle(),
+)
+def q_streaming_quality_gate(spark, sf_dir):
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").df
+    lab = CLF.stopword_rule_label(F.col("text"), list(CLF_STOPWORDS), 2)
+    w = CLF.logreg_train(
+        CLF.hash_token_features(
+            docs.filter(F.col("doc_id") % 10 < 8), "text", "doc_id", lab
+        )
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 10 >= 8)
+    )
+    scored = CLF.score_rowwise(
+        stream, "text", "doc_id", w, list(CLF_STOPWORDS)
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("pippin_stream_qgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="pippin_ckpt_qgate_"),
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("pippin_stream_qgate")
+
+
+@_q(
     "dedup_winnowing",
     # winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash
     # every 5-gram, keep the RIGHTMOST MINIMUM of each 10-hash window.
@@ -9358,6 +9406,7 @@ _DRIVER_ROW_PRIORITY = [
     "quality_classifier_score",
     "classifier_scrub_e2e",
     "dsir_select_docs",
+    "streaming_quality_gate",
     "agg_argmax",
     "text_unicode_clean",
     "sql_query_api",

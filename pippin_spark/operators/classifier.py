@@ -286,3 +286,75 @@ def logreg_score(feat: DataFrame, weights: List[int]) -> DataFrame:
             (F.col("prob") >= HALF_W) == (F.col("y") == 1), F.lit(1)
         ).otherwise(F.lit(0)).alias("correct"),
     )
+
+
+def score_rowwise(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: List[int],
+    stopwords: Sequence[str],
+    min_distinct: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """Stateless per-row scorer: the SAME integers as
+    hash_token_features + logreg_score, but with ZERO shuffles —
+    bucket counting, the truncating-div tf normalization, the dot
+    product, and the fast sigmoid all evaluate inside per-row HOF
+    expressions over the token array. This is the streaming/ingest
+    form of the classifier: scoring a firehose must not shuffle, and
+    Structured Streaming accepts the whole projection stateless.
+
+    The token-bucket array binds ONCE per row as an outer aggregate's
+    lambda variable (the bind-once discipline — inlined it would
+    recompute the md5 transform once per distinct bucket). Documents
+    with zero tokens are dropped, mirroring the featurizer.
+
+    Equivalence argument: batch z_pre = sum over present buckets j of
+    w_j * (cnt_j * SCALE_X div tot). The inner aggregate below walks
+    array_distinct(js) and computes exactly that term per bucket —
+    integer sums in any order are the same value, so stream and batch
+    agree bit-for-bit (pinned by pytest and by the declared query's
+    full cross-engine oracle)."""
+    toks_sql = (
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    )
+    js_sql = (
+        f"transform({toks_sql}, t -> "
+        f"cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % {dim})"
+    )
+    w_sql = "array(" + ", ".join(f"{int(x)}L" for x in weights) + ")"
+    z_pre = (
+        f"aggregate(array({js_sql}), 0L, (acc0, js) -> "
+        f"  aggregate(array_distinct(js), 0L, (acc, j) -> "
+        f"    acc + element_at({w_sql}, cast(j + 1 as int)) * "
+        f"      ((size(filter(js, x -> x = j)) * {SCALE_X}L) div size(js))))"
+    )
+    lab = stopword_rule_label(F.col(text_col), stopwords, min_distinct)
+    return (
+        df.filter(F.expr(f"size({toks_sql}) >= 1"))
+        .select(
+            F.col(id_col),
+            F.expr(z_pre).alias("__zp__"),
+            lab.alias("__y__"),
+        )
+        .withColumn("z", F.expr(f"__zp__ div {SCALE_X}"))
+        .withColumn(
+            "prob",
+            F.expr(
+                f"{HALF_W} + (z * {SCALE_W}) div (2 * ({SCALE_W} + abs(z)))"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("z").alias("z_scaled"),
+            F.col("prob").alias("prob_scaled"),
+            F.when(F.col("prob") >= HALF_W, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("pred"),
+            F.col("__y__").alias("label"),
+            F.when(
+                (F.col("prob") >= HALF_W) == (F.col("__y__") == 1), F.lit(1)
+            ).otherwise(F.lit(0)).alias("correct"),
+        )
+    )

@@ -192,3 +192,33 @@ def test_label_binds_below_the_generator(spark):
         "label expression found above the Generate — it will be "
         "re-evaluated per token row"
     )
+
+
+def test_score_rowwise_matches_batch_scorer(spark):
+    """The stateless per-row HOF scorer must reproduce the shuffle-
+    based featurize+score path bit-for-bit (integer sums are order-
+    independent, so the two evaluation strategies are provably equal —
+    this pins the implementation to the proof)."""
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    lab = C.stopword_rule_label(F.col("text"), STOP, 2)
+    w = C.logreg_train(_spark_feat(spark, DOCS))
+    batch = {
+        r["doc_id"]: (
+            r["z_scaled"], r["prob_scaled"], r["pred"], r["label"],
+            r["correct"],
+        )
+        for r in C.logreg_score(_spark_feat(spark, DOCS), w).collect()
+    }
+    roww = {
+        r["doc_id"]: (
+            r["z_scaled"], r["prob_scaled"], r["pred"], r["label"],
+            r["correct"],
+        )
+        for r in C.score_rowwise(df, "text", "doc_id", w, STOP).collect()
+    }
+    assert roww == batch
+    # stateless: the plan carries no exchange at all
+    from pippin_spark import plans as P
+
+    stats = P.plan_stats(C.score_rowwise(df, "text", "doc_id", w, STOP))
+    assert stats["exchanges"] == 0 and stats["row_udfs"] == 0
