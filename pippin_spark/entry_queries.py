@@ -1408,37 +1408,52 @@ def q_ann_topk_ivf_kmeans(spark, sf_dir):
 @_q(
     "emb_normalize",
     """
-    SELECT vec_id,
-           list_transform(CAST(embedding AS DOUBLE[]),
-             x -> ROUND(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                                         y -> y * y))), 6)) AS nvec
-    FROM embeddings
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> ROUND(x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                           y -> y * y))), 6)) AS nvec
+      FROM embeddings)
+    SELECT vec_id, generate_subscripts(nvec, 1) - 1 AS i, UNNEST(nvec) AS nval
+    FROM n
     """,
 )
 def q_emb_normalize(spark, sf_dir):
     # L2 normalization (native HOFs, no UDF); round-6 absorbs any
-    # cross-engine float-fold difference, like dedup_embedding's oracle
+    # cross-engine float-fold difference, like dedup_embedding's oracle.
+    # Output is FLATTENED to (vec_id, i, nval) scalars — the driver's
+    # canonicalizer sorts rows with pandas, which cannot hash
+    # array-typed cells (r5 lesson: the four array-output queries were
+    # the only driver-window failures).
     emb = _t(spark, sf_dir, "embeddings").df
     nv = SIM.normalize_vectors(F.col("embedding"))
     return emb.select(
-        "vec_id", F.transform(nv, lambda x: F.round(x, 6)).alias("nvec")
+        "vec_id",
+        F.posexplode(F.transform(nv, lambda x: F.round(x, 6))).alias("i", "nval"),
     )
 
 
 @_q(
     "emb_quantize",
     """
-    SELECT vec_id,
-           list_transform(CAST(embedding AS DOUBLE[]),
-             x -> CAST(ROUND(x * 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
-                                                                 y -> abs(y)))) AS INT)) AS qvec
-    FROM embeddings
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(ROUND(x * 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                                   y -> abs(y)))) AS INT)) AS qvec
+      FROM embeddings)
+    SELECT vec_id, generate_subscripts(qvec, 1) - 1 AS i, UNNEST(qvec) AS qval
+    FROM n
     """,
 )
 def q_emb_quantize(spark, sf_dir):
-    # symmetric int8 quantization — integer outputs, exact compare
+    # symmetric int8 quantization — integer outputs, exact compare;
+    # flattened to (vec_id, i, qval) for driver-canonicalizer parity
     emb = _t(spark, sf_dir, "embeddings").df
-    return emb.select("vec_id", SIM.quantize_int8(F.col("embedding")).alias("qvec"))
+    return emb.select(
+        "vec_id",
+        F.posexplode(SIM.quantize_int8(F.col("embedding"))).alias("i", "qval"),
+    )
 
 
 @_q(
@@ -2559,17 +2574,21 @@ def q_join_outer_counts(spark, sf_dir):
       SELECT label,
              UNNEST(range(len(CAST(embedding AS DOUBLE[])))) AS pos,
              UNNEST(CAST(embedding AS DOUBLE[])) AS v
-      FROM embeddings),
-    a AS (SELECT label, pos, AVG(v) AS m FROM u GROUP BY 1, 2)
-    SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
-    FROM a GROUP BY label
+      FROM embeddings)
+    SELECT label, CAST(pos AS INT) AS i, ROUND(AVG(v), 6) AS cval
+    FROM u GROUP BY 1, 2
     """,
 )
 def q_emb_label_centroids(spark, sf_dir):
     # per-label mean embedding; round-6 absorbs cross-engine float-fold
-    # order differences (same policy as emb_normalize)
+    # order differences (same policy as emb_normalize). The op returns
+    # the assembled centroid array; the query posexplodes it back to
+    # (label, i, cval) scalars for driver-canonicalizer parity.
     emb = _t(spark, sf_dir, "embeddings").df
-    return SIM.label_centroids(emb, "embedding", "label")
+    cent = SIM.label_centroids(emb, "embedding", "label")
+    return cent.select(
+        "label", F.posexplode(F.col("centroid")).alias("i", "cval")
+    )
 
 
 @_q(
@@ -3212,15 +3231,19 @@ def q_unpivot_lineitem(spark, sf_dir):
     # deterministic form the oracle can reproduce)
     """
     SELECT event_type,
-           array_agg(DISTINCT user_id ORDER BY user_id) AS users,
+           array_to_string(array_agg(DISTINCT user_id ORDER BY user_id), ',')
+             AS users_csv,
            CAST(len(array_agg(DISTINCT user_id)) AS INT) AS n_users
     FROM events GROUP BY 1
     """,
 )
 def q_agg_array_ops(spark, sf_dir):
+    # sorted-distinct array agg; emitted as a joined string because the
+    # driver's canonicalizer cannot hash array cells (exact integer
+    # formatting is engine-stable, so the CSV form compares bit-exact)
     ev = _t(spark, sf_dir, "events").df
     return ev.groupBy("event_type").agg(
-        F.array_sort(F.collect_set("user_id")).alias("users"),
+        F.concat_ws(",", F.array_sort(F.collect_set("user_id"))).alias("users_csv"),
         F.size(F.collect_set("user_id")).alias("n_users"),
     )
 
@@ -4674,17 +4697,21 @@ def q_winsorize_events(spark, sf_dir):
     # swap the batch fn for a model; the plumbing is the op). Values
     # are exact rationals (byte/255 - 0.5 rounded 6) → full SQL oracle.
     f"""
-    SELECT doc_id,
-           [ROUND(CAST({_MD5_BYTE.format(pos=1)} AS DOUBLE) / 255 - 0.5, 6),
-            ROUND(CAST({_MD5_BYTE.format(pos=3)} AS DOUBLE) / 255 - 0.5, 6),
-            ROUND(CAST({_MD5_BYTE.format(pos=5)} AS DOUBLE) / 255 - 0.5, 6),
-            ROUND(CAST({_MD5_BYTE.format(pos=7)} AS DOUBLE) / 255 - 0.5, 6),
-            ROUND(CAST({_MD5_BYTE.format(pos=9)} AS DOUBLE) / 255 - 0.5, 6),
-            ROUND(CAST({_MD5_BYTE.format(pos=11)} AS DOUBLE) / 255 - 0.5, 6),
-            ROUND(CAST({_MD5_BYTE.format(pos=13)} AS DOUBLE) / 255 - 0.5, 6),
-            ROUND(CAST({_MD5_BYTE.format(pos=15)} AS DOUBLE) / 255 - 0.5, 6)]
-             AS embedding
-    FROM documents
+    WITH n AS (
+      SELECT doc_id,
+             [ROUND(CAST({_MD5_BYTE.format(pos=1)} AS DOUBLE) / 255 - 0.5, 6),
+              ROUND(CAST({_MD5_BYTE.format(pos=3)} AS DOUBLE) / 255 - 0.5, 6),
+              ROUND(CAST({_MD5_BYTE.format(pos=5)} AS DOUBLE) / 255 - 0.5, 6),
+              ROUND(CAST({_MD5_BYTE.format(pos=7)} AS DOUBLE) / 255 - 0.5, 6),
+              ROUND(CAST({_MD5_BYTE.format(pos=9)} AS DOUBLE) / 255 - 0.5, 6),
+              ROUND(CAST({_MD5_BYTE.format(pos=11)} AS DOUBLE) / 255 - 0.5, 6),
+              ROUND(CAST({_MD5_BYTE.format(pos=13)} AS DOUBLE) / 255 - 0.5, 6),
+              ROUND(CAST({_MD5_BYTE.format(pos=15)} AS DOUBLE) / 255 - 0.5, 6)]
+               AS embedding
+      FROM documents)
+    SELECT doc_id, generate_subscripts(embedding, 1) - 1 AS i,
+           UNNEST(embedding) AS val
+    FROM n
     """,
 )
 def q_embed_documents(spark, sf_dir):
@@ -4709,8 +4736,13 @@ def q_embed_documents(spark, sf_dir):
 
     from pippin_spark.operators.util import ensure_parallelism
 
-    return ensure_parallelism(docs).mapInPandas(
+    inferred = ensure_parallelism(docs).mapInPandas(
         embed, "doc_id long, embedding array<double>"
+    )
+    # the op keeps the batch-inference array shape; the query output is
+    # flattened to scalars for driver-canonicalizer parity
+    return inferred.select(
+        "doc_id", F.posexplode(F.col("embedding")).alias("i", "val")
     )
 
 
@@ -7793,18 +7825,24 @@ def q_snapshot_diff_orders(spark, sf_dir):
     # undefined; the sort makes it deterministic), never a window
     """
     SELECT user_id,
-           (list(event_type ORDER BY epoch_ns(ts), event_id))[1:20] AS history
+           array_to_string((list(event_type ORDER BY epoch_ns(ts), event_id))[1:20],
+                           '|') AS history
     FROM events GROUP BY 1
     """,
 )
 def q_user_event_history(spark, sf_dir):
+    # joined-string form for driver-canonicalizer parity (event_type
+    # values contain no '|'; order is pinned by the (ts, event_id) sort)
     ev = _ev(spark, sf_dir)
     packed = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", "event_type"))
     )
     return ev.groupBy("user_id").agg(
-        F.slice(
-            F.transform(packed, lambda s: s.getField("event_type")), 1, 20
+        F.concat_ws(
+            "|",
+            F.slice(
+                F.transform(packed, lambda s: s.getField("event_type")), 1, 20
+            ),
         ).alias("history")
     )
 
@@ -8136,23 +8174,31 @@ def q_sql_scalar_udf(spark, sf_dir):
     # segment definition — arrays sorted so the values hash stably
     """
     SELECT user_id,
-           list_sort(list_distinct(list(event_type))) AS all_types,
-           list_sort(list_intersect(list_distinct(list(event_type)),
-                                    ['click', 'purchase'])) AS funnel_types,
-           list_sort(list_filter(list_distinct(list(event_type)),
-                     x -> NOT list_contains(['click', 'purchase'], x)))
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS all_types,
+           array_to_string(list_sort(list_intersect(list_distinct(list(event_type)),
+                                                    ['click', 'purchase'])), ',')
+             AS funnel_types,
+           array_to_string(list_sort(list_filter(list_distinct(list(event_type)),
+                           x -> NOT list_contains(['click', 'purchase'], x))), ',')
              AS other_types
     FROM events GROUP BY 1
     """,
 )
 def q_user_type_setops(spark, sf_dir):
+    # joined-string form for driver-canonicalizer parity (event types
+    # contain no ','; arrays are sorted so the CSV is deterministic)
     ev = _t(spark, sf_dir, "events").df
     types = F.array_sort(F.collect_set("event_type"))
     target = F.array(F.lit("click"), F.lit("purchase"))
     return ev.groupBy("user_id").agg(
-        types.alias("all_types"),
-        F.array_sort(F.array_intersect(types, target)).alias("funnel_types"),
-        F.array_sort(F.array_except(types, target)).alias("other_types"),
+        F.concat_ws(",", types).alias("all_types"),
+        F.concat_ws(",", F.array_sort(F.array_intersect(types, target))).alias(
+            "funnel_types"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_except(types, target))).alias(
+            "other_types"
+        ),
     )
 
 

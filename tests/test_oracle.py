@@ -78,6 +78,28 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
     assert mismatches == 0, f"{name}: {mismatches}/{len(a)} rows differ; first spark={a[:2]} ddb={b[:2]}"
 
 
+def test_all_query_outputs_are_driver_canonicalizable(spark, sf_dir):
+    """The driver's correctness harness canonicalizes result rows with
+    pandas sort_values over every column — array/map/struct cells are
+    unhashable there and crash the gate (r5: the only driver-window
+    failures were the four array-output embedding queries). Every
+    declared query must therefore emit only atomic columns. Schema-only
+    check: no execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf_dir)
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"non-atomic output columns: {offenders}"
+
+
 def test_driver_row_priority_is_exhaustive():
     """Every registered query must be explicitly slotted in the
     driver-gate priority list (entry_queries._DRIVER_ROW_PRIORITY) so

@@ -149,6 +149,17 @@ def main() -> int:
         scols, skinds, srows = canon_table(stbl)
         ocols, okinds, orows = canon_table(otbl)
         problems = []
+        # the DRIVER's canonicalizer sorts rows with pandas, which
+        # cannot hash list/struct cells (r5: the only window failures
+        # were array-output queries) — non-atomic output columns are a
+        # hard FAIL here even though canon_cell could compare them
+        bad_atomic = {
+            c: k
+            for c, k in skinds.items()
+            if k.startswith("list<") or k.startswith("struct<")
+        }
+        if bad_atomic:
+            problems.append(f"driver-incompatible non-atomic columns {bad_atomic}")
         if scols != ocols:
             problems.append(f"cols spark={scols} oracle={ocols}")
         else:
