@@ -50,7 +50,7 @@ from typing import List, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pippin_spark.operators.util import local_table
+from pippin_spark.operators.util import feature_bucket, local_table
 
 DIM = 64
 SCALE_X = 10_000
@@ -67,11 +67,10 @@ def tdiv(a: int, b: int) -> int:
     return -q if (a < 0) != (b < 0) else q
 
 
-def _bucket(col: Column, dim: int) -> Column:
-    """Token -> feature bucket: first 8 md5 hex chars as an int mod
-    dim. Matches `CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) %
-    dim` in DuckDB (verified: 'the' -> 45 in both engines)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % dim
+# token -> feature bucket, promoted to operators.util (shared with
+# DSIR's importance buckets); kept under the old private name for the
+# module's call sites
+_bucket = feature_bucket
 
 
 def stopword_rule_label(

@@ -1042,6 +1042,16 @@ def exact_kth_2pass(
         .orderBy("__b__")
         .collect()
     )
+    if not hist:
+        # empty input: the k-th of an empty set is no row, not an
+        # error — SQL consumers (the DSIR / classifier median gates)
+        # join against this threshold, and an empty threshold keeps
+        # nothing, matching their oracles' empty-CTE semantics
+        return local_table(
+            df.sparkSession,
+            [],
+            f"k bigint, value {df.schema[value_col].dataType.simpleString()}",
+        )
     if k is None:
         # lower median; n comes free from the histogram — no extra scan
         n = sum(row["__n__"] for row in hist)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pippin_spark.operators.util import feature_bucket
+
 _KNUTH = 2654435761
 _M31 = 2147483647
 _M32 = 4294967296
@@ -306,8 +308,6 @@ def dsir_importance_scores(
     broadcast-joins back to the token stream; the per-doc mean is one
     keyed aggregate. No row UDFs, no driver data beyond dim rows.
     """
-    from pippin_spark.operators.classifier import _bucket
-
     # the per-doc label binds BELOW the token generator (the
     # bind-once discipline: projected beside the explode it would
     # re-evaluate once per token row)
@@ -325,7 +325,7 @@ def dsir_importance_scores(
                 lambda t: t != "",
             )
         ).alias("__tok__"),
-    ).select("__id__", "__y__", _bucket(F.col("__tok__"), dim).alias("__j__"))
+    ).select("__id__", "__y__", feature_bucket(F.col("__tok__"), dim).alias("__j__"))
     cnt_r = toks.groupBy("__j__").agg(F.count(F.lit(1)).alias("__r__"))
     cnt_t = (
         toks.filter(F.col("__y__") == 1)

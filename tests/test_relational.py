@@ -379,6 +379,20 @@ def test_exact_kth_2pass_matches_sorted(spark):
         R.exact_kth_2pass(df, "v", k=len(vals) + 1)
 
 
+def test_exact_kth_2pass_empty_input_returns_no_row(spark):
+    """The k-th of an empty set is no row, not an error: the DSIR and
+    classifier median gates join against the returned threshold, and
+    an empty threshold keeps nothing — matching the SQL oracles, whose
+    threshold CTE is empty on a degenerate corpus."""
+    df = spark.createDataFrame([], "v long")
+    out = R.exact_kth_2pass(df, "v")
+    assert out.columns == ["k", "value"]
+    assert out.count() == 0
+    # the same holds with an explicit k — the data, not the rank
+    # request, is what's degenerate
+    assert R.exact_kth_2pass(df, "v", k=5).count() == 0
+
+
 def test_cogroup_reconcile_matches_plain_python(spark):
     rows = [
         # (key, ts, tie, cents) — left if tie even
