@@ -131,6 +131,10 @@ HEADLINE = [
     "classifier_scrub_e2e",
     "dsir_select_docs",
     "streaming_quality_gate",
+    # round-6 additions
+    "hard_negative_mining",
+    "mixture_weights_sqrt",
+    "shuffle_order_docs",
 ]
 
 

@@ -9377,6 +9377,91 @@ def q_for_each_sink_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-6 batch: contrastive hard-negative mining, temperature-scaled
+# mixture weights, deterministic global training-shuffle order
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "hard_negative_mining",
+    # contrastive-training primitive: for each hash-sampled anchor, the
+    # top-k most-similar CROSS-label vectors (high-cosine different-
+    # class candidates are the informative negatives). Exact oracle —
+    # same rounded-cosine ranking contract as ann_topk_bruteforce.
+    """
+    WITH a AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) qv
+               FROM embeddings WHERE vec_id % 25 = 0),
+         p AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(qv, CAST(b.embedding AS DOUBLE[])), 6)
+                    AS cosine
+           FROM a JOIN embeddings b ON a.label <> b.label
+         )
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM p QUALIFY rank <= 5
+    """,
+)
+def q_hard_negative_mining(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    anchors = emb.filter(F.col("vec_id") % 25 == 0)
+    return SIM.hard_negative_topk(emb, anchors, "embedding", "vec_id", "label", k=5)
+
+
+@_q(
+    "mixture_weights_sqrt",
+    # temperature-scaled (α=0.5) domain mixture weights — the
+    # multilingual-pretraining sampling rule (weight ∝ sqrt(n)): small
+    # domains up-weighted without any giant domain dominating. Exact
+    # integers end-to-end: isqrt is float-estimated then ±1-corrected
+    # in integer arithmetic (identical CASE on both engines), the ppm
+    # weight is an integer div against the broadcast Σs.
+    f"""
+    WITH by_dom AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), s AS (
+      SELECT lang, source, n, {SMP.ISQRT_SQL.format(n='n')} AS s
+      FROM by_dom
+    ), tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM s)
+    SELECT s.lang, s.source, s.n, s.s,
+           CAST(s.s * 1000000 // tot.t AS BIGINT) AS weight_ppm
+    FROM s CROSS JOIN tot
+    """,
+)
+def q_mixture_weights_sqrt(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return SMP.sqrt_temperature_weights(docs, ["lang", "source"])
+
+
+@_q(
+    "shuffle_order_docs",
+    # deterministic global training-shuffle order: every epoch-0 data
+    # loader needs ONE agreed pseudorandom permutation of the corpus —
+    # rank by md5(seed || doc_id). The rank is total and engine-stable
+    # (hex strings compare identically); Spark computes it WITHOUT a
+    # single-partition window via ranked_sort's range-exchange +
+    # offset-broadcast (plan-gated elsewhere for agg_sort).
+    """
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) AS shuffle_rank
+    FROM documents
+    """,
+)
+def q_shuffle_order_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id")
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    ranked = REL.ranked_sort(
+        docs.withColumn("__k__", key),
+        [F.col("__k__").asc(), F.col("doc_id").asc()],
+        rank_col="shuffle_rank",
+    )
+    return ranked.select("doc_id", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"))
+
+
+# ---------------------------------------------------------------------------
 # driver-gate registration order (round-5 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
@@ -9448,8 +9533,11 @@ _DRIVER_ROW_PRIORITY = [
     "length_decile_docs",
     "dedup_transitive_keep",
     # --- ~driver-window boundary (first 50 above) ---
-    # never-driver-checked remainder (r7+ rotation pool),
-    # then the driver-green core in prior relative order
+    # never-driver-checked remainder (r7+ rotation pool; round-6
+    # additions lead), then the driver-green core in prior order
+    "hard_negative_mining",
+    "mixture_weights_sqrt",
+    "shuffle_order_docs",
     "for_each_sink_roundtrip",
     "knn_join_ivf",
     "ann_topk_pq",

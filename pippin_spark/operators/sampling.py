@@ -354,3 +354,58 @@ def dsir_importance_scores(
             F.expr("__s__ div n_tok").alias("imp_scaled"),
         )
     )
+
+
+def exact_isqrt(n: Column) -> Column:
+    """Exact integer square root of a non-negative BIGINT column.
+
+    floor(sqrt(double)) alone is wrong at the edges: float64 sqrt can
+    land a hair above or below the true root near perfect squares, and
+    the two engines need not err the same way. One float estimate plus
+    an integer-only ±1 correction is exact for all n < 2^52 and uses
+    identical CASE logic on both sides of the oracle contract."""
+    s0 = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    return (
+        F.when((s0 + 1) * (s0 + 1) <= n, s0 + 1)
+        .when(s0 * s0 > n, s0 - 1)
+        .otherwise(s0)
+    )
+
+
+ISQRT_SQL = (
+    "CASE WHEN (CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) + 1) "
+    "          * (CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) + 1) <= {n} "
+    "     THEN CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) + 1 "
+    "     WHEN CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) "
+    "          * CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) > {n} "
+    "     THEN CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) - 1 "
+    "     ELSE CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) END"
+)
+"""DuckDB mirror of exact_isqrt — same estimate, same ±1 correction."""
+
+
+def sqrt_temperature_weights(
+    df: DataFrame, domain_cols, scale: int = 1_000_000
+) -> DataFrame:
+    """Temperature-scaled (α = 0.5) domain mixture weights — the
+    multilingual-pretraining sampling rule (mBERT / XLM-R style):
+    a domain's sampling weight is proportional to sqrt(n) rather than
+    n, up-weighting small domains without letting any one giant domain
+    dominate the mix. Complements lang_rebalance_plan (uniform target)
+    with the smooth-interpolation variant every mixture tuner reaches
+    for first.
+
+    Exact integers end-to-end: s = isqrt(n) (integer ±1-corrected),
+    weight_ppm = s·scale div Σs — bit-identical across engines and
+    partition layouts. Scale shape: one map-side-combined count per
+    domain (≤ #domains rows cross the exchange), a 1-row Σs broadcast,
+    pure arithmetic after; corpus volume never moves."""
+    by = df.groupBy(*domain_cols).agg(F.count(F.lit(1)).alias("n"))
+    bys = by.withColumn("s", exact_isqrt(F.col("n")))
+    tot = bys.agg(F.sum("s").alias("__tot__"))
+    return bys.join(F.broadcast(tot)).select(
+        *domain_cols,
+        "n",
+        "s",
+        F.expr(f"s * {scale} div __tot__").alias("weight_ppm"),
+    )

@@ -63,6 +63,48 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k most-similar CROSS-label neighbors per anchor — the
+    hard-negative mining primitive behind contrastive / retrieval
+    training (high-cosine different-class candidates are the
+    informative negatives; random negatives are trivially easy and
+    teach nothing).
+
+    Same contract as brute_force_topk: ``queries`` (the anchors) must
+    be small by contract — hash-sample them — and broadcast; the
+    corpus streams once; rank on the 6-dp-rounded cosine with
+    neighbor-id tie-break so both engines rank the same value. A
+    same-id pair is impossible across labels, so no self-pair guard is
+    needed. Scale path for corpus-sized anchor sets: route through IVF
+    cells (knn_join_ivf) and filter labels inside the cell join."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__qlab__"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nlab__"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = c.join(F.broadcast(q), F.col("__qlab__") != F.col("__nlab__")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,

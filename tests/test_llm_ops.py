@@ -1417,3 +1417,41 @@ def test_span_scrub_whole_doc_removed(spark):
         ).collect()
     }
     assert got == {1: ("", 40), 2: ("", 40)}
+
+
+def test_hard_negative_topk_matches_pure_python(spark):
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(5)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"])
+    anchors = df.filter(F.col("vec_id") < 4)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in S.hard_negative_topk(
+            df, anchors, "embedding", "vec_id", "label", k=3
+        ).collect()
+    )
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(y * y for y in b))
+        return round(num / (na * nb), 6) if na > 0 and nb > 0 else 0.0
+
+    want = []
+    for qid, qv, qlab in vecs[:4]:
+        cands = sorted(
+            ((cos(qv, cv), -nid) for nid, cv, nlab in vecs if nlab != qlab),
+            reverse=True,
+        )
+        for rank, (c, negid) in enumerate(cands[:3], 1):
+            want.append((qid, rank, -negid, c))
+    assert got == sorted(want)
+    # every mined negative really is cross-label
+    lab = {i: l for i, _, l in vecs}
+    for qid, _, nid, _ in got:
+        assert lab[qid] != lab[nid]

@@ -689,3 +689,15 @@ def test_plans_module_stats_and_guard(spark, qs):
     )
     with _pt.raises(AssertionError, match="SinglePartition"):
         P.assert_scale_shape(bad, max_single_partition=0)
+
+
+def test_shuffle_order_ranks_without_full_single_partition(spark, qs):
+    # the global training-shuffle rank must come from ranked_sort's
+    # range exchange, never a single-partition window over the corpus
+    p = plan(qs["shuffle_order_docs"](spark, SF))
+    assert "rangepartitioning" in p.lower()
+    singles = len(re.findall(r"Arguments: SinglePartition", p))
+    assert singles <= 1
+    if singles:
+        before = p.split("Arguments: SinglePartition")[0]
+        assert "HashAggregate" in before or "ObjectHashAggregate" in before

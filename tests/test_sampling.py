@@ -276,3 +276,42 @@ def test_dsir_importance_matches_pure_python(spark):
     assert P.plan_stats(
         SMP.dsir_importance_scores(df, "text", "doc_id", lab)
     )["row_udfs"] == 0
+
+
+def test_exact_isqrt_matches_math_isqrt(spark):
+    import math
+
+    # edge cases where float sqrt rounds the wrong way: perfect squares,
+    # square±1, and large values near the 2^52 float-precision cliff
+    vals = [0, 1, 2, 3, 4, 8, 9, 10, 15, 16, 17, 24, 25, 26]
+    for r in [10**6, 10**7, 2**26 - 1]:
+        vals += [r * r - 1, r * r, r * r + 1]
+    vals += [2**50, 2**51, 2**52 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = {
+        r["n"]: r["s"]
+        for r in df.select("n", SMP.exact_isqrt(F.col("n")).alias("s")).collect()
+    }
+    for v in vals:
+        assert got[v] == math.isqrt(v), v
+
+
+def test_sqrt_temperature_weights_matches_pure_python(spark):
+    import math
+
+    rows = [(i, "en" if i % 7 else "de", f"s{i % 3}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+    got = {
+        (r["lang"], r["source"]): (r["n"], r["s"], r["weight_ppm"])
+        for r in SMP.sqrt_temperature_weights(df, ["lang", "source"]).collect()
+    }
+    from collections import Counter
+
+    cnt = Counter((lang, src) for _, lang, src in rows)
+    tot = sum(math.isqrt(n) for n in cnt.values())
+    for dom, n in cnt.items():
+        s = math.isqrt(n)
+        assert got[dom] == (n, s, s * 1_000_000 // tot), dom
+    # the ppm weights under-shoot 1e6 by at most #domains (floor div)
+    wsum = sum(w for _, _, w in got.values())
+    assert 1_000_000 - len(cnt) <= wsum <= 1_000_000
