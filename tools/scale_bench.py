@@ -136,6 +136,24 @@ def main() -> None:
         # broadcast ratio join, exact top-quartile threshold
         return ENTRY_QUERIES["dsir_select_docs"](spark, d)
 
+    def hardneg(spark, d):
+        # hard-negative mining in its documented regime: a BOUNDED
+        # anchor set (~80, stride grows with the corpus) broadcast
+        # against the full corpus — the slope measures the corpus pass,
+        # not an anchors×corpus quadratic the contract never promises
+        emb = Pipeline.from_table(spark, d, "embeddings").df
+        n = emb.count()
+        stride = max(25, n // 80)
+        anchors = emb.filter(F.col("vec_id") % stride == 0)
+        return SIM.hard_negative_topk(
+            emb, anchors, "embedding", "vec_id", "label", k=5
+        )
+
+    def shuffle_order(spark, d):
+        # deterministic global training shuffle: one range exchange +
+        # offset broadcast (ranked_sort) over the documents table
+        return ENTRY_QUERIES["shuffle_order_docs"](spark, d)
+
     OPS = {
         "dedup_minhash": minhash,
         "set_join_jaccard": set_join,
@@ -148,6 +166,8 @@ def main() -> None:
         "quality_classifier_train": clf_train,
         "classifier_scrub_e2e": clf_scrub,
         "dsir_select_docs": dsir,
+        "hard_negative_mining": hardneg,
+        "shuffle_order_docs": shuffle_order,
     }
     only = os.environ.get("SCALE_OPS")
     if only:
