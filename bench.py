@@ -135,6 +135,7 @@ HEADLINE = [
     "hard_negative_mining",
     "mixture_weights_sqrt",
     "shuffle_order_docs",
+    "corpus_manifest_docs",
 ]
 
 

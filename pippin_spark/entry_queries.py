@@ -9461,6 +9461,53 @@ def q_shuffle_order_docs(spark, sf_dir):
     return ranked.select("doc_id", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"))
 
 
+@_q(
+    "corpus_manifest_docs",
+    # order-independent corpus content manifest: per id-bucket row
+    # count + commutative 32-bit digest sum + id range — two corpus
+    # copies are content-identical iff manifests match, with no
+    # co-location or sort of either copy (the 100 TB replication /
+    # migration verification primitive). Only #buckets rows cross the
+    # exchange.
+    TXT.corpus_manifest_oracle_sql("documents", "text", "doc_id", 64),
+)
+def q_corpus_manifest_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return TXT.corpus_manifest(docs, "text", "doc_id", num_buckets=64)
+
+
+@_q(
+    "source_orc_roundtrip",
+    # ORC format breadth: the orders aggregate routed through an ORC
+    # write + read-back (columnar format #2 beside parquet; DuckDB has
+    # no ORC reader, so the oracle computes the same aggregate from
+    # the identical parquet data — the roundtrip is what's under test)
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_source_orc_roundtrip(spark, sf_dir):
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/pippin_orc_{tag}/orders"
+    (
+        _t(spark, sf_dir, "orders")
+        .df.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-5 rotation)
 # ---------------------------------------------------------------------------
@@ -9538,6 +9585,8 @@ _DRIVER_ROW_PRIORITY = [
     "hard_negative_mining",
     "mixture_weights_sqrt",
     "shuffle_order_docs",
+    "corpus_manifest_docs",
+    "source_orc_roundtrip",
     "for_each_sink_roundtrip",
     "knn_join_ivf",
     "ann_topk_pq",

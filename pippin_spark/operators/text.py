@@ -236,6 +236,61 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized)
 
 
+def corpus_manifest(
+    df: DataFrame, text_col: str, id_col: str, num_buckets: int = 64
+) -> DataFrame:
+    """Order-independent corpus content manifest — the replication /
+    migration verification primitive: two copies of a corpus (across
+    regions, engines, or re-partitionings) are content-identical iff
+    their manifests match, without ever co-locating or sorting either
+    copy.
+
+    Per id-bucket: row count, the SUM of 32-bit content digests
+    (integer addition is commutative, so the digest is independent of
+    row order, partitioning and merge order — the same reason the HLL
+    registers merge freely), and the id range. One map-side-combined
+    aggregate; only #buckets rows cross the exchange. Collision note:
+    a corrupted doc pair escaping detection needs digest deltas that
+    cancel within one bucket — probability ~2^-32 per bucket, and the
+    count/min/max arms catch add/drop/reorder corruption outright.
+    Overflow bound: digest_sum stays exact below 2^31 rows per bucket
+    (32-bit digests into a 64-bit sum) — size num_buckets so buckets
+    stay under that; both engines then agree bit-for-bit."""
+    d32 = F.conv(F.substring(fingerprint(F.col(text_col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.groupBy(
+            F.pmod(F.col(id_col), F.lit(num_buckets)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(d32).alias("digest_sum"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
+def corpus_manifest_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> str:
+    """DuckDB mirror of corpus_manifest (same md5-prefix digest)."""
+    fp = f"md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')))"
+    return f"""
+    SELECT {id_col} % {num_buckets} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(('0x' || substr({fp}, 1, 8)) AS BIGINT)) AS BIGINT)
+             AS digest_sum,
+           MIN({id_col}) AS min_id,
+           MAX({id_col}) AS max_id
+    FROM {table} GROUP BY 1
+    """
+
+
 def lang_id_oracle_sql(text_expr: str = "text") -> str:
     """DuckDB SQL computing the identical lang_id (for the oracle)."""
     toks = f"list_distinct(string_split(regexp_replace(lower({text_expr}), '\\s+', ' ', 'g'), ' '))"

@@ -1455,3 +1455,26 @@ def test_hard_negative_topk_matches_pure_python(spark):
     lab = {i: l for i, _, l in vecs}
     for qid, _, nid, _ in got:
         assert lab[qid] != lab[nid]
+
+
+def test_corpus_manifest_partition_invariant_and_corruption_sensitive(spark, docs):
+    def rows(df):
+        return sorted(tuple(r) for r in X.corpus_manifest(df, "text", "doc_id", 8).collect())
+
+    base = rows(docs)
+    assert base == rows(docs.repartition(7))
+    assert base == rows(docs.orderBy(F.desc("doc_id")))
+    # single-char corruption moves exactly that doc's bucket digest
+    corrupted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.concat(F.col("text"), F.lit("!"))).otherwise(
+            F.col("text")
+        ),
+    )
+    diff = set(base) ^ set(rows(corrupted))
+    buckets = {b for b, *_ in diff}
+    assert buckets == {3 % 8}
+    # counts/id-range arms unchanged by an in-place edit
+    for b, n, _, lo, hi in rows(corrupted):
+        match = [r for r in base if r[0] == b][0]
+        assert (n, lo, hi) == (match[1], match[3], match[4])
