@@ -70,6 +70,8 @@ def hard_negative_topk(
     id_col: str,
     label_col: str,
     k: int = 5,
+    overfetch: int = 8,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Exact top-k most-similar CROSS-label neighbors per anchor — the
     hard-negative mining primitive behind contrastive / retrieval
@@ -77,27 +79,114 @@ def hard_negative_topk(
     informative negatives; random negatives are trivially easy and
     teach nothing).
 
-    Same contract as brute_force_topk: ``queries`` (the anchors) must
-    be small by contract — hash-sample them — and broadcast; the
-    corpus streams once; rank on the 6-dp-rounded cosine with
-    neighbor-id tie-break so both engines rank the same value. A
-    same-id pair is impossible across labels, so no self-pair guard is
-    needed. Scale path for corpus-sized anchor sets: route through IVF
-    cells (knn_join_ivf) and filter labels inside the cell join."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("__qlab__"),
-        _as_double(F.col(vec_col)).alias("qv"),
+    ``queries`` (the anchors) must be bounded by contract — hash-sample
+    them; ``max_queries`` (default 64k ≈ 32 MB of 64-dim doubles as a
+    closure ndarray) fails loud past the regime. The corpus streams
+    ONCE through an Arrow stage: each batch scores against the anchor
+    matrix in one numpy matmul (never the interpreted HOF evaluator —
+    the first cut cost C·dim interpreted lambda evals per corpus row,
+    the exact _assign_cells trap), masks same-label pairs, and emits
+    only each anchor's per-batch top ``k + overfetch`` candidate ids,
+    selected by the SAME (cosine rounded 6 DESC, id ASC) order the
+    re-rank uses — so per-batch pruning is exact under that total
+    order and ``overfetch`` only absorbs float64 matmul-vs-fold
+    divergence (the knn_join_blocked contract). The JVM re-rank then
+    recomputes the sequential-fold cosine on the linear candidate set:
+    final scores/ranks are bit-identical to the all-pairs formulation.
+    A same-id pair is impossible across labels, so no self-pair guard
+    is needed. Scale path for corpus-sized anchor sets: route through
+    IVF cells (knn_join_ivf) and filter labels inside the cell join."""
+    import numpy as np
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("__qlab__"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .limit(max_queries + 1)
+        .collect()
     )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"hard_negative_topk: anchor set exceeds max_queries="
+            f"{max_queries}; hash-sample the anchors or route through "
+            f"IVF cells (knn_join_ivf) for corpus-sized query sets"
+        )
+    order = sorted(range(len(q_rows)), key=lambda i: q_rows[i]["query_id"])
+    q_ids = np.array([q_rows[i]["query_id"] for i in order], dtype=np.int64)
+    q_labs = np.array([q_rows[i]["__qlab__"] for i in order])
+    Q = np.stack([np.asarray(q_rows[i]["qv"], dtype=np.float64) for i in order])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    Qn = Q / qn[:, None]
+    nk = int(k + overfetch)
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["__nid__"].to_numpy()
+            labs = pdf["__nlab__"].to_numpy()
+            V = np.stack(pdf["__cv__"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            norms[norms == 0.0] = 1.0
+            Vn = V / norms[:, None]
+            # batch rows in ascending-id order so every stable sort
+            # below resolves score ties to the LOWEST neighbor id —
+            # the re-rank's tie-break
+            bo = np.argsort(ids, kind="stable")
+            ids, labs, Vn = ids[bo], labs[bo], Vn[bo]
+            sims = np.round(Qn @ Vn.T, 6)  # anchors × batch
+            sims[q_labs[:, None] == labs[None, :]] = -np.inf  # same label
+            top = min(nk, sims.shape[1])
+            out_q: list = []
+            out_n: list = []
+            part = np.argpartition(-sims, top - 1, axis=1)
+            for r in range(sims.shape[0]):
+                row = sims[r]
+                cut = row[part[r, top - 1]]
+                if not np.isfinite(cut):
+                    cand = np.nonzero(np.isfinite(row))[0]
+                else:
+                    cand = np.nonzero(row >= cut)[0]  # ids asc (row order)
+                if len(cand) == 0:
+                    continue
+                take = cand[np.argsort(-row[cand], kind="stable")][:top]
+                out_q.append(np.full(len(take), q_ids[r]))
+                out_n.append(ids[take])
+            if out_q:
+                yield _pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                    }
+                )
+
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col).alias("__nid__"),
         F.col(label_col).alias("__nlab__"),
-        _as_double(F.col(vec_col)).alias("cv"),
+        _as_double(F.col(vec_col)).alias("__cv__"),
     )
-    scored = c.join(F.broadcast(q), F.col("__qlab__") != F.col("__nlab__")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    cands = c.mapInPandas(gen, "query_id long, neighbor_id long")
+    qv = local_table(
+        corpus.sparkSession,
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
+        "query_id long, qv array<double>",
+    )
+    nb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

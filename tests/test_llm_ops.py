@@ -1478,3 +1478,14 @@ def test_corpus_manifest_partition_invariant_and_corruption_sensitive(spark, doc
     for b, n, _, lo, hi in rows(corrupted):
         match = [r for r in base if r[0] == b][0]
         assert (n, lo, hi) == (match[1], match[3], match[4])
+
+
+def test_hard_negative_topk_max_queries_guard(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(30)],
+        ["vec_id", "embedding", "label"],
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        S.hard_negative_topk(
+            df, df, "embedding", "vec_id", "label", k=3, max_queries=10
+        )
