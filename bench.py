@@ -136,6 +136,7 @@ HEADLINE = [
     "mixture_weights_sqrt",
     "shuffle_order_docs",
     "corpus_manifest_docs",
+    "temperature_rebalance_e2e",
 ]
 
 
@@ -317,6 +318,7 @@ def main() -> None:
         "agg_count_min_events",  # sketch built + probed at construction
         "quality_classifier_train",  # 16 GD jobs run at construction
         "quality_classifier_score",  # trains at construction, scores lazily
+        "temperature_rebalance_e2e",  # weights collected at construction
         "classifier_scrub_e2e",  # trains + selects the median threshold
         "dsir_select_docs",  # scores cached + kth threshold at construction
         "streaming_quality_gate",  # trains + drains the stream in the builder

@@ -9462,6 +9462,49 @@ def q_shuffle_order_docs(spark, sf_dir):
 
 
 @_q(
+    "temperature_rebalance_e2e",
+    # the round-6 composition: sqrt-temperature weights DRIVE the
+    # deterministic mixture sampler — compute per-lang α=0.5 weights,
+    # subsample the corpus to that target composition via the
+    # pure-integer hash predicate, report the kept per-lang mix. The
+    # oracle recomputes weights, budget, thresholds AND membership in
+    # SQL (exact integer arithmetic end-to-end, no pins); the weights
+    # collect is a #langs-row driver artifact, the standard tiny-dim
+    # pattern.
+    f"""
+    WITH by_l AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ), s AS (
+      SELECT lang, n, {SMP.ISQRT_SQL.format(n='n')} AS s FROM by_l
+    ), tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM s),
+    w AS (
+      SELECT lang, n, CAST(s * 1000000 // tot.t AS BIGINT) AS wppm
+      FROM s CROSS JOIN tot
+    ), b AS (
+      SELECT MIN(n * 1000000 // wppm) AS budget FROM w WHERE wppm > 0
+    ), t AS (
+      SELECT lang, ((wppm * b.budget // 1000000) * 4294967296) // n AS th
+      FROM w CROSS JOIN b WHERE wppm > 0 AND n > 0
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d JOIN t USING (lang)
+    WHERE ({SMP.hash_bucket_sql('d.doc_id')}) < t.th
+    GROUP BY 1
+    """,
+)
+def q_temperature_rebalance_e2e(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    w = SMP.sqrt_temperature_weights(docs, ["lang"])
+    weights = {r["lang"]: int(r["weight_ppm"]) for r in w.collect()}
+    kept = SMP.sample_mixture(docs, "doc_id", "lang", weights)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+@_q(
     "corpus_manifest_docs",
     # order-independent corpus content manifest: per id-bucket row
     # count + commutative 32-bit digest sum + id range — two corpus
@@ -9587,6 +9630,7 @@ _DRIVER_ROW_PRIORITY = [
     "shuffle_order_docs",
     "corpus_manifest_docs",
     "source_orc_roundtrip",
+    "temperature_rebalance_e2e",
     "for_each_sink_roundtrip",
     "knn_join_ivf",
     "ann_topk_pq",
