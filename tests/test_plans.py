@@ -701,3 +701,24 @@ def test_shuffle_order_ranks_without_full_single_partition(spark, qs):
     if singles:
         before = p.split("Arguments: SinglePartition")[0]
         assert "HashAggregate" in before or "ObjectHashAggregate" in before
+
+
+def test_round6_plan_shapes(spark, qs):
+    def p(name):
+        return plan(qs[name](spark, SF))
+
+    # hard-negative mining: ONE Arrow candidate stage (never the
+    # interpreted HOF evaluator over anchors x corpus), anchors and
+    # candidate ids broadcast into the exact re-rank, no row UDFs
+    hn = p("hard_negative_mining")
+    assert count_nodes(hn, "MapInPandas") == 1
+    assert count_nodes(hn, "BatchEvalPython") == 0
+    assert "BroadcastExchange" in hn
+    # mixture weights: the sum-of-isqrt side is a 1-row broadcast; the
+    # only SinglePartition exchange is that tiny aggregate
+    mw = p("mixture_weights_sqrt")
+    assert len(re.findall(r"Arguments: SinglePartition", mw)) <= 1
+    # corpus manifest: one map-side-combined aggregate, no joins at all
+    cm = p("corpus_manifest_docs")
+    assert count_nodes(cm, "Exchange") == 1
+    assert "Join" not in cm
