@@ -319,6 +319,7 @@ def main() -> None:
         "quality_classifier_train",  # 16 GD jobs run at construction
         "quality_classifier_score",  # trains at construction, scores lazily
         "temperature_rebalance_e2e",  # weights collected at construction
+        "hard_negative_mining",  # anchors collected at construction
         "classifier_scrub_e2e",  # trains + selects the median threshold
         "dsir_select_docs",  # scores cached + kth threshold at construction
         "streaming_quality_gate",  # trains + drains the stream in the builder
