@@ -2827,6 +2827,54 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 @_q(
+    "streaming_dedup_within_watermark",
+    # dropDuplicatesWithinWatermark (Spark 3.5+): unlike watermarked
+    # dropDuplicates — which dedups on exact (key, event-time) equality
+    # and keeps per-key state until the watermark passes that exact
+    # timestamp — this dedups on the KEY ALONE within the watermark
+    # delay, the right tool when duplicate deliveries carry slightly
+    # different arrival timestamps (at-least-once sources). The rig
+    # unions the feed with a +1-second-shifted copy of itself: exact
+    # (key, ts) dedup would pass BOTH copies, key-within-watermark
+    # dedup must collapse them — so the oracle (one row per event_id)
+    # fails if the semantics silently degrade to the exact-match form.
+    """
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    """,
+)
+def q_streaming_dedup_within_watermark(spark, sf_dir):
+    import tempfile
+
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir).withColumn(
+        "tsc", F.col("tsc") + F.expr("INTERVAL 1 SECOND")
+    )
+    dedup = (
+        s1.unionByName(s2)
+        .withWatermark("tsc", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("pippin_stream_dedup_ww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="pippin_ckpt_dedup_ww_"),
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table("pippin_stream_dedup_ww")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
     "bucketed_join_pricing",
     # co-located fact-fact join: both sides bucketed on the join key at
     # write time, so the join itself needs no exchange on either side
@@ -9631,6 +9679,7 @@ _DRIVER_ROW_PRIORITY = [
     "corpus_manifest_docs",
     "source_orc_roundtrip",
     "temperature_rebalance_e2e",
+    "streaming_dedup_within_watermark",
     "for_each_sink_roundtrip",
     "knn_join_ivf",
     "ann_topk_pq",
