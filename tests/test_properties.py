@@ -404,3 +404,75 @@ def test_span_scrub_matches_python_reference(spark, texts):
         ).collect()
     }
     assert got == ref
+
+
+@given(
+    ns=st.lists(st.integers(min_value=1, max_value=10**12), min_size=1, max_size=12)
+)
+@settings(**SETTINGS)
+def test_sqrt_temperature_weights_property(spark, ns):
+    """For arbitrary domain sizes: weights match the pure-Python
+    isqrt computation exactly, sum to <= 1e6 with deficit < #domains,
+    and are monotone in n (a bigger domain never gets a smaller
+    weight)."""
+    import math
+
+    from pippin_spark.operators import sampling as SMP
+    from pyspark.sql import functions as F
+
+    # one synthetic domain per n with exactly that many rows is too
+    # big to materialize for n up to 1e12 — aggregate-level check
+    # instead: feed the counts through the same isqrt+div arithmetic
+    # via exact_isqrt on a counts table
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(ns)], "dom long, n long")
+    tot = sum(math.isqrt(n) for n in ns)
+    got = {
+        r["dom"]: (r["s"], r["w"])
+        for r in df.select(
+            "dom",
+            SMP.exact_isqrt(F.col("n")).alias("s"),
+            F.expr(f"{0} + 0").alias("_z"),
+        )
+        .withColumn("w", F.expr(f"s * 1000000 div {tot}"))
+        .collect()
+    }
+    for i, n in enumerate(ns):
+        s = math.isqrt(n)
+        assert got[i] == (s, s * 1_000_000 // tot)
+    wsum = sum(w for _, w in got.values())
+    assert 1_000_000 - len(ns) <= wsum <= 1_000_000
+    for i, a in enumerate(ns):
+        for j, b in enumerate(ns):
+            if a >= b:
+                assert got[i][1] >= got[j][1]
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), st.text(max_size=40)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_corpus_manifest_property(spark, docs, parts):
+    """Random corpora: the manifest is invariant under repartitioning
+    and row order, counts partition the corpus, and id ranges bound
+    every bucket's members."""
+    from pippin_spark.operators import text as X
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = sorted(
+        tuple(r) for r in X.corpus_manifest(df, "text", "doc_id", 4).collect()
+    )
+    again = sorted(
+        tuple(r)
+        for r in X.corpus_manifest(df.repartition(parts), "text", "doc_id", 4).collect()
+    )
+    assert base == again
+    assert sum(r[1] for r in base) == len(docs)
+    for b, n, _, lo, hi in base:
+        members = [d for d, _ in docs if d % 4 == b]
+        assert (n, lo, hi) == (len(members), min(members), max(members))
