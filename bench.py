@@ -137,6 +137,7 @@ HEADLINE = [
     "shuffle_order_docs",
     "corpus_manifest_docs",
     "temperature_rebalance_e2e",
+    "pack_bins_docs",
 ]
 
 

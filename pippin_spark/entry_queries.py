@@ -9552,6 +9552,37 @@ def q_temperature_rebalance_e2e(spark, sf_dir):
     )
 
 
+def _pack_bins_oracle() -> str:
+    from pippin_spark.operators.packing import pack_bins_nextfit_oracle_sql
+
+    toks = f"""
+      SELECT ({SMP.hash_bucket_sql('doc_id')}) % 8 AS shard,
+             doc_id, CAST(n_chars AS BIGINT) AS n_tok
+      FROM documents
+    """
+    return pack_bins_nextfit_oracle_sql(toks, target_len=2048)
+
+
+@_q(
+    "pack_bins_docs",
+    # NO-SPLIT bin packing (next-fit decreasing per hash shard): every
+    # doc lands whole in exactly one bin — the sample-packing loader
+    # variant where cross-document attention must never see a split
+    # doc (pack_sequences is the concat-then-chunk dual). Packing is
+    # sequential by nature inside a shard, so the shard count is the
+    # parallelism knob; the oracle replays the identical fold as a
+    # recursive CTE (all shards advance per recursion level).
+    _pack_bins_oracle(),
+)
+def q_pack_bins_docs(spark, sf_dir):
+    from pippin_spark.operators.packing import pack_bins_nextfit
+
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "n_chars")
+    return pack_bins_nextfit(
+        docs, "doc_id", "n_chars", target_len=2048, num_shards=8
+    )
+
+
 @_q(
     "corpus_manifest_docs",
     # order-independent corpus content manifest: per id-bucket row
@@ -9680,6 +9711,7 @@ _DRIVER_ROW_PRIORITY = [
     "source_orc_roundtrip",
     "temperature_rebalance_e2e",
     "streaming_dedup_within_watermark",
+    "pack_bins_docs",
     "for_each_sink_roundtrip",
     "knn_join_ivf",
     "ann_topk_pq",

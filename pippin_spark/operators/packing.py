@@ -50,3 +50,105 @@ def pack_sequences(
     return out.withColumn("start_off", start).withColumn(
         "seq_id", F.expr(f"start_off div {int(target_len)}")
     )
+
+
+def pack_bins_nextfit(
+    df: DataFrame,
+    id_col: str,
+    len_col,
+    target_len: int,
+    num_shards: int = 8,
+    salt: int = 0,
+) -> DataFrame:
+    """No-split bin packing: next-fit over documents sorted by
+    (length DESC, id ASC) within each hash shard — every document
+    lands WHOLE in exactly one bin (``pack_sequences`` is the
+    concat-then-chunk dual that splits spans at sequence boundaries;
+    this is the variant sample-packing loaders use when cross-document
+    attention must never see a split doc). A document longer than
+    ``target_len`` gets a bin of its own (oversize allowed, never
+    split).
+
+    Determinism/scale contract: the shard is a pure hash of the id and
+    the in-shard order is total, so bin assignments are identical
+    across runs, engines and partitionings; packing is sequential BY
+    NATURE inside a shard (each decision depends on the running fill),
+    so the shard count is the parallelism knob — 1000 executors pack
+    1000+ shards concurrently, and per-task memory is one shard's
+    (id, len) pairs, never text. Exact integer arithmetic; the DuckDB
+    oracle replays the identical fold as a recursive CTE.
+
+    Returns (id, shard, bin, fill) — ``fill`` is the bin's running
+    total AFTER placing the doc, so ``max_by(fill per (shard, bin))``
+    is the bin's final load."""
+    import pandas as _pd
+
+    ln = F.col(len_col) if isinstance(len_col, str) else len_col
+    shard = F.pmod(hash_bucket(F.col(id_col), salt), F.lit(num_shards))
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        ln.cast("long").alias("__len__"),
+        shard.cast("long").alias("shard"),
+    )
+    tgt = int(target_len)
+
+    def pack(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__len__", "__id__"], ascending=[False, True], kind="mergesort"
+        )
+        bins, fills = [], []
+        b, fill = 0, 0
+        first = True
+        for n in pdf["__len__"]:
+            n = int(n)
+            if not first and fill + n > tgt:
+                b += 1
+                fill = n
+            else:
+                fill += n
+                first = False
+            bins.append(b)
+            fills.append(fill)
+        out = pdf.assign(bin=bins, fill=fills)
+        return out[["__id__", "shard", "bin", "fill"]]
+
+    return (
+        base.groupBy("shard")
+        .applyInPandas(pack, "__id__ long, shard long, bin long, fill long")
+        .withColumnRenamed("__id__", id_col)
+    )
+
+
+def pack_bins_nextfit_oracle_sql(
+    toks_cte: str,
+    target_len: int,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of pack_bins_nextfit: the same next-fit fold
+    replayed as a recursive CTE (one recursion level per in-shard
+    rank; every shard advances in the same level, so depth = the
+    largest shard's row count). ``toks_cte`` must yield
+    (shard, {id_col}, n_tok)."""
+    return f"""
+    WITH RECURSIVE toks AS ({toks_cte}),
+    ordered AS (
+      SELECT shard, {id_col}, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n_tok DESC, {id_col}) AS rn
+      FROM toks
+    ),
+    packed AS (
+      SELECT shard, {id_col}, n_tok, rn,
+             CAST(0 AS BIGINT) AS bin, n_tok AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.{id_col}, o.n_tok, o.rn,
+             CASE WHEN p.fill + o.n_tok > {int(target_len)}
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + o.n_tok > {int(target_len)}
+                  THEN o.n_tok ELSE p.fill + o.n_tok END
+      FROM packed p JOIN ordered o
+        ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT {id_col}, shard, bin, fill FROM packed
+    """

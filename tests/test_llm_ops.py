@@ -1489,3 +1489,58 @@ def test_hard_negative_topk_max_queries_guard(spark):
         S.hard_negative_topk(
             df, df, "embedding", "vec_id", "label", k=3, max_queries=10
         )
+
+
+def test_pack_bins_nextfit_invariants_and_python_parity(spark):
+    import random
+
+    from pippin_spark.operators.packing import pack_bins_nextfit
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 900)) for i in range(200)]
+    rows += [(1000, 5000), (1001, 2048), (1002, 2049)]  # oversize edges
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    got = pack_bins_nextfit(df, "doc_id", "n", target_len=2048, num_shards=4)
+    out = [(r["doc_id"], r["shard"], r["bin"], r["fill"]) for r in got.collect()]
+    assert len(out) == len(rows)  # every doc placed exactly once
+
+    # replay the documented fold in pure python per shard
+    from pippin_spark.operators.sampling import hash_bucket  # noqa: F401
+
+    def shard_of(i):
+        return ((i % 2147483647) * 2654435761) % 4294967296 % 4
+
+    lens = dict(rows)
+    expect = {}
+    for s in range(4):
+        docs = sorted(
+            (i for i, _ in rows if shard_of(i) == s),
+            key=lambda i: (-lens[i], i),
+        )
+        b, fill, first = 0, 0, True
+        for i in docs:
+            n = lens[i]
+            if not first and fill + n > 2048:
+                b, fill = b + 1, n
+            else:
+                fill += n
+                first = False
+            expect[i] = (s, b, fill)
+    assert {i: (s, b, f) for i, s, b, f in out} == expect
+
+    # invariants: per (shard, bin) the max fill exceeds target only
+    # when the bin holds a single oversize doc
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for i, s, b, f in out:
+        bins[(s, b)].append(i)
+    for (s, b), members in bins.items():
+        load = sum(lens[i] for i in members)
+        if load > 2048:
+            assert len(members) == 1 and lens[members[0]] > 2048
+    # determinism under repartitioning
+    again = pack_bins_nextfit(
+        df.repartition(7), "doc_id", "n", target_len=2048, num_shards=4
+    )
+    assert sorted(tuple(r) for r in again.collect()) == sorted(out)
