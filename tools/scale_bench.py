@@ -154,6 +154,21 @@ def main() -> None:
         # offset broadcast (ranked_sort) over the documents table
         return ENTRY_QUERIES["shuffle_order_docs"](spark, d)
 
+    def pack_bins(spark, d):
+        # no-split next-fit packing: sequential per shard, so the
+        # shard count scales with the corpus (~600 docs per shard —
+        # the parallelism contract; fixed shards at 100x data would
+        # time a 60k-doc sequential fold no deployment would run)
+        from pippin_spark.operators.packing import pack_bins_nextfit
+
+        docs = Pipeline.from_table(spark, d, "documents").df
+        n = docs.count()
+        shards = max(8, n // 600)
+        return pack_bins_nextfit(
+            docs.select("doc_id", "n_chars"), "doc_id", "n_chars",
+            target_len=2048, num_shards=shards,
+        )
+
     OPS = {
         "dedup_minhash": minhash,
         "set_join_jaccard": set_join,
@@ -168,6 +183,7 @@ def main() -> None:
         "dsir_select_docs": dsir,
         "hard_negative_mining": hardneg,
         "shuffle_order_docs": shuffle_order,
+        "pack_bins_docs": pack_bins,
     }
     only = os.environ.get("SCALE_OPS")
     if only:
