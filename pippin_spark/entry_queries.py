@@ -9552,11 +9552,20 @@ def q_temperature_rebalance_e2e(spark, sf_dir):
     )
 
 
+def _pack_bins_shards_expr() -> str:
+    # shard count derived from corpus size (~256 docs/shard, floor 8)
+    # so the shard count — the parallelism knob — grows with the
+    # corpus and the oracle's recursive-CTE depth (= largest shard's
+    # row count) stays bounded across scale factors instead of
+    # growing as n/8
+    return "(SELECT GREATEST(8, (COUNT(*) + 255) // 256) FROM documents)"
+
+
 def _pack_bins_oracle() -> str:
     from pippin_spark.operators.packing import pack_bins_nextfit_oracle_sql
 
     toks = f"""
-      SELECT ({SMP.hash_bucket_sql('doc_id')}) % 8 AS shard,
+      SELECT ({SMP.hash_bucket_sql('doc_id')}) % {_pack_bins_shards_expr()} AS shard,
              doc_id, CAST(n_chars AS BIGINT) AS n_tok
       FROM documents
     """
@@ -9578,8 +9587,12 @@ def q_pack_bins_docs(spark, sf_dir):
     from pippin_spark.operators.packing import pack_bins_nextfit
 
     docs = _t(spark, sf_dir, "documents").df.select("doc_id", "n_chars")
+    # same ~256-docs/shard rule as _pack_bins_shards_expr (exact
+    # integer arithmetic both sides); the count is one cheap
+    # metadata-ish job over a 2-column projection
+    shards = max(8, (docs.count() + 255) // 256)
     return pack_bins_nextfit(
-        docs, "doc_id", "n_chars", target_len=2048, num_shards=8
+        docs, "doc_id", "n_chars", target_len=2048, num_shards=shards
     )
 
 

@@ -113,6 +113,14 @@ def hard_negative_topk(
             f"{max_queries}; hash-sample the anchors or route through "
             f"IVF cells (knn_join_ivf) for corpus-sized query sets"
         )
+    if not q_rows:
+        # degenerate anchor set (empty corpus or over-aggressive
+        # filter): empty result with the contract schema, matching the
+        # exact_kth_2pass empty-input convention — np.stack([]) would
+        # otherwise raise an opaque "need at least one array" error
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     order = sorted(range(len(q_rows)), key=lambda i: q_rows[i]["query_id"])
     q_ids = np.array([q_rows[i]["query_id"] for i in order], dtype=np.int64)
     q_labs = np.array([q_rows[i]["__qlab__"] for i in order])

@@ -1480,6 +1480,18 @@ def test_corpus_manifest_partition_invariant_and_corruption_sensitive(spark, doc
         assert (n, lo, hi) == (match[1], match[3], match[4])
 
 
+def test_hard_negative_topk_empty_anchors(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(10)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = S.hard_negative_topk(
+        df, df.filter(F.col("vec_id") < 0), "embedding", "vec_id", "label", k=3
+    )
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0
+
+
 def test_hard_negative_topk_max_queries_guard(spark):
     df = spark.createDataFrame(
         [(i, [float(i), 1.0], i % 2) for i in range(30)],

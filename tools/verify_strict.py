@@ -31,6 +31,11 @@ TABLES = [
 ]
 
 
+# kinds the driver's pandas canonicalizer can sort/hash — everything
+# else (list/struct/map/…) is driver-incompatible as an output column
+ATOMIC_KINDS = {"bool", "int", "float", "str", "bytes", "timestamp", "date", "null"}
+
+
 def type_kind(t: pa.DataType) -> str:
     """Normalize an Arrow type to the width-insensitive kind the driver
     hash treats as equivalent."""
@@ -150,13 +155,17 @@ def main() -> int:
         ocols, okinds, orows = canon_table(otbl)
         problems = []
         # the DRIVER's canonicalizer sorts rows with pandas, which
-        # cannot hash list/struct cells (r5: the only window failures
-        # were array-output queries) — non-atomic output columns are a
-        # hard FAIL here even though canon_cell could compare them
+        # cannot hash list/struct/map cells (r5: the only window
+        # failures were array-output queries) — non-atomic output
+        # columns are a hard FAIL here even though canon_cell could
+        # compare them. Allowlist the atomic kinds rather than
+        # denylisting known composites, so map<...> (which type_kind
+        # renders via str(t)) and any future composite fail too —
+        # keeping this gate in agreement with the pytest schema gate.
         bad_atomic = {
             c: k
             for c, k in skinds.items()
-            if k.startswith("list<") or k.startswith("struct<")
+            if k not in ATOMIC_KINDS and not k.startswith("decimal(")
         }
         if bad_atomic:
             problems.append(f"driver-incompatible non-atomic columns {bad_atomic}")
