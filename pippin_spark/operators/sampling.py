@@ -409,3 +409,34 @@ def sqrt_temperature_weights(
         "s",
         F.expr(f"s * {scale} div __tot__").alias("weight_ppm"),
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "shuf42",
+    epoch: int = 0,
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global shuffle order for one training EPOCH:
+    rank by md5(seed:epoch:id). Every real training loop reshuffles
+    per epoch; keying the hash on (seed, epoch) gives each epoch an
+    independent, reproducible permutation — same ranks on any engine,
+    cluster layout or run, and epoch 0 with the default seed is NOT
+    special-cased (shuffle_order_docs predates the epoch key and keeps
+    its original seed-only hash).
+
+    Scale: ranked_sort's range-exchange + offset-broadcast — the full
+    data crosses the wire once, never through a single-partition
+    window (plan-gated for agg_sort; the same shape here)."""
+    from pippin_spark.operators.relational import ranked_sort
+
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:{int(epoch)}:"), F.col(id_col).cast("string"))
+    )
+    ranked = ranked_sort(
+        df.withColumn("__k__", key),
+        [F.col("__k__").asc(), F.col(id_col).asc()],
+        rank_col=rank_col,
+    )
+    return ranked.drop("__k__")

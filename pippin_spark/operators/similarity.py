@@ -202,11 +202,57 @@ def hard_negative_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negative_ivf(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    num_cells: int = 16,
+    train_iters: int = 0,
+    nprobe: int = 1,
+    overfetch: int = 8,
+) -> DataFrame:
+    """Corpus-scale hard-negative mining — the documented escape hatch
+    for hard_negative_topk's bounded-anchor contract ("route through
+    IVF cells and filter labels inside the cell join"): EVERY corpus
+    vector is an anchor, candidates come from its ``nprobe`` nearest
+    IVF cells, and same-label pairs are masked inside the cell-local
+    matmul (knn_join_ivf's ``anti_col``), so only cross-label
+    candidate ids ever cross a shuffle.
+
+    Approximation contract mirrors knn_join_ivf: per-anchor recall vs
+    the exact cross-label top-k depends on cell granularity, and
+    ``nprobe`` monotonically improves it (candidate universe only
+    grows). Scale: no driver-sized anchor matrix anywhere — anchors
+    ARE the corpus; the label rides the cell shuffle as one
+    pass-through column, shuffle volume stays n·nprobe vector rows +
+    n·(k+overfetch) id pairs, linear at any corpus size.
+
+    Returns (query_id, neighbor_id, cosine, rank), the
+    hard_negative_topk schema."""
+    out = knn_join_ivf(
+        corpus,
+        vec_col,
+        id_col,
+        k=k,
+        num_cells=num_cells,
+        train_iters=train_iters,
+        overfetch=overfetch,
+        nprobe=nprobe,
+        anti_col=label_col,
+    )
+    return out.select(
+        F.col("id").alias("query_id"), "neighbor_id", "cosine", "rank"
+    )
+
+
 def _assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,
     metric: str = "cosine",
     keep_score: bool = False,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the C centroids, one corpus
     pass, argmax score with deterministic cell-id tie-break. ``metric``
@@ -247,6 +293,11 @@ def _assign_cells(
     out_fields = f"id {id_t}, cv {cv_t}, cell int" + (
         ", csim double" if keep_score else ""
     )
+    # opaque pass-through columns (e.g. a label for cross-label kNN):
+    # copied batch-wise, zero-shuffle — the alternative (joining them
+    # back onto the assignment by id) costs a full-corpus exchange
+    for c in extra_cols:
+        out_fields += f", {c} {vectors.schema[c].dataType.simpleString()}"
 
     def gen(batches):
         for pdf in batches:
@@ -288,6 +339,8 @@ def _assign_cells(
                     out["csim"] = -(D * D).sum(axis=1)
                 else:
                     out["csim"] = S[np.arange(len(V)), idx]
+            for c in extra_cols:  # keep declared field order: extras last
+                out[c] = pdf[c].to_numpy()
             yield out
 
     return ensure_parallelism(vectors).mapInPandas(gen, out_fields)
@@ -459,6 +512,7 @@ def ivf_build(
     num_cells: int,
     train_iters: int = 0,
     train_mode: str = "distributed",
+    extra_cols: tuple = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: deterministic centroid seed (the num_cells
     lowest-id vectors — cheap, reproducible), optionally refined by
@@ -489,8 +543,13 @@ def ivf_build(
             )
         )
     assigned = _assign_cells(
-        corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")),
+        corpus.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            *[F.col(c) for c in extra_cols],
+        ),
         centroids,
+        extra_cols=extra_cols,
     )
     return centroids, assigned
 
@@ -787,6 +846,7 @@ def knn_join_blocked(
     block_col: str,
     k: int = 5,
     overfetch: int = 8,
+    anti_col: str = None,
 ) -> DataFrame:
     """Corpus-to-corpus k-nearest-neighbors within a blocking key (a
     label, an IVF cell, an LSH bucket): for every vector, the top-k
@@ -816,7 +876,14 @@ def knn_join_blocked(
     Scale: the block key is the only data-volume shuffle key; per-task
     memory is block_size·dim + chunk·block_size doubles — for blocks
     past ~100k vectors feed an IVF cell id as ``block_col`` (the
-    documented corpus-scale path)."""
+    documented corpus-scale path).
+
+    ``anti_col``: when set, pairs with EQUAL values in that column are
+    excluded — the cross-label kNN behind corpus-scale hard-negative
+    mining (a row's own anti value equals itself, so self-pairs stay
+    excluded too). With masking, a row can have fewer than
+    k+overfetch eligible candidates; the non-finite-cut guard below
+    (the hard_negative_topk convention) then takes every finite one."""
     nk = int(k + overfetch)
 
     def gen(pdf):
@@ -840,6 +907,7 @@ def knn_join_blocked(
         id_order = np.argsort(ids, kind="stable")
         ids_s = ids[id_order]
         Vn = Vn[id_order]
+        anti = pdf["__anti__"].to_numpy()[id_order] if anti_col else None
         for s in range(0, n, chunk):
             e = min(n, s + chunk)
             if top <= 0:
@@ -847,6 +915,8 @@ def knn_join_blocked(
             sims = np.round(Vn[s:e] @ Vn.T, 6)
             for r in range(e - s):
                 sims[r, s + r] = -np.inf  # not self
+                if anti is not None:
+                    sims[r, anti == anti[s + r]] = -np.inf
             # exact top-`top` by (score desc, id asc): partition first
             # (O(n)), then a stable sort of only the partitioned prefix
             # widened to include every boundary tie
@@ -854,7 +924,14 @@ def knn_join_blocked(
             for r in range(e - s):
                 row = sims[r]
                 cut = row[part[r, top - 1]]
-                cand = np.nonzero(row >= cut)[0]  # ids asc (row order)
+                if not np.isfinite(cut):
+                    # fewer than `top` eligible candidates (anti mask):
+                    # take every finite one, same ordering
+                    cand = np.nonzero(np.isfinite(row))[0]
+                    if len(cand) == 0:
+                        continue
+                else:
+                    cand = np.nonzero(row >= cut)[0]  # ids asc (row order)
                 take = cand[np.argsort(-row[cand], kind="stable")][:top]
                 out_i.append(np.full(len(take), ids_s[s + r]))
                 out_j.append(ids_s[take])
@@ -864,12 +941,15 @@ def knn_join_blocked(
             {"id": np.concatenate(out_i), "neighbor_id": np.concatenate(out_j)}
         )
 
+    in_cols = [
+        F.col(block_col).alias("__b__"),
+        F.col(id_col),
+        F.col(vec_col),
+    ]
+    if anti_col:
+        in_cols.append(F.col(anti_col).alias("__anti__"))
     cands = (
-        df.select(
-            F.col(block_col).alias("__b__"),
-            F.col(id_col),
-            F.col(vec_col),
-        )
+        df.select(*in_cols)
         .groupBy("__b__")
         .applyInPandas(gen, "id long, neighbor_id long")
     )
@@ -908,6 +988,7 @@ def knn_join_ivf(
     train_iters: int = 0,
     overfetch: int = 8,
     nprobe: int = 1,
+    anti_col: str = None,
 ) -> DataFrame:
     """Corpus-to-corpus kNN fed by IVF cells — the composition
     ``knn_join_blocked`` documents as its corpus-scale path ("for
@@ -948,13 +1029,22 @@ def knn_join_ivf(
     scoring stays inside the chunked numpy matmul — nothing quadratic
     crosses a shuffle at any corpus size. Training uses the sample
     path (the centroid table is a tiny artifact; see
-    sample_kmeans_centroids)."""
+    sample_kmeans_centroids).
+
+    ``anti_col``: when set, (query, neighbor) pairs with EQUAL values
+    in that column are excluded — cross-label-only neighbors, the
+    corpus-scale hard-negative regime (see hard_negative_ivf). The
+    label rides the cell shuffle as one extra pass-through column
+    (zero extra exchanges)."""
+    extra = (anti_col,) if anti_col else ()
     centroids, assigned = ivf_build(
-        df, vec_col, id_col, num_cells, train_iters, train_mode="sample"
+        df, vec_col, id_col, num_cells, train_iters, train_mode="sample",
+        extra_cols=extra,
     )
     if nprobe <= 1:
         return knn_join_blocked(
-            assigned, "cv", "id", "cell", k=k, overfetch=overfetch
+            assigned, "cv", "id", "cell", k=k, overfetch=overfetch,
+            anti_col=anti_col,
         )
     import numpy as np
     import pandas as _pd
@@ -978,6 +1068,11 @@ def knn_join_ivf(
     p_eff = min(nprobe, len(cell_ids))
     id_t = assigned.schema["id"].dataType.simpleString()
     cv_t = assigned.schema["cv"].dataType.simpleString()
+    probe_fields = f"id {id_t}, cv {cv_t}, cell int"
+    if anti_col:
+        probe_fields += (
+            f", {anti_col} {assigned.schema[anti_col].dataType.simpleString()}"
+        )
 
     def probe_gen(batches):
         for pdf in batches:
@@ -994,24 +1089,25 @@ def knn_join_ivf(
                 S[zero, :] = 0.0
             top = np.argsort(-S, axis=1, kind="stable")[:, :p_eff]
             rep = np.repeat(np.arange(len(pdf)), p_eff)
-            yield _pd.DataFrame(
+            out = _pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy()[rep],
                     "cv": pdf["cv"].iloc[rep].to_numpy(),
                     "cell": cell_ids[top.ravel()],
                 }
             )
+            if anti_col:
+                out[anti_col] = pdf[anti_col].to_numpy()[rep]
+            yield out
 
-    probes = assigned.mapInPandas(
-        probe_gen, f"id {id_t}, cv {cv_t}, cell int"
-    )
+    probes = assigned.mapInPandas(probe_gen, probe_fields)
+    side_cols = ["id", "cv"] + ([anti_col] if anti_col else [])
     both = probes.select(
-        F.col("cell").alias("__b__"), "id", "cv", F.lit(True).alias("__q__")
+        F.col("cell").alias("__b__"), *side_cols, F.lit(True).alias("__q__")
     ).unionByName(
         assigned.select(
             F.col("cell").alias("__b__"),
-            "id",
-            "cv",
+            *side_cols,
             F.lit(False).alias("__q__"),
         )
     )
@@ -1038,6 +1134,10 @@ def knn_join_ivf(
         Vc = Vn[ci][order]
         q_ids = ids[qi]
         Vq = Vn[qi]
+        if anti_col:
+            a_all = pdf[anti_col].to_numpy()
+            c_anti = a_all[ci][order]
+            q_anti = a_all[qi]
         out_i: list = []
         out_j: list = []
         chunk = max(1, min(len(q_ids), (16 << 20) // max(len(c_ids), 1)))
@@ -1047,6 +1147,8 @@ def knn_join_ivf(
             for r in range(e - s):
                 row = sims[r]
                 row[c_ids == q_ids[s + r]] = -np.inf  # not self
+                if anti_col:
+                    row[c_anti == q_anti[s + r]] = -np.inf  # same label
                 t = min(nk, int((row > -np.inf).sum()))
                 if t <= 0:
                     continue

@@ -291,6 +291,45 @@ def corpus_manifest_oracle_sql(
     """
 
 
+def corpus_manifest_diff(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Diff two corpus manifests (``corpus_manifest`` outputs) — the
+    incremental-sync primitive the manifest exists for at 100 TB:
+    after a replication / migration / re-ingestion, only buckets whose
+    manifest rows differ need a re-scan, and each differing bucket's
+    (min_id, max_id) arms bound the id range to re-read.
+
+    Returns one row per bucket that DIFFERS (identical buckets — the
+    overwhelming majority in an incremental sync — produce no row):
+    (bucket, status, l_n_docs, r_n_docs, l_digest_sum, r_digest_sum,
+    l_min_id, r_min_id, l_max_id, r_max_id) with status
+    'only_left' / 'only_right' for buckets present on one side and
+    'changed' for buckets whose (count, digest, id-range) tuples
+    disagree. Scale: both inputs are #buckets-row manifests, so the
+    full-outer join moves manifest rows only — the corpora themselves
+    never participate."""
+    arms = ("n_docs", "digest_sum", "min_id", "max_id")
+    l = left.select(
+        "bucket", *[F.col(c).alias(f"l_{c}") for c in arms]
+    )
+    r = right.select(
+        "bucket", *[F.col(c).alias(f"r_{c}") for c in arms]
+    )
+    j = l.join(r, "bucket", "full_outer")
+    differs = F.col("l_n_docs").isNull() | F.col("r_n_docs").isNull()
+    for c in arms:
+        differs = differs | (F.col(f"l_{c}") != F.col(f"r_{c}"))
+    status = (
+        F.when(F.col("l_n_docs").isNull(), F.lit("only_right"))
+        .when(F.col("r_n_docs").isNull(), F.lit("only_left"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.filter(differs).select(
+        "bucket",
+        status.alias("status"),
+        *[F.col(f"{s}_{c}") for c in arms for s in ("l", "r")],
+    )
+
+
 def lang_id_oracle_sql(text_expr: str = "text") -> str:
     """DuckDB SQL computing the identical lang_id (for the oracle)."""
     toks = f"list_distinct(string_split(regexp_replace(lower({text_expr}), '\\s+', ' ', 'g'), ' '))"

@@ -1480,6 +1480,43 @@ def test_corpus_manifest_partition_invariant_and_corruption_sensitive(spark, doc
         assert (n, lo, hi) == (match[1], match[3], match[4])
 
 
+def test_hard_negative_ivf_single_cell_parity_and_monotone_recall(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    want = sorted(
+        tuple(r)
+        for r in S.hard_negative_topk(
+            df, df, "embedding", "vec_id", "label", k=3
+        ).collect()
+    )
+    # one cell = one block = the exact all-pairs cross-label top-k
+    got = sorted(
+        tuple(r)
+        for r in S.hard_negative_ivf(
+            df, "embedding", "vec_id", "label", k=3, num_cells=1
+        ).collect()
+    )
+    assert got == want
+    # multi-cell/multi-probe: cross-label only, recall monotone in nprobe
+    lab = {i: l for i, _, l in rows}
+    exact_pairs = {(t[0], t[1]) for t in want}
+
+    def pairs(nprobe):
+        out = S.hard_negative_ivf(
+            df, "embedding", "vec_id", "label",
+            k=3, num_cells=4, train_iters=1, nprobe=nprobe,
+        ).collect()
+        assert all(lab[r["query_id"]] != lab[r["neighbor_id"]] for r in out)
+        return {(r["query_id"], r["neighbor_id"]) for r in out}
+
+    r1 = len(pairs(1) & exact_pairs)
+    r2 = len(pairs(2) & exact_pairs)
+    assert r1 <= r2 <= len(exact_pairs)
+
+
 def test_hard_negative_topk_empty_anchors(spark):
     df = spark.createDataFrame(
         [(i, [float(i), 1.0], i % 2) for i in range(10)],
@@ -1490,6 +1527,38 @@ def test_hard_negative_topk_empty_anchors(spark):
     )
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
     assert out.count() == 0
+
+
+def test_corpus_manifest_diff_statuses_and_identity(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    m = X.corpus_manifest(corpus, "text", "doc_id", 8)
+    # identical manifests -> empty diff (the overwhelmingly common case)
+    assert X.corpus_manifest_diff(m, m).count() == 0
+    # edit doc 0 (bucket 0), drop doc 1 (bucket 1); hide bucket 7 on
+    # the left and bucket 6 on the right so all three statuses appear
+    right_src = corpus.filter(F.col("doc_id") != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("?"))
+        ).otherwise(F.col("text")),
+    )
+    m2 = X.corpus_manifest(right_src, "text", "doc_id", 8)
+    m_l = m.filter(F.col("bucket") != 7)
+    m_r = m2.filter(F.col("bucket") != 6)
+    d = {r["bucket"]: r for r in X.corpus_manifest_diff(m_l, m_r).collect()}
+    assert set(d) == {0, 1, 6, 7}  # untouched buckets 2-5 emit no row
+    assert d[7]["status"] == "only_right" and d[7]["l_n_docs"] is None
+    assert d[6]["status"] == "only_left" and d[6]["r_n_docs"] is None
+    # edited bucket: counts equal, digest differs
+    assert d[0]["status"] == "changed"
+    assert d[0]["l_n_docs"] == d[0]["r_n_docs"]
+    assert d[0]["l_digest_sum"] != d[0]["r_digest_sum"]
+    # dropped bucket: count down by one
+    assert d[1]["status"] == "changed"
+    assert d[1]["l_n_docs"] == d[1]["r_n_docs"] + 1
 
 
 def test_hard_negative_topk_max_queries_guard(spark):

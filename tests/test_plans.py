@@ -703,6 +703,18 @@ def test_shuffle_order_ranks_without_full_single_partition(spark, qs):
         assert "HashAggregate" in before or "ObjectHashAggregate" in before
 
 
+def test_shuffle_order_epochs_plan_reuses_ranked_sort_shape(spark, qs):
+    # each epoch branch is its own ranked_sort range-exchange; the only
+    # SinglePartition exchanges allowed are the two <=P-row offset
+    # aggregates (one per epoch), never the corpus itself
+    p = plan(qs["shuffle_order_epochs"](spark, SF))
+    assert "rangepartitioning" in p.lower()
+    singles = re.findall(r"Arguments: SinglePartition", p)
+    assert len(singles) <= 2
+    for chunk in p.split("Arguments: SinglePartition")[:-1]:
+        assert "HashAggregate" in chunk or "ObjectHashAggregate" in chunk
+
+
 def test_round6_plan_shapes(spark, qs):
     def p(name):
         return plan(qs[name](spark, SF))

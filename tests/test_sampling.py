@@ -315,3 +315,28 @@ def test_sqrt_temperature_weights_matches_pure_python(spark):
     # the ppm weights under-shoot 1e6 by at most #domains (floor div)
     wsum = sum(w for _, _, w in got.values())
     assert 1_000_000 - len(cnt) <= wsum <= 1_000_000
+
+
+def test_shuffle_order_epochs_distinct_and_partition_invariant(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+
+    def ranks(epoch, data):
+        return {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in SMP.shuffle_order(data, "doc_id", epoch=epoch).collect()
+        }
+
+    e0, e1, e2 = ranks(0, df), ranks(1, df), ranks(2, df)
+    n = 200
+    for e in (e0, e1, e2):
+        assert sorted(e.values()) == list(range(1, n + 1))  # a permutation
+    # epochs are pairwise-distinct permutations
+    assert e0 != e1 and e1 != e2 and e0 != e2
+    # each epoch's order is invariant to the input partitioning
+    assert e1 == ranks(1, df.repartition(7))
+    assert e2 == ranks(2, df.orderBy(F.desc("doc_id")))
+    # different seed, different permutation
+    assert e1 != {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in SMP.shuffle_order(df, "doc_id", seed="other", epoch=1).collect()
+    }

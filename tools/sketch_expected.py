@@ -48,6 +48,7 @@ def main() -> None:
             "ann_topk_lsh",
             "ann_topk_pq",
             "knn_join_ivf",
+            "hard_negative_ivf",
             "streaming_minhash_dedup",
             "agg_count_min_events",
             "diversity_kcenter",
