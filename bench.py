@@ -138,6 +138,14 @@ HEADLINE = [
     "corpus_manifest_docs",
     "temperature_rebalance_e2e",
     "pack_bins_docs",
+    # round-7 additions
+    "hard_negative_ivf",
+    "shuffle_order_epochs",
+    "corpus_manifest_diff",
+    "pack_bins_report",
+    "centroid_drift_snapshots",
+    "token_budget_waterfill",
+    "streaming_corpus_manifest",
 ]
 
 

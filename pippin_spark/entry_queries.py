@@ -9678,6 +9678,205 @@ def q_pack_bins_docs(spark, sf_dir):
     )
 
 
+def _waterfill_oracle(rounds: int = 8) -> str:
+    # unrolled saturate-and-redistribute rounds (the
+    # quality_classifier_train unrolled-GD oracle pattern): each round
+    # re-aggregates saturated avail / unsaturated weight and flips
+    # every row whose proportional share covers its availability.
+    # Fixpoint is reached in <= #domains rounds (each non-final round
+    # saturates >= 1 row); the fixture has <= 6 langs, 8 rounds is
+    # headroom. Floor division on non-negative operands both engines.
+    parts = [
+        f"""
+    by_l AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS avail,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ), s AS (
+      SELECT lang, avail, {SMP.ISQRT_SQL.format(n='n')} AS s FROM by_l
+    ), tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM s),
+    w AS (
+      SELECT lang, avail, CAST(s * 1000000 // tot.t AS BIGINT) AS wt
+      FROM s CROSS JOIN tot
+    ),
+    b AS (SELECT CAST(SUM(n_chars) * 2 // 5 AS BIGINT) AS bud FROM documents),
+    r0 AS (SELECT lang, avail, wt, FALSE AS sat FROM w)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""
+    a{i} AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN sat THEN avail END), 0) AS BIGINT) AS sa,
+             CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT) AS uw
+      FROM r{i}
+    ),
+    r{i + 1} AS (
+      SELECT lang, avail, wt,
+             CASE WHEN sat THEN TRUE
+                  WHEN a{i}.uw > 0
+                       AND wt * (b.bud - a{i}.sa) // a{i}.uw >= avail
+                  THEN TRUE ELSE FALSE END AS sat
+      FROM r{i} CROSS JOIN a{i} CROSS JOIN b
+    )"""
+        )
+    last = f"r{rounds}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    af AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN sat THEN avail END), 0) AS BIGINT) AS sa,
+             CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT) AS uw
+      FROM {last}
+    )
+    SELECT lang, avail, wt AS weight,
+           CASE WHEN sat THEN avail
+                WHEN af.uw > 0 THEN wt * (b.bud - af.sa) // af.uw
+                ELSE avail END AS alloc
+    FROM {last} CROSS JOIN af CROSS JOIN b
+    """
+    )
+
+
+@_q(
+    "token_budget_waterfill",
+    # exact-integer water-filling of a 40%-of-corpus char budget
+    # across languages weighted by the sqrt-temperature rule — "spend
+    # B tokens proportionally to weights but no domain can give more
+    # than it has": saturated domains contribute everything, surplus
+    # re-distributes among the rest to fixpoint. The per-domain fold
+    # is a bounded driver artifact (#langs rows, the weights-collect
+    # pattern); the corpus-sized aggregation feeding it is
+    # distributed. Overflow bound: weight_ppm x budget must stay
+    # below 2^63 (ppm weights -> budgets < 9.2e12 units; rescale
+    # weights for beyond-that budgets).
+    _waterfill_oracle(),
+)
+def q_token_budget_waterfill(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    avail = docs.groupBy("lang").agg(
+        F.sum("n_chars").alias("avail"),
+    )
+    w = SMP.sqrt_temperature_weights(docs, ["lang"]).select(
+        "lang", F.col("weight_ppm").alias("weight")
+    )
+    domains = avail.join(w, "lang")
+    budget = docs.agg(
+        F.expr("sum(n_chars) * 2 div 5").alias("b")
+    ).collect()[0]["b"]
+    return SMP.waterfill_allocate(domains, "lang", "avail", "weight", int(budget))
+
+
+@_q(
+    "pack_bins_report",
+    # packing-efficiency readout over the pack_bins_docs assignment:
+    # per shard, bin count / packed length / capacity / exact-integer
+    # utilization ppm — the loader-tuning report a real pipeline runs
+    # after every packing change. The oracle replays the identical
+    # next-fit fold (recursive CTE) then the same two aggregates.
+    f"""
+    WITH packed AS ({_pack_bins_oracle()}),
+    loads AS (
+      SELECT shard, bin, MAX(fill) AS load FROM packed GROUP BY 1, 2
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(load) AS BIGINT) AS total_len,
+           CAST(COUNT(*) * 2048 AS BIGINT) AS capacity,
+           CAST(SUM(load) * 1000000 // (COUNT(*) * 2048) AS BIGINT)
+             AS util_ppm
+    FROM loads GROUP BY 1
+    """,
+)
+def q_pack_bins_report(spark, sf_dir):
+    from pippin_spark.operators.packing import (
+        pack_bins_nextfit,
+        pack_bins_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "n_chars")
+    shards = max(8, (docs.count() + 255) // 256)
+    packed = pack_bins_nextfit(
+        docs, "doc_id", "n_chars", target_len=2048, num_shards=shards
+    )
+    return pack_bins_report(packed, target_len=2048)
+
+
+@_q(
+    "centroid_drift_snapshots",
+    # per-label centroid drift between two embedding snapshots (here:
+    # the corpus vs a deterministic subset, the filtered-reingest
+    # case) — the embedding-space monitoring primitive. Both sides'
+    # means are element-rounded exactly like emb_label_centroids, the
+    # squared-L2 drift re-rounded; counts ride the same row.
+    """
+    WITH ul AS (
+      SELECT label,
+             UNNEST(range(len(CAST(embedding AS DOUBLE[])))) AS pos,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings),
+    cl AS (SELECT label, pos, ROUND(AVG(v), 6) AS c FROM ul GROUP BY 1, 2),
+    ur AS (
+      SELECT label,
+             UNNEST(range(len(CAST(embedding AS DOUBLE[])))) AS pos,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings WHERE vec_id % 7 <> 3),
+    cr AS (SELECT label, pos, ROUND(AVG(v), 6) AS c FROM ur GROUP BY 1, 2),
+    nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_left
+           FROM embeddings GROUP BY 1),
+    nr AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_right
+           FROM embeddings WHERE vec_id % 7 <> 3 GROUP BY 1),
+    d AS (SELECT cl.label,
+                 ROUND(SUM((cl.c - cr.c) * (cl.c - cr.c)), 6) AS drift_sq
+          FROM cl JOIN cr ON cl.label = cr.label AND cl.pos = cr.pos
+          GROUP BY 1)
+    SELECT nl.label, nl.n_left, nr.n_right, d.drift_sq
+    FROM nl JOIN nr ON nl.label = nr.label
+    JOIN d ON d.label = nl.label
+    """,
+)
+def q_centroid_drift_snapshots(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    right = emb.filter(F.col("vec_id") % 7 != 3)
+    return SIM.centroid_drift(emb, right, "embedding", "label")
+
+
+@_q(
+    "streaming_corpus_manifest",
+    # the manifest computed INCREMENTALLY under an append stream —
+    # the form a live-ingest pipeline runs: per-bucket count /
+    # commutative digest sum / id range maintained by the state store
+    # as micro-batches arrive (integer digest addition is exactly why
+    # the manifest is streaming-mergeable: state merge = the same sum
+    # in any arrival order). FULL cross-engine oracle, no pins: the
+    # drained complete-mode table must equal the batch manifest
+    # bit-for-bit.
+    TXT.corpus_manifest_oracle_sql("documents", "text", "doc_id", 64),
+)
+def q_streaming_corpus_manifest(spark, sf_dir):
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").df
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    man = TXT.corpus_manifest(stream, "text", "doc_id", num_buckets=64)
+    q = (
+        man.writeStream.format("memory")
+        .queryName("pippin_stream_manifest")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="pippin_ckpt_manifest_"),
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("pippin_stream_manifest")
+
+
 @_q(
     "corpus_manifest_docs",
     # order-independent corpus content manifest: per id-bucket row
@@ -9783,12 +9982,14 @@ def q_source_orc_roundtrip(spark, sf_dir):
 # locally by tools/verify_strict.py at sf0.001/0.01/0.1 under the same
 # typed-hash policy, so ordering carries zero correctness risk — but
 # only queries in the driver's window get a hard CORRECTNESS_r{N} row.
-# --- round-7 driver window (first 50): all 28 never-driver-checked
-# queries (the 7 round-6 additions + 18 carried + 3 round-7
+# --- round-7 driver window (first 50): all 32 never-driver-checked
+# queries (the 7 round-6 additions + 18 carried + 7 round-7
 # additions: hard_negative_ivf / shuffle_order_epochs /
-# corpus_manifest_diff), padded with the 22 OLDEST driver rows
+# corpus_manifest_diff / pack_bins_report /
+# centroid_drift_snapshots / token_budget_waterfill /
+# streaming_corpus_manifest), padded with the 18 OLDEST driver rows
 # (r1/r2 vintage - the hard-row refresh cycle begins per VERDICT r6
-# #4). Target after r7: driver-row union 279/279 - every declared
+# #4). Target after r7: driver-row union 283/283 - every declared
 # query hard-signal-verified at least once. Built by
 # tools/next_window.py --emit; tests/test_oracle.py asserts the
 # list stays exhaustive.
@@ -9804,6 +10005,10 @@ _DRIVER_ROW_PRIORITY = [
     "hard_negative_ivf",
     "shuffle_order_epochs",
     "corpus_manifest_diff",
+    "pack_bins_report",
+    "centroid_drift_snapshots",
+    "token_budget_waterfill",
+    "streaming_corpus_manifest",
     "asof_join_forward_events",
     "event_transitions",
     "retention_cohorts",

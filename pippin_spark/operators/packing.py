@@ -152,3 +152,35 @@ def pack_bins_nextfit_oracle_sql(
     )
     SELECT {id_col}, shard, bin, fill FROM packed
     """
+
+
+def pack_bins_report(packed: DataFrame, target_len: int) -> DataFrame:
+    """Packing-efficiency report over ``pack_bins_nextfit`` output —
+    the loader-tuning readout (how much padding does this shard/target
+    combination waste?): per shard, the bin count, total packed
+    length, capacity and utilization.
+
+    A bin's final load is MAX(fill) over its rows (``fill`` is the
+    running total after each placement); utilization is exact integer
+    ppm — total_len·10^6 div (n_bins·target_len). Oversize documents
+    (longer than ``target_len``, never split by contract) can push a
+    bin past capacity, so util_ppm may legitimately exceed 10^6.
+    Scale: two map-side-combined aggregates; only (shard, bin) rows
+    then #shards rows cross the exchanges."""
+    loads = packed.groupBy("shard", "bin").agg(F.max("fill").alias("load"))
+    return (
+        loads.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("load").alias("total_len"),
+        )
+        .select(
+            "shard",
+            "n_bins",
+            "total_len",
+            (F.col("n_bins") * F.lit(int(target_len))).alias("capacity"),
+            F.expr(
+                f"total_len * 1000000 div (n_bins * {int(target_len)})"
+            ).alias("util_ppm"),
+        )
+    )

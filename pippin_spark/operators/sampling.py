@@ -440,3 +440,69 @@ def shuffle_order(
         rank_col=rank_col,
     )
     return ranked.drop("__k__")
+
+
+def waterfill_allocate(
+    domains: DataFrame,
+    domain_col: str,
+    avail_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Exact-integer water-filling token-budget allocation — the
+    data-mixing primitive for "spend B tokens across domains in
+    proportion to weights, but no domain can give more than it has":
+    every domain gets its proportional share w_j·R div W of the
+    remaining budget unless that share exceeds its availability, in
+    which case it saturates (alloc = avail) and the surplus
+    re-distributes proportionally among the unsaturated — iterated to
+    fixpoint (≤ #domains rounds, each saturating ≥ 1 domain or
+    stopping).
+
+    The per-domain table is a bounded driver artifact by contract
+    (#domains rows — the sqrt_temperature_weights collect pattern), so
+    the fold runs in pure Python integers on the collected rows and
+    the result returns as a local table; the corpus-sized work (the
+    per-domain aggregation feeding this) stays distributed upstream.
+    The DuckDB oracle replays the identical fold as unrolled
+    saturate-and-redistribute CTE rounds (the quality_classifier_train
+    unrolled-GD pattern). Deterministic: floor division end-to-end,
+    iteration order irrelevant (a round saturates ALL rows whose share
+    covers their availability before recomputing).
+
+    Returns (domain, avail, weight, alloc) with Σ alloc ≤ budget and
+    alloc == avail exactly on the saturated set."""
+    rows = sorted(
+        (
+            (r[domain_col], int(r[avail_col]), int(r[weight_col]))
+            for r in domains.select(domain_col, avail_col, weight_col).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    sat: set = set()
+    B = int(budget)
+    while True:
+        sa = sum(a for d, a, w in rows if d in sat)
+        uw = sum(w for d, a, w in rows if d not in sat)
+        if uw <= 0:
+            break
+        R = B - sa
+        newly = {d for d, a, w in rows if d not in sat and w * R // uw >= a}
+        if not newly:
+            break
+        sat |= newly
+    sa = sum(a for d, a, w in rows if d in sat)
+    uw = sum(w for d, a, w in rows if d not in sat)
+    R = B - sa
+    out = [
+        (d, a, w, a if d in sat else w * R // uw)
+        for d, a, w in rows
+    ]
+    dom_t = domains.schema[domain_col].dataType.simpleString()
+    from pippin_spark.operators.util import local_table
+
+    return local_table(
+        domains.sparkSession,
+        out,
+        f"{domain_col} {dom_t}, avail long, weight long, alloc long",
+    )

@@ -790,6 +790,62 @@ def normalize_vectors(vec_col: Column) -> Column:
     )[0]
 
 
+def centroid_drift(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    label_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots — the
+    monitoring primitive behind embedding-space regression checks
+    (re-embedded corpus, new encoder checkpoint, filtered subset):
+    how far did each class's mean vector move?
+
+    Returns (label, n_left, n_right, drift_sq) where drift_sq is the
+    squared L2 distance between the two label_centroids means
+    (element-rounded like label_centroids, then the sum rounded
+    again) — NULL when the label exists in only one snapshot, with
+    the surviving side's count still reported.
+
+    Scale: both centroid sets are #labels×dim artifacts from
+    label_centroids' map-side-combined posexplode aggregate, so the
+    drift join moves centroid rows only; the element-wise distance is
+    a zip_with/aggregate JVM fold in array (= dimension) order —
+    deterministic, no UDF."""
+    cl = label_centroids(left, vec_col, label_col, decimals).select(
+        "label", F.col("centroid").alias("__cl__")
+    )
+    cr = label_centroids(right, vec_col, label_col, decimals).select(
+        "label", F.col("centroid").alias("__cr__")
+    )
+    nl = left.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    nr = right.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("__cl__", "__cr__", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        decimals,
+    )
+    return (
+        cl.join(cr, "label", "full_outer")
+        .join(nl, "label", "left")
+        .join(nr, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_left", F.lit(0)).alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).alias("n_right"),
+            d2.alias("drift_sq"),
+        )
+    )
+
+
 def quantize_int8(vec_col: Column) -> Column:
     """Symmetric int8 quantization: scale = 127 / max(|x|), element →
     round(x·scale) as int. Shrinks an embedding column 4× (float32) to

@@ -25,6 +25,27 @@ def get_spark(app_name: str = "pippin-spark", cpus: int | None = None) -> SparkS
         .config("spark.default.parallelism", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces DOWN from initialPartitionNum; leaving it at
+        # shuffle.partitions (= core count here) caps every post-shuffle
+        # stage at 32 partitions, which at 100x data puts multi-GB
+        # partitions through single tasks (measured: the triangle wedge
+        # join at the 100x replica crawled/spilled at 32, runs clean when
+        # AQE can keep more). High initial + advisory-size coalescing is
+        # the canonical AQE deployment shape: small SFs coalesce back to
+        # a handful of partitions, big data keeps enough. Explicit
+        # repartition()/repartitionByRange() calls (ranked_sort) are
+        # user-specified and unaffected.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+        # without this, AQE partition coalescing is DISABLED inside
+        # persist()/cache() subtrees (Spark pins cached-plan output
+        # partitioning by default), so every cached operator (triangle
+        # edges/oriented, dedup_clusters, pagerank checkpoints) would
+        # run its shuffles at the full initialPartitionNum even on tiny
+        # inputs — measured 17 s vs 8 s on triangle_count at sf0.1
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

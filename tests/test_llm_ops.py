@@ -1529,6 +1529,75 @@ def test_hard_negative_topk_empty_anchors(spark):
     assert out.count() == 0
 
 
+def test_pack_bins_report_matches_python(spark):
+    import random
+
+    from pippin_spark.operators.packing import (
+        pack_bins_nextfit,
+        pack_bins_report,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 900)) for i in range(150)]
+    # one oversize doc: gets a bin of its own, util can exceed 1e6 there
+    rows.append((150, 2500))
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    packed = pack_bins_nextfit(df, "doc_id", "n", target_len=1000, num_shards=4)
+    got = {
+        r["shard"]: (r["n_bins"], r["total_len"], r["capacity"], r["util_ppm"])
+        for r in pack_bins_report(packed, target_len=1000).collect()
+    }
+    # recompute from the packed assignment itself
+    from collections import defaultdict
+
+    loads: dict = defaultdict(dict)
+    for r in packed.collect():
+        b = loads[r["shard"]]
+        b[r["bin"]] = max(b.get(r["bin"], 0), r["fill"])
+    want = {}
+    for sh, bins in loads.items():
+        nb, tot = len(bins), sum(bins.values())
+        want[sh] = (nb, tot, nb * 1000, tot * 1_000_000 // (nb * 1000))
+    assert got == want
+    # every shard is accounted for and utilization is sane
+    assert sum(t for _, t, _, _ in got.values()) == sum(n for _, n in rows)
+
+
+def test_centroid_drift_identity_subset_and_missing_label(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)], i % 3) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    # identical snapshots: zero drift, equal counts
+    same = {
+        r["label"]: r
+        for r in S.centroid_drift(df, df, "embedding", "label").collect()
+    }
+    for lab, r in same.items():
+        assert r["n_left"] == r["n_right"] and r["drift_sq"] == 0.0
+    # subset snapshot: drift >= 0 (strictly > for a moved mean), counts drop
+    sub = df.filter(F.col("vec_id") % 5 != 0)
+    d = {
+        r["label"]: r
+        for r in S.centroid_drift(df, sub, "embedding", "label").collect()
+    }
+    for lab, r in d.items():
+        assert r["n_left"] > r["n_right"] > 0
+        assert r["drift_sq"] is not None and r["drift_sq"] >= 0.0
+    assert any(r["drift_sq"] > 0 for r in d.values())
+    # label missing on the right: NULL drift, zero right count
+    no2 = df.filter(F.col("label") != 2)
+    m = {
+        r["label"]: r
+        for r in S.centroid_drift(df, no2, "embedding", "label").collect()
+    }
+    assert m[2]["n_right"] == 0 and m[2]["drift_sq"] is None
+    assert m[0]["drift_sq"] == 0.0 and m[1]["drift_sq"] == 0.0
+
+
 def test_corpus_manifest_diff_statuses_and_identity(spark):
     corpus = spark.createDataFrame(
         [(i, f"document number {i} body") for i in range(20)],

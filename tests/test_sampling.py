@@ -340,3 +340,32 @@ def test_shuffle_order_epochs_distinct_and_partition_invariant(spark):
         r["doc_id"]: r["shuffle_rank"]
         for r in SMP.shuffle_order(df, "doc_id", seed="other", epoch=1).collect()
     }
+
+
+def test_waterfill_allocate_invariants_and_reference(spark):
+    rows = [("a", 100, 10), ("b", 5000, 30), ("c", 50, 40), ("d", 9000, 20)]
+    df = spark.createDataFrame(rows, ["dom", "avail", "w"])
+
+    def run(budget):
+        return {
+            r["dom"]: r["alloc"]
+            for r in SMP.waterfill_allocate(df, "dom", "avail", "w", budget).collect()
+        }
+
+    # small budget: tiny-avail domains saturate, surplus redistributes
+    got = run(2000)
+    avail = dict((d, a) for d, a, _ in rows)
+    assert sum(got.values()) <= 2000
+    for d, a in avail.items():
+        assert 0 <= got[d] <= a
+    # c saturates (share 40/100*2000 = 800 >= 50); a saturates on the
+    # redistribution (10/60 * 1950 = 325 >= 100)
+    assert got["c"] == 50 and got["a"] == 100
+    # remaining budget splits 30:20 between b and d by floor division
+    rem = 2000 - 150
+    assert got["b"] == 30 * rem // 50 and got["d"] == 20 * rem // 50
+    # budget >= total avail: everyone saturates
+    got_all = run(1_000_000)
+    assert got_all == avail
+    # zero budget: nothing allocated
+    assert all(v == 0 for v in run(0).values())

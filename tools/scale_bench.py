@@ -169,6 +169,42 @@ def main() -> None:
             target_len=2048, num_shards=shards,
         )
 
+    def hardneg_ivf(spark, d):
+        # the UNBOUNDED-anchor regime (every corpus vector an anchor)
+        # routed through IVF cells with the cross-label mask — the
+        # escape hatch hard_negative_topk documents; cells scale with
+        # the corpus like knn_join_ivf (~500-vector cells)
+        emb = Pipeline.from_table(spark, d, "embeddings").df
+        n = emb.count()
+        cells = max(4, n // 500)
+        return SIM.hard_negative_ivf(
+            emb, "embedding", "vec_id", "label",
+            k=3, num_cells=cells, train_iters=2,
+        )
+
+    def triangles(spark, d):
+        # degree-ordered wedge counting: the O(sqrt(E)) fanout cap is a
+        # plan-shape argument until measured — wedge volume under the
+        # replicas' degree distribution is exactly what could grow
+        # superlinearly (VERDICT r6 #3)
+        return ENTRY_QUERIES["triangle_count_parts"](spark, d)
+
+    def pagerank(spark, d):
+        # 3 Pregel rounds = 6 keyed shuffles of node-sized rank rows
+        # off a localCheckpoint'ed edge list; per-round overhead at
+        # 100x is the open question, not the per-row cost
+        return ENTRY_QUERIES["pagerank_trade_graph"](spark, d)
+
+    def sorted_neighborhood(spark, d):
+        # 20 exchanges — the largest static plan in the repo; slope
+        # certifies the window-join cascade has no hidden cliff
+        return ENTRY_QUERIES["dedup_sorted_neighborhood"](spark, d)
+
+    def cte_reach(spark, d):
+        # iterative frontier expansion: rounds x (join + distinct);
+        # recursion depth growth under replication is the risk measured
+        return ENTRY_QUERIES["recursive_cte_reach"](spark, d)
+
     OPS = {
         "dedup_minhash": minhash,
         "set_join_jaccard": set_join,
@@ -184,6 +220,11 @@ def main() -> None:
         "hard_negative_mining": hardneg,
         "shuffle_order_docs": shuffle_order,
         "pack_bins_docs": pack_bins,
+        "hard_negative_ivf": hardneg_ivf,
+        "triangle_count_parts": triangles,
+        "pagerank_trade_graph": pagerank,
+        "dedup_sorted_neighborhood": sorted_neighborhood,
+        "recursive_cte_reach": cte_reach,
     }
     only = os.environ.get("SCALE_OPS")
     if only:
@@ -195,12 +236,14 @@ def main() -> None:
         spark.read.parquet(f"{d}/lineitem.parquet").count()  # warm footers
         for name, fn in OPS.items():
             # one discarded cold pass absorbs codegen/footer warmup,
-            # then three END-TO-END repetitions from a cleared cache
+            # then SCALE_REPS (default 3) END-TO-END repetitions from a
+            # cleared cache (SCALE_REPS=1 for multi-minute 100x ops —
+            # the slope signal is decades wide, rep noise is not)
             df = fn(spark, d)
             df.write.format("noop").mode("overwrite").save()
             n_out = int(df.count())
             best = float("inf")
-            for _ in range(3):
+            for _ in range(int(os.environ.get("SCALE_REPS", "3"))):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
