@@ -35,7 +35,10 @@ def get_spark(app_name: str = "pippin-spark", cpus: int | None = None) -> SparkS
         # a handful of partitions, big data keeps enough. Explicit
         # repartition()/repartitionByRange() calls (ranked_sort) are
         # user-specified and unaffected.
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("PIPPIN_INITIAL_PARTITIONS", "512"),
+        )
         # without this, AQE partition coalescing is DISABLED inside
         # persist()/cache() subtrees (Spark pins cached-plan output
         # partitioning by default), so every cached operator (triangle
