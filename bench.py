@@ -146,6 +146,8 @@ HEADLINE = [
     "centroid_drift_snapshots",
     "token_budget_waterfill",
     "streaming_corpus_manifest",
+    "repeat_epochs_plan",
+    "curriculum_order_docs",
 ]
 
 

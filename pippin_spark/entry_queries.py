@@ -9678,29 +9678,39 @@ def q_pack_bins_docs(spark, sf_dir):
     )
 
 
-def _waterfill_oracle(rounds: int = 8) -> str:
+def _waterfill_oracle(
+    rounds: int = 8,
+    cap_mult: int = 1,
+    budget_sql: str = "SUM(n_chars) * 2 // 5",
+    with_epochs: bool = False,
+) -> str:
     # unrolled saturate-and-redistribute rounds (the
     # quality_classifier_train unrolled-GD oracle pattern): each round
-    # re-aggregates saturated avail / unsaturated weight and flips
-    # every row whose proportional share covers its availability.
+    # re-aggregates saturated capacity / unsaturated weight and flips
+    # every row whose proportional share covers its capacity.
     # Fixpoint is reached in <= #domains rounds (each non-final round
     # saturates >= 1 row); the fixture has <= 6 langs, 8 rounds is
     # headroom. Floor division on non-negative operands both engines.
+    # ``cap_mult``/``with_epochs`` parameterize the repeat-epochs form:
+    # capacity = avail x max_epochs, and the final select adds
+    # epochs_ppm = alloc x 10^6 div avail (how many times the domain's
+    # real data is replayed).
     parts = [
         f"""
     by_l AS (
-      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS avail,
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tavail,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM documents GROUP BY 1
     ), s AS (
-      SELECT lang, avail, {SMP.ISQRT_SQL.format(n='n')} AS s FROM by_l
+      SELECT lang, tavail, {SMP.ISQRT_SQL.format(n='n')} AS s FROM by_l
     ), tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM s),
     w AS (
-      SELECT lang, avail, CAST(s * 1000000 // tot.t AS BIGINT) AS wt
+      SELECT lang, tavail, tavail * {int(cap_mult)} AS avail,
+             CAST(s * 1000000 // tot.t AS BIGINT) AS wt
       FROM s CROSS JOIN tot
     ),
-    b AS (SELECT CAST(SUM(n_chars) * 2 // 5 AS BIGINT) AS bud FROM documents),
-    r0 AS (SELECT lang, avail, wt, FALSE AS sat FROM w)"""
+    b AS (SELECT CAST({budget_sql} AS BIGINT) AS bud FROM documents),
+    r0 AS (SELECT lang, tavail, avail, wt, FALSE AS sat FROM w)"""
     ]
     for i in range(rounds):
         parts.append(
@@ -9711,7 +9721,7 @@ def _waterfill_oracle(rounds: int = 8) -> str:
       FROM r{i}
     ),
     r{i + 1} AS (
-      SELECT lang, avail, wt,
+      SELECT lang, tavail, avail, wt,
              CASE WHEN sat THEN TRUE
                   WHEN a{i}.uw > 0
                        AND wt * (b.bud - a{i}.sa) // a{i}.uw >= avail
@@ -9720,6 +9730,22 @@ def _waterfill_oracle(rounds: int = 8) -> str:
     )"""
         )
     last = f"r{rounds}"
+    alloc = f"""CASE WHEN sat THEN avail
+                WHEN af.uw > 0 THEN wt * (b.bud - af.sa) // af.uw
+                ELSE avail END"""
+    if with_epochs:
+        final = f"""
+    SELECT lang, tavail AS avail, avail AS cap, wt AS weight,
+           {alloc} AS alloc,
+           ({alloc}) * 1000000 // tavail AS epochs_ppm
+    FROM {last} CROSS JOIN af CROSS JOIN b
+    """
+    else:
+        final = f"""
+    SELECT lang, avail, wt AS weight,
+           {alloc} AS alloc
+    FROM {last} CROSS JOIN af CROSS JOIN b
+    """
     return (
         "WITH "
         + ",".join(parts)
@@ -9728,13 +9754,8 @@ def _waterfill_oracle(rounds: int = 8) -> str:
       SELECT CAST(COALESCE(SUM(CASE WHEN sat THEN avail END), 0) AS BIGINT) AS sa,
              CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT) AS uw
       FROM {last}
-    )
-    SELECT lang, avail, wt AS weight,
-           CASE WHEN sat THEN avail
-                WHEN af.uw > 0 THEN wt * (b.bud - af.sa) // af.uw
-                ELSE avail END AS alloc
-    FROM {last} CROSS JOIN af CROSS JOIN b
-    """
+    )"""
+        + final
     )
 
 
@@ -9765,6 +9786,100 @@ def q_token_budget_waterfill(spark, sf_dir):
         F.expr("sum(n_chars) * 2 div 5").alias("b")
     ).collect()[0]["b"]
     return SMP.waterfill_allocate(domains, "lang", "avail", "weight", int(budget))
+
+
+@_q(
+    "repeat_epochs_plan",
+    # data-constrained repeat-epochs allocation (the Muennighoff-style
+    # "how many epochs of each domain under a token budget, capped at
+    # 4 epochs" plan): the SAME water-fill fold, run against capacity
+    # = avail x 4 with a budget of 2x the corpus — small sqrt-upweighted
+    # domains saturate at 4 full epochs, large ones land fractional.
+    # epochs_ppm = alloc x 10^6 div avail is the per-domain replay
+    # factor a training loader consumes.
+    _waterfill_oracle(cap_mult=4, budget_sql="SUM(n_chars) * 2", with_epochs=True),
+)
+def q_repeat_epochs_plan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    by = docs.groupBy("lang").agg(F.sum("n_chars").alias("true_avail"))
+    w = SMP.sqrt_temperature_weights(docs, ["lang"]).select(
+        "lang", F.col("weight_ppm").alias("weight")
+    )
+    domains = by.join(w, "lang").withColumn(
+        "cap", F.col("true_avail") * 4
+    )
+    budget = docs.agg(F.expr("sum(n_chars) * 2").alias("b")).collect()[0]["b"]
+    filled = SMP.waterfill_allocate(domains, "lang", "cap", "weight", int(budget))
+    # waterfill's "avail" column is the capacity here; join the true
+    # availability back for the replay factor
+    return (
+        filled.withColumnRenamed("avail", "cap")
+        .join(by, "lang")
+        .select(
+            "lang",
+            F.col("true_avail").alias("avail"),
+            "cap",
+            "weight",
+            "alloc",
+            F.expr("alloc * 1000000 div true_avail").alias("epochs_ppm"),
+        )
+    )
+
+
+@_q(
+    "curriculum_order_docs",
+    # quality/difficulty curriculum order: global rank by (length
+    # decile ASC, md5 in-bucket shuffle) — easy-first scheduling with
+    # deterministic within-bucket shuffling, the standard curriculum
+    # feed. Decile bounds are a 9-value broadcast artifact
+    # (length_decile_docs); the global rank is ranked_sort's
+    # range-exchange, never a single-partition window over the corpus.
+    """
+    WITH b AS (
+      SELECT [quantile_cont(n_chars::DOUBLE, 0.1), quantile_cont(n_chars::DOUBLE, 0.2),
+              quantile_cont(n_chars::DOUBLE, 0.3), quantile_cont(n_chars::DOUBLE, 0.4),
+              quantile_cont(n_chars::DOUBLE, 0.5), quantile_cont(n_chars::DOUBLE, 0.6),
+              quantile_cont(n_chars::DOUBLE, 0.7), quantile_cont(n_chars::DOUBLE, 0.8),
+              quantile_cont(n_chars::DOUBLE, 0.9)] AS bounds
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(b.bounds, x -> n_chars > x)) AS BIGINT) AS decile
+      FROM documents CROSS JOIN b
+    )
+    SELECT doc_id, decile,
+           ROW_NUMBER() OVER (
+             ORDER BY decile,
+                      md5('cur42:' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS curriculum_rank
+    FROM d
+    """,
+)
+def q_curriculum_order_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    bounds = docs.agg(
+        F.percentile(
+            F.col("n_chars").cast("double"),
+            F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+        ).alias("bounds")
+    )
+    with_dec = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        F.size(F.filter("bounds", lambda x: F.col("n_chars") > x))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    key = F.md5(F.concat(F.lit("cur42:"), F.col("doc_id").cast("string")))
+    ranked = REL.ranked_sort(
+        with_dec.withColumn("__k__", key),
+        [F.col("decile").asc(), F.col("__k__").asc(), F.col("doc_id").asc()],
+        rank_col="curriculum_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "decile",
+        F.col("curriculum_rank").cast("bigint").alias("curriculum_rank"),
+    )
 
 
 @_q(
@@ -9982,14 +10097,15 @@ def q_source_orc_roundtrip(spark, sf_dir):
 # locally by tools/verify_strict.py at sf0.001/0.01/0.1 under the same
 # typed-hash policy, so ordering carries zero correctness risk — but
 # only queries in the driver's window get a hard CORRECTNESS_r{N} row.
-# --- round-7 driver window (first 50): all 32 never-driver-checked
-# queries (the 7 round-6 additions + 18 carried + 7 round-7
+# --- round-7 driver window (first 50): all 34 never-driver-checked
+# queries (the 7 round-6 additions + 18 carried + 9 round-7
 # additions: hard_negative_ivf / shuffle_order_epochs /
 # corpus_manifest_diff / pack_bins_report /
 # centroid_drift_snapshots / token_budget_waterfill /
-# streaming_corpus_manifest), padded with the 18 OLDEST driver rows
+# streaming_corpus_manifest / repeat_epochs_plan /
+# curriculum_order_docs), padded with the 16 OLDEST driver rows
 # (r1/r2 vintage - the hard-row refresh cycle begins per VERDICT r6
-# #4). Target after r7: driver-row union 283/283 - every declared
+# #4). Target after r7: driver-row union 285/285 - every declared
 # query hard-signal-verified at least once. Built by
 # tools/next_window.py --emit; tests/test_oracle.py asserts the
 # list stays exhaustive.
@@ -10009,6 +10125,8 @@ _DRIVER_ROW_PRIORITY = [
     "centroid_drift_snapshots",
     "token_budget_waterfill",
     "streaming_corpus_manifest",
+    "repeat_epochs_plan",
+    "curriculum_order_docs",
     "asof_join_forward_events",
     "event_transitions",
     "retention_cohorts",

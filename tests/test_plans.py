@@ -715,6 +715,20 @@ def test_shuffle_order_epochs_plan_reuses_ranked_sort_shape(spark, qs):
         assert "HashAggregate" in chunk or "ObjectHashAggregate" in chunk
 
 
+def test_curriculum_order_plan_reuses_ranked_sort_shape(spark, qs):
+    # curriculum rank = ranked_sort range-exchange over (decile, md5);
+    # singles allowed only for the 1-row decile-bounds aggregate (which
+    # plans once per ranked_sort consumer branch, so twice) and the
+    # <=P-row offset aggregate — each must sit above an aggregate, so
+    # the corpus itself never single-partitions
+    p = plan(qs["curriculum_order_docs"](spark, SF))
+    assert "rangepartitioning" in p.lower()
+    singles = p.split("Arguments: SinglePartition")[:-1]
+    assert len(singles) <= 3
+    for chunk in singles:
+        assert "HashAggregate" in chunk or "ObjectHashAggregate" in chunk
+
+
 def test_round6_plan_shapes(spark, qs):
     def p(name):
         return plan(qs[name](spark, SF))
