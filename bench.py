@@ -334,6 +334,12 @@ def main() -> None:
         "classifier_scrub_e2e",  # trains + selects the median threshold
         "dsir_select_docs",  # scores cached + kth threshold at construction
         "streaming_quality_gate",  # trains + drains the stream in the builder
+        "hard_negative_ivf",  # Lloyd sample training collects at construction
+        "token_budget_waterfill",  # domain aggregation + fold at construction
+        "repeat_epochs_plan",  # same waterfill fold at construction
+        "streaming_corpus_manifest",  # drains the stream in the builder
+        "pack_bins_docs",  # shard count derived via count() at construction
+        "pack_bins_report",  # same derived shard count at construction
     }
 
     timings: dict[str, float] = {}
