@@ -148,6 +148,8 @@ HEADLINE = [
     "streaming_corpus_manifest",
     "repeat_epochs_plan",
     "curriculum_order_docs",
+    "dedup_cross_source_matrix",
+    "corpus_changed_docs",
 ]
 
 

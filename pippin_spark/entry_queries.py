@@ -9955,6 +9955,102 @@ def q_centroid_drift_snapshots(spark, sf_dir):
     return SIM.centroid_drift(emb, right, "embedding", "label")
 
 
+_FP_SQL = "md5(trim(regexp_replace(lower({t}), '\\s+', ' ', 'g')))"
+
+
+@_q(
+    "dedup_cross_source_matrix",
+    # cross-source duplication matrix: exact-duplicate PAIR counts per
+    # unordered source pair — "how much of source A is a copy of
+    # source B", the curation diagnostic that decides which source to
+    # drop when corpora overlap. The corpus is augmented with a
+    # deterministic re-crawl slice ('recrawl' source duplicating every
+    # doc_id % 53 == 11 under new ids) so the matrix is non-empty at
+    # every SF and the cross-source arithmetic is actually exercised
+    # (the raw fixtures have exact dups only at sf0.1).
+    # Digest-grouped counts self-join on the fingerprint (corpus text
+    # never crosses a shuffle); pair math is exact integers (ca·cb
+    # off-diagonal, C(n,2) on it).
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text, 'recrawl' FROM documents
+      WHERE doc_id % 53 = 11
+    ), per AS (
+      SELECT {_FP_SQL.format(t='text')} AS fp, source AS src,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM corpus GROUP BY 1, 2
+    )
+    SELECT a.src AS source_a, b.src AS source_b,
+           CAST(SUM(CASE WHEN a.src = b.src THEN a.cnt * (a.cnt - 1) // 2
+                         ELSE a.cnt * b.cnt END) AS BIGINT) AS dup_pairs
+    FROM per a JOIN per b ON a.fp = b.fp AND a.src <= b.src
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN a.src = b.src THEN a.cnt * (a.cnt - 1) // 2
+               ELSE a.cnt * b.cnt END) > 0
+    """,
+)
+def q_dedup_cross_source_matrix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "text", "source")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 53 == 11).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            "text",
+            F.lit("recrawl").alias("source"),
+        )
+    )
+    return DEDUP.cross_source_dup_matrix(corpus, "text", "doc_id", "source")
+
+
+@_q(
+    "corpus_changed_docs",
+    # doc-level snapshot diff (the row-level follow-up to
+    # corpus_manifest_diff): per id with differing content, a status
+    # row added / removed / changed — unchanged ids emit nothing. The
+    # right snapshot deterministically edits one doc family, drops a
+    # second, and ingests a third under new ids so all three statuses
+    # appear; only (id, fingerprint) pairs cross the join.
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 3 THEN text || '!' ELSE text END AS text
+      FROM documents WHERE doc_id % 101 <> 5
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 89 = 7
+    ),
+    lf AS (SELECT doc_id, {_FP_SQL.format(t='text')} AS l_fp FROM documents),
+    rf AS (SELECT doc_id, {_FP_SQL.format(t='text')} AS r_fp FROM r)
+    SELECT COALESCE(lf.doc_id, rf.doc_id) AS doc_id,
+           CASE WHEN lf.doc_id IS NULL THEN 'added'
+                WHEN rf.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM lf FULL OUTER JOIN rf ON lf.doc_id = rf.doc_id
+    WHERE lf.doc_id IS NULL OR rf.doc_id IS NULL OR lf.l_fp <> rf.r_fp
+    """,
+)
+def q_corpus_changed_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    right = (
+        docs.filter(F.col("doc_id") % 101 != 5)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 97 == 3, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 89 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return TXT.corpus_doc_diff(
+        docs.select("doc_id", "text"), right, "text", "doc_id"
+    )
+
+
 @_q(
     "streaming_corpus_manifest",
     # the manifest computed INCREMENTALLY under an append stream —
@@ -10097,15 +10193,16 @@ def q_source_orc_roundtrip(spark, sf_dir):
 # locally by tools/verify_strict.py at sf0.001/0.01/0.1 under the same
 # typed-hash policy, so ordering carries zero correctness risk — but
 # only queries in the driver's window get a hard CORRECTNESS_r{N} row.
-# --- round-7 driver window (first 50): all 34 never-driver-checked
-# queries (the 7 round-6 additions + 18 carried + 9 round-7
+# --- round-7 driver window (first 50): all 36 never-driver-checked
+# queries (the 7 round-6 additions + 18 carried + 11 round-7
 # additions: hard_negative_ivf / shuffle_order_epochs /
 # corpus_manifest_diff / pack_bins_report /
 # centroid_drift_snapshots / token_budget_waterfill /
 # streaming_corpus_manifest / repeat_epochs_plan /
-# curriculum_order_docs), padded with the 16 OLDEST driver rows
+# curriculum_order_docs / dedup_cross_source_matrix /
+# corpus_changed_docs), padded with the 14 OLDEST driver rows
 # (r1/r2 vintage - the hard-row refresh cycle begins per VERDICT r6
-# #4). Target after r7: driver-row union 285/285 - every declared
+# #4). Target after r7: driver-row union 287/287 - every declared
 # query hard-signal-verified at least once. Built by
 # tools/next_window.py --emit; tests/test_oracle.py asserts the
 # list stays exhaustive.
@@ -10127,6 +10224,8 @@ _DRIVER_ROW_PRIORITY = [
     "streaming_corpus_manifest",
     "repeat_epochs_plan",
     "curriculum_order_docs",
+    "dedup_cross_source_matrix",
+    "corpus_changed_docs",
     "asof_join_forward_events",
     "event_transitions",
     "retention_cohorts",

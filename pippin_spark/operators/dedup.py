@@ -38,6 +38,54 @@ from pippin_spark.operators.util import CacheHandle, ensure_parallelism
 # ---------------------------------------------------------------------------
 
 
+def cross_source_dup_matrix(
+    df: DataFrame, text_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """Cross-source duplication matrix — the curation diagnostic behind
+    "how much of source A is a copy of source B": for every unordered
+    source pair (a ≤ b), the number of exact-duplicate document PAIRS
+    with one member in each (and within-source pairs C(n,2) on the
+    diagonal).
+
+    Scale shape: one digest-grouped count per (fingerprint, source) —
+    corpus text never crosses a shuffle, only digests — then a
+    digest-keyed self-join of those counts (each digest's row count is
+    #sources at most), so the join input is bounded by
+    #distinct-digests × #sources rows. Pair math is exact integers:
+    cnt_a·cnt_b off-diagonal, cnt·(cnt−1)/2 on it."""
+    from pippin_spark.operators.text import fingerprint
+
+    per = (
+        df.groupBy(
+            fingerprint(F.col(text_col)).alias("__fp__"),
+            F.col(source_col).alias("src"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = per.select("__fp__", F.col("src").alias("source_a"), F.col("cnt").alias("ca"))
+    b = per.select("__fp__", F.col("src").alias("source_b"), F.col("cnt").alias("cb"))
+    pairs = (
+        a.join(b, "__fp__")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("ca * (ca - 1) div 2"),  # integer-exact C(n,2)
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("n_pairs").alias("dup_pairs"))
+        .filter(F.col("dup_pairs") > 0)
+    )
+
+
 def dedup_exact_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups by normalized-text digest: returns
     (fp, keep_id, dup_count) for groups with >1 member. Shuffles only

@@ -330,6 +330,37 @@ def corpus_manifest_diff(left: DataFrame, right: DataFrame) -> DataFrame:
     )
 
 
+def corpus_doc_diff(
+    left: DataFrame, right: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Doc-level snapshot diff — the row-level follow-up to
+    ``corpus_manifest_diff`` (run it over the id ranges the bucket
+    diff flags, or over whole corpora when small enough): per id whose
+    content differs between snapshots, a status row
+    'added' (right only) / 'removed' (left only) / 'changed'
+    (fingerprints differ); unchanged ids emit no row.
+
+    Scale: only (id, 32-char fingerprint) pairs cross the full-outer
+    join — text is digested map-side and never shuffled."""
+    l = left.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__lf__")
+    )
+    r = right.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__rf__")
+    )
+    j = l.join(r, id_col, "full_outer")
+    status = (
+        F.when(F.col("__lf__").isNull(), F.lit("added"))
+        .when(F.col("__rf__").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.filter(
+        F.col("__lf__").isNull()
+        | F.col("__rf__").isNull()
+        | (F.col("__lf__") != F.col("__rf__"))
+    ).select(id_col, status.alias("status"))
+
+
 def lang_id_oracle_sql(text_expr: str = "text") -> str:
     """DuckDB SQL computing the identical lang_id (for the oracle)."""
     toks = f"list_distinct(string_split(regexp_replace(lower({text_expr}), '\\s+', ' ', 'g'), ' '))"

@@ -1598,6 +1598,51 @@ def test_centroid_drift_identity_subset_and_missing_label(spark):
     assert m[0]["drift_sq"] == 0.0 and m[1]["drift_sq"] == 0.0
 
 
+def test_cross_source_dup_matrix_pair_math(spark):
+    rows = [
+        (1, "alpha text", "a"),
+        (2, "alpha text", "a"),   # within-a dup pair
+        (3, "alpha text", "b"),   # crosses a-b (2x) and b-c via 7
+        (4, "beta text", "b"),
+        (5, "beta text", "c"),    # crosses b-c
+        (6, "unique text", "c"),
+        (7, "alpha text", "c"),   # alpha: a=2, b=1, c=1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r["source_a"], r["source_b"]): r["dup_pairs"]
+        for r in D.cross_source_dup_matrix(df, "text", "doc_id", "source").collect()
+    }
+    # alpha digest counts a:2 b:1 c:1 -> aa C(2,2)=1, ab 2, ac 2, bc 1
+    # beta  digest counts b:1 c:1    -> bc 1
+    assert got == {("a", "a"): 1, ("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 2}
+
+
+def test_corpus_doc_diff_statuses(spark):
+    left = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    right = (
+        left.filter(F.col("doc_id") != 3)  # removed
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == 5, F.lit("edited")).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame([(100, "new doc")], ["doc_id", "text"])
+        )
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in X.corpus_doc_diff(left, right, "text", "doc_id").collect()
+    }
+    assert got == {3: "removed", 5: "changed", 100: "added"}
+    # identical snapshots: empty diff
+    assert X.corpus_doc_diff(left, left, "text", "doc_id").count() == 0
+
+
 def test_corpus_manifest_diff_statuses_and_identity(spark):
     corpus = spark.createDataFrame(
         [(i, f"document number {i} body") for i in range(20)],
