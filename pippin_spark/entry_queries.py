@@ -9732,7 +9732,7 @@ def _waterfill_oracle(
     last = f"r{rounds}"
     alloc = f"""CASE WHEN sat THEN avail
                 WHEN af.uw > 0 THEN wt * (b.bud - af.sa) // af.uw
-                ELSE avail END"""
+                ELSE 0 END"""
     if with_epochs:
         final = f"""
     SELECT lang, tavail AS avail, avail AS cap, wt AS weight,
@@ -10000,7 +10000,7 @@ def q_dedup_cross_source_matrix(spark, sf_dir):
             F.lit("recrawl").alias("source"),
         )
     )
-    return DEDUP.cross_source_dup_matrix(corpus, "text", "doc_id", "source")
+    return DEDUP.cross_source_dup_matrix(corpus, "text", "source")
 
 
 @_q(

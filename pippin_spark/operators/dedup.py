@@ -39,7 +39,7 @@ from pippin_spark.operators.util import CacheHandle, ensure_parallelism
 
 
 def cross_source_dup_matrix(
-    df: DataFrame, text_col: str, id_col: str, source_col: str
+    df: DataFrame, text_col: str, source_col: str
 ) -> DataFrame:
     """Cross-source duplication matrix — the curation diagnostic behind
     "how much of source A is a copy of source B": for every unordered

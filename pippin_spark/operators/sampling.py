@@ -494,8 +494,11 @@ def waterfill_allocate(
     sa = sum(a for d, a, w in rows if d in sat)
     uw = sum(w for d, a, w in rows if d not in sat)
     R = B - sa
+    # uw == 0 with unsaturated rows remaining means every unsaturated
+    # domain has weight 0: a zero-weight domain's proportional share is
+    # 0, so allocate 0 (the oracle's ELSE branch matches).
     out = [
-        (d, a, w, a if d in sat else w * R // uw)
+        (d, a, w, a if d in sat else (w * R // uw if uw > 0 else 0))
         for d, a, w in rows
     ]
     dom_t = domains.schema[domain_col].dataType.simpleString()

@@ -117,10 +117,26 @@ def hard_negative_topk(
         # degenerate anchor set (empty corpus or over-aggressive
         # filter): empty result with the contract schema, matching the
         # exact_kth_2pass empty-input convention — np.stack([]) would
-        # otherwise raise an opaque "need at least one array" error
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
+        # otherwise raise an opaque "need at least one array" error.
+        # id types derive from the inputs (queries for query_id, corpus
+        # for neighbor_id) so empty and non-empty results agree for
+        # int-typed id columns too.
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
         )
+
+        empty_schema = StructType(
+            [
+                StructField("query_id", queries.schema[id_col].dataType),
+                StructField("neighbor_id", corpus.schema[id_col].dataType),
+                StructField("cosine", DoubleType()),
+                StructField("rank", IntegerType(), nullable=False),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame([], empty_schema)
     order = sorted(range(len(q_rows)), key=lambda i: q_rows[i]["query_id"])
     q_ids = np.array([q_rows[i]["query_id"] for i in order], dtype=np.int64)
     q_labs = np.array([q_rows[i]["__qlab__"] for i in order])
@@ -199,7 +215,17 @@ def hard_negative_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    # the Arrow stage emits long ids; cast back to the input id types
+    # so empty- and non-empty-anchor results share one schema
+    return ranked.select(
+        F.col("query_id").cast(queries.schema[id_col].dataType),
+        F.col("neighbor_id").cast(corpus.schema[id_col].dataType),
+        "cosine",
+        "rank",
+    )
 
 
 def hard_negative_ivf(

@@ -1611,7 +1611,7 @@ def test_cross_source_dup_matrix_pair_math(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     got = {
         (r["source_a"], r["source_b"]): r["dup_pairs"]
-        for r in D.cross_source_dup_matrix(df, "text", "doc_id", "source").collect()
+        for r in D.cross_source_dup_matrix(df, "text", "source").collect()
     }
     # alpha digest counts a:2 b:1 c:1 -> aa C(2,2)=1, ab 2, ac 2, bc 1
     # beta  digest counts b:1 c:1    -> bc 1
@@ -1739,3 +1739,19 @@ def test_pack_bins_nextfit_invariants_and_python_parity(spark):
         df.repartition(7), "doc_id", "n", target_len=2048, num_shards=4
     )
     assert sorted(tuple(r) for r in again.collect()) == sorted(out)
+
+
+def test_hard_negative_topk_empty_anchor_schema_parity(spark):
+    # ADVICE r7: the empty-anchor guard used a hardcoded 'long' DDL, so
+    # int-typed id columns produced different schemas for empty vs
+    # non-empty anchor sets. Both must derive from the inputs.
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(10)],
+        "vec_id int, embedding array<double>, label int",
+    )
+    full = S.hard_negative_topk(df, df, "embedding", "vec_id", "label", k=2)
+    empty = S.hard_negative_topk(
+        df, df.filter(F.col("vec_id") < 0), "embedding", "vec_id", "label", k=2
+    )
+    assert empty.schema == full.schema
+    assert empty.count() == 0 and full.count() > 0

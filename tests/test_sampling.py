@@ -369,3 +369,23 @@ def test_waterfill_allocate_invariants_and_reference(spark):
     assert got_all == avail
     # zero budget: nothing allocated
     assert all(v == 0 for v in run(0).values())
+
+
+def test_waterfill_allocate_zero_weight_corner(spark):
+    # ADVICE r7: one zero-weight domain alongside domains that saturate
+    # used to ZeroDivisionError on the final redistribution (uw == 0
+    # with unsaturated rows remaining). Contract: weight 0 => share 0.
+    rows = [("a", 10, 5), ("b", 10, 5), ("z", 1000, 0)]
+    df = spark.createDataFrame(rows, ["dom", "avail", "w"])
+    got = {
+        r["dom"]: r["alloc"]
+        for r in SMP.waterfill_allocate(df, "dom", "avail", "w", 500).collect()
+    }
+    assert got == {"a": 10, "b": 10, "z": 0}
+    # all-zero weights: nothing allocates, no crash
+    dfz = spark.createDataFrame([("a", 10, 0), ("b", 20, 0)], ["dom", "avail", "w"])
+    gotz = {
+        r["dom"]: r["alloc"]
+        for r in SMP.waterfill_allocate(dfz, "dom", "avail", "w", 500).collect()
+    }
+    assert gotz == {"a": 0, "b": 0}
