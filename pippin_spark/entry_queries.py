@@ -9917,6 +9917,60 @@ def q_pack_bins_report(spark, sf_dir):
 
 
 @_q(
+    "pack_epochs_e2e",
+    # the loader-feed composition (VERDICT r7 #4): bin construction
+    # FOLLOWS the epoch permutation — per epoch, documents are
+    # concat-chunked in shuffle_order rank order, and each doc's
+    # start_off is the exact global prefix sum of n_chars along the
+    # permuted stream (seq_id = start_off div 2048 is the training
+    # sequence it starts in). This is the (epoch, seq, doc, offset)
+    # table a real shuffled-epoch training loader consumes; previously
+    # shuffle_order_epochs and pack_bins_docs were disjoint. Scale:
+    # each epoch's rank is ranked_sort's range exchange (never a
+    # full-corpus SinglePartition window — plan-gated) and the global
+    # running sum is the bucketed two-phase prefix (pack_stream_offsets:
+    # in-bucket window + #buckets-row broadcast prefix).
+    """
+    WITH r AS (
+      SELECT e.epoch, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.epoch
+               ORDER BY md5('shuf42:' || CAST(e.epoch AS VARCHAR) || ':'
+                            || CAST(d.doc_id AS VARCHAR)),
+                        d.doc_id) AS shuffle_rank
+      FROM documents d CROSS JOIN (VALUES (1), (2)) AS e(epoch)
+    )
+    SELECT epoch, doc_id, shuffle_rank,
+           CAST(SUM(n_chars) OVER (PARTITION BY epoch ORDER BY shuffle_rank)
+                - n_chars AS BIGINT) AS start_off,
+           CAST((SUM(n_chars) OVER (PARTITION BY epoch ORDER BY shuffle_rank)
+                 - n_chars) // 2048 AS BIGINT) AS seq_id
+    FROM r
+    """,
+)
+def q_pack_epochs_e2e(spark, sf_dir):
+    from pippin_spark.operators.packing import pack_stream_offsets
+
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "n_chars")
+    parts = []
+    for ep in (1, 2):
+        ranked = SMP.shuffle_order(docs, "doc_id", seed="shuf42", epoch=ep)
+        packed = pack_stream_offsets(
+            ranked, "n_chars", "shuffle_rank", target_len=2048
+        )
+        parts.append(
+            packed.select(
+                F.lit(ep).cast("int").alias("epoch"),
+                "doc_id",
+                F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"),
+                F.col("start_off").cast("bigint").alias("start_off"),
+                F.col("seq_id").cast("bigint").alias("seq_id"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@_q(
     "centroid_drift_snapshots",
     # per-label centroid drift between two embedding snapshots (here:
     # the corpus vs a deterministic subset, the filtered-reingest

@@ -1755,3 +1755,33 @@ def test_hard_negative_topk_empty_anchor_schema_parity(spark):
     )
     assert empty.schema == full.schema
     assert empty.count() == 0 and full.count() > 0
+
+
+def test_pack_stream_offsets_matches_python_fold(spark):
+    import random
+
+    from pippin_spark.operators.packing import pack_stream_offsets
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 500)) for i in range(200)]
+    perm = list(range(200))
+    rng.shuffle(perm)
+    rank = {doc: r + 1 for r, doc in enumerate(perm)}
+    df = spark.createDataFrame(
+        [(i, n, rank[i]) for i, n in rows], ["doc_id", "n", "rank"]
+    )
+    got = {
+        r["doc_id"]: (r["start_off"], r["seq_id"])
+        for r in pack_stream_offsets(
+            df, "n", "rank", target_len=700, docs_per_bucket=16
+        ).collect()
+    }
+    # python replay: exclusive prefix sum in rank order
+    off = 0
+    for doc in perm:
+        n = dict(rows)[doc]
+        assert got[doc] == (off, off // 700)
+        off += n
+    # sequences must span bucket boundaries seamlessly: total length
+    # conservation
+    assert off == sum(n for _, n in rows)

@@ -748,3 +748,23 @@ def test_round6_plan_shapes(spark, qs):
     cm = p("corpus_manifest_docs")
     assert count_nodes(cm, "Exchange") == 1
     assert "Join" not in cm
+
+
+def test_pack_epochs_plan_shape(spark, qs):
+    # loader-feed composition: per epoch, ranked_sort's range exchange
+    # feeds the bucketed two-phase prefix sum. SinglePartition allowed
+    # only for the tiny aggregates (ranked_sort's <=P-row offsets and
+    # pack_stream_offsets' #buckets-row prefix, one each per epoch) —
+    # each must sit above an aggregate, the corpus itself never
+    # single-partitions
+    p = plan(qs["pack_epochs_e2e"](spark, SF))
+    assert "rangepartitioning" in p.lower()
+    singles = p.split("Arguments: SinglePartition")[:-1]
+    assert len(singles) <= 4
+    for chunk in singles:
+        assert "HashAggregate" in chunk or "ObjectHashAggregate" in chunk
+    # the in-bucket cumsum is persisted (two consumers; pruning defeats
+    # ReuseExchange) — both the offsets join and the bucket totals must
+    # read the cache, not re-derive the rank subtree
+    assert "InMemoryTableScan" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
