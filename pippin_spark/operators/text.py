@@ -237,7 +237,11 @@ def fingerprint(col: Column) -> Column:
 
 
 def corpus_manifest(
-    df: DataFrame, text_col: str, id_col: str, num_buckets: int = 64
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_buckets: int = 64,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Order-independent corpus content manifest — the replication /
     migration verification primitive: two copies of a corpus (across
@@ -255,14 +259,23 @@ def corpus_manifest(
     count/min/max arms catch add/drop/reorder corruption outright.
     Overflow bound: digest_sum stays exact below 2^31 rows per bucket
     (32-bit digests into a 64-bit sum) — size num_buckets so buckets
-    stay under that; both engines then agree bit-for-bit."""
+    stay under that; both engines then agree bit-for-bit.
+
+    ``bucket_width`` switches to RANGE buckets (bucket = id div width,
+    contiguous id intervals) — the incremental-release form: a changed
+    bucket then bounds a [bucket·width, (bucket+1)·width) id range
+    that pushes down into the re-scan as a parquet filter, which
+    modulo buckets (ids striped across the whole corpus) never can."""
     d32 = F.conv(F.substring(fingerprint(F.col(text_col)), 1, 8), 16, 10).cast(
         "long"
     )
+    bucket = (
+        F.expr(f"{id_col} div {int(bucket_width)}")
+        if bucket_width is not None
+        else F.pmod(F.col(id_col), F.lit(num_buckets))
+    )
     return (
-        df.groupBy(
-            F.pmod(F.col(id_col), F.lit(num_buckets)).alias("bucket")
-        )
+        df.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(d32).alias("digest_sum"),
@@ -328,6 +341,51 @@ def corpus_manifest_diff(left: DataFrame, right: DataFrame) -> DataFrame:
         status.alias("status"),
         *[F.col(f"{s}_{c}") for c in arms for s in ("l", "r")],
     )
+
+
+def changed_id_ranges(
+    diff: DataFrame, bucket_width: int, max_buckets: int = 65536
+) -> list:
+    """Collapse a range-bucketed ``corpus_manifest_diff`` into merged,
+    disjoint [lo, hi] id intervals — the literal pushdown predicate an
+    incremental re-scan filters the snapshots with.
+
+    The diff is a bounded driver artifact BY CONTRACT (an incremental
+    sync touches few buckets; that locality is the entire reason the
+    manifest exists), so the collect is #changed-buckets rows with a
+    loud ``max_buckets`` guard for the regime where changes are so
+    scattered a full re-scan is honest anyway."""
+    rows = (
+        diff.select("bucket").limit(max_buckets + 1).collect()
+    )
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"changed_id_ranges: more than {max_buckets} buckets differ — "
+            "changes are not localized; run the full-corpus diff instead "
+            "of an id-range-restricted re-scan"
+        )
+    w = int(bucket_width)
+    ranges: list = []
+    for b in sorted(int(r["bucket"]) for r in rows):
+        lo, hi = b * w, (b + 1) * w - 1
+        if ranges and lo <= ranges[-1][1] + 1:
+            ranges[-1][1] = hi
+        else:
+            ranges.append([lo, hi])
+    return [(lo, hi) for lo, hi in ranges]
+
+
+def id_ranges_predicate(id_col: str, ranges) -> Column:
+    """OR-of-BETWEEN Column over merged id ranges — pushes down to the
+    parquet scan as range filters (PushedFilters on the id column), so
+    row groups outside every changed range are skipped at the source."""
+    if not ranges:
+        return F.lit(False)
+    pred = None
+    for lo, hi in ranges:
+        c = F.col(id_col).between(F.lit(int(lo)), F.lit(int(hi)))
+        pred = c if pred is None else (pred | c)
+    return pred
 
 
 def corpus_doc_diff(

@@ -1785,3 +1785,19 @@ def test_pack_stream_offsets_matches_python_fold(spark):
     # sequences must span bucket boundaries seamlessly: total length
     # conservation
     assert off == sum(n for _, n in rows)
+
+
+def test_changed_id_ranges_merges_and_guards(spark):
+    from pippin_spark.operators.text import changed_id_ranges, id_ranges_predicate
+
+    diff = spark.createDataFrame([(0,), (1,), (5,), (6,), (9,)], ["bucket"])
+    # width 10: buckets 0,1 merge to [0,19]; 5,6 to [50,69]; 9 alone
+    assert changed_id_ranges(diff, bucket_width=10) == [
+        (0, 19), (50, 69), (90, 99),
+    ]
+    with pytest.raises(ValueError, match="not localized"):
+        changed_id_ranges(diff, bucket_width=10, max_buckets=3)
+    # empty diff -> always-false predicate (nothing to re-scan)
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    assert df.filter(id_ranges_predicate("doc_id", [])).count() == 0
+    assert df.filter(id_ranges_predicate("doc_id", [(1, 3)])).count() == 3

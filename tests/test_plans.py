@@ -768,3 +768,18 @@ def test_pack_epochs_plan_shape(spark, qs):
     # read the cache, not re-derive the rank subtree
     assert "InMemoryTableScan" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_incremental_release_scan_carries_id_range_pushdown(spark, qs):
+    # the restricted doc-level diff must read the snapshots through the
+    # changed-bucket id ranges: the parquet scan shows pushed
+    # range filters on doc_id (row groups outside every changed range
+    # are skipped at the source), never an unfiltered full re-scan
+    p = plan(qs["incremental_release_e2e"](spark, SF))
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    ranged = [
+        f for f in pushed
+        if "GreaterThanOrEqual(doc_id" in f and "LessThanOrEqual(doc_id" in f
+    ]
+    assert ranged, f"no id-range pushdown in any scan: {pushed[:4]}"
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
