@@ -599,6 +599,30 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
+    return _ivf_probe(centroids, assigned, q, k, nprobe)
+
+
+def _ivf_probe(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    q: DataFrame,
+    k: int,
+    nprobe: int,
+    prune_cells: bool = False,
+) -> DataFrame:
+    """The probe half of ``ivf_topk`` — shared by the fresh-build path
+    and the prebuilt-index path (``ann_index_read``): per query, the
+    ``nprobe`` highest-cosine cells, then per-cell scoring and an
+    exact top-k over the candidate union. ``q`` must be
+    (query_id, qv); ``assigned`` (id, cv, cell); ``centroids``
+    (cell, centroid).
+
+    ``prune_cells=True`` (the prebuilt path, where ``assigned`` is a
+    cell-sorted parquet table) collects the probed cell ids — bounded
+    by #queries·nprobe, and queries are bounded by the brute_force
+    contract — and filters ``assigned`` with an IN-literal, so the
+    scan reads only the probed cells' row groups (plan-gated
+    PushedFilters on ``cell``) instead of the whole index."""
     probes = (
         q.join(F.broadcast(centroids), how="cross")
         .select(
@@ -616,6 +640,9 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "cell")
     )
+    if prune_cells:
+        cells = sorted({int(r["cell"]) for r in probes.select("cell").collect()})
+        assigned = assigned.filter(F.col("cell").isin(cells))
     scored = (
         assigned.join(F.broadcast(probes), on="cell")
         .filter(F.col("id") != F.col("query_id"))
@@ -629,6 +656,67 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_index_write(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    num_cells: int = 16,
+    train_iters: int = 0,
+) -> None:
+    """Build-once half of the build-once/query-many IVF contract
+    (VERDICT r7 #6: every IVF consumer retrained Lloyd at
+    construction): materialize the index as two parquet tables —
+    ``{path}/centroids`` (cell, centroid) and ``{path}/assigned``
+    (id, cv, cell), the latter repartitioned AND sorted by cell so a
+    probe's IN-literal on ``cell`` prunes row groups at the scan.
+
+    Scale: the write is the same one-pass broadcast-centroid
+    assignment ivf_build always does, plus one cell-keyed exchange to
+    co-locate cells in files; float64 round-trips parquet bit-exactly,
+    so a prebuilt probe equals the fresh-build probe EXACTLY
+    (pytest-pinned)."""
+    centroids, assigned = ivf_build(corpus, vec_col, id_col, num_cells, train_iters)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        assigned.repartition("cell")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(f"{path}/assigned")
+    )
+
+
+def ann_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index (see ann_index_write): returns
+    (centroids, assigned) ready for ``_ivf_probe`` /
+    ``ivf_topk_prebuilt``."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assigned"),
+    )
+
+
+def ivf_topk_prebuilt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query-many half of the prebuilt-IVF contract: probe a persisted
+    index without touching the corpus or retraining — centroid scoring
+    is a #queries×C broadcast cross join, and the candidate scan reads
+    only the probed cells' row groups (prune_cells). Output shape and
+    values are EXACTLY ivf_topk's for the same build parameters."""
+    centroids, assigned = ann_index_read(spark, path)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    return _ivf_probe(centroids, assigned, q, k, nprobe, prune_cells=True)
 
 
 def random_hyperplanes(dim: int, num_tables: int, num_planes: int, seed: int = 7):

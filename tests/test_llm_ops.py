@@ -1801,3 +1801,26 @@ def test_changed_id_ranges_merges_and_guards(spark):
     df = spark.range(5).withColumnRenamed("id", "doc_id")
     assert df.filter(id_ranges_predicate("doc_id", [])).count() == 0
     assert df.filter(id_ranges_predicate("doc_id", [(1, 3)])).count() == 3
+
+
+def test_ivf_prebuilt_equals_fresh_build_exactly(spark, tmp_path):
+    # build-once/query-many contract: parquet round-trips float64
+    # bit-exactly, so the prebuilt probe must equal the fresh-build
+    # ivf_topk EXACTLY (ids, cosines, ranks), not just in recall
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    fresh = S.ivf_topk(
+        emb, q, "embedding", "vec_id", k=4, num_cells=16, nprobe=3,
+        train_iters=2,
+    )
+    path = str(tmp_path / "ivf")
+    S.ann_index_write(
+        emb, "embedding", "vec_id", path, num_cells=16, train_iters=2
+    )
+    pre = S.ivf_topk_prebuilt(
+        spark, path, q, "embedding", "vec_id", k=4, nprobe=3
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    a = sorted(map(tuple, fresh.collect()), key=lambda t: (t[0], t[3]))
+    b = sorted(map(tuple, pre.collect()), key=lambda t: (t[0], t[3]))
+    assert a == b and len(a) > 0

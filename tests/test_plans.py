@@ -783,3 +783,15 @@ def test_incremental_release_scan_carries_id_range_pushdown(spark, qs):
     ]
     assert ranged, f"no id-range pushdown in any scan: {pushed[:4]}"
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_ivf_prebuilt_probe_prunes_cells_at_scan(spark, qs):
+    # the prebuilt probe must read only the probed cells' row groups:
+    # the assigned-table scan carries an IN-literal on cell (pushed
+    # filters), and no Lloyd training / corpus assignment appears —
+    # the only Arrow stage allowed is none (probe is pure JVM)
+    p = plan(qs["ann_topk_ivf_prebuilt"](spark, SF))
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("In(cell" in f for f in pushed), pushed[:4]
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
