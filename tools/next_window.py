@@ -48,8 +48,12 @@ def main() -> None:
         for name in rows:
             last_round[name] = max(rn, last_round.get(name, 0))
 
-    names = list(_DRIVER_ROW_PRIORITY)
-    assert set(names) == set(ENTRY_QUERIES), "priority list out of sync"
+    # registrations missing from the priority list are brand-new
+    # queries: they go to the FRONT (matching
+    # _apply_driver_row_priority's unlisted-first rule); stale names
+    # no longer registered are dropped
+    unlisted = [n for n in ENTRY_QUERIES if n not in set(_DRIVER_ROW_PRIORITY)]
+    names = unlisted + [n for n in _DRIVER_ROW_PRIORITY if n in ENTRY_QUERIES]
     never = [n for n in names if n not in last_round]
     print(f"rounds seen: {rounds}")
     print(f"declared: {len(names)}  driver-row union: {len(last_round)}  never: {len(never)}")
