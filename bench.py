@@ -154,6 +154,7 @@ HEADLINE = [
     "pack_epochs_e2e",
     "incremental_release_e2e",
     "ann_topk_ivf_prebuilt",  # probe-only latency: build-if-missing
+    "hard_negative_ivf_prebuilt",  # corpus-scale probe, no retrain
 ]
 
 
@@ -240,6 +241,26 @@ def main() -> None:
             "vec_id", k=5, nprobe=4,
         )
 
+    def _raw_hn_prebuilt(spark, sf_dir):
+        # corpus-scale hard-negative probe against the persisted
+        # labeled index: every corpus vector an anchor, NO Lloyd
+        # retrain / reassignment — the delta vs hard_negative_ivf's
+        # row is exactly what index persistence buys a training loop
+        import os
+
+        from pippin_spark.entry_queries import _hn_index_path
+
+        emb = Pipeline.from_table(spark, sf_dir, "embeddings").df
+        path = _hn_index_path(sf_dir)
+        if not os.path.exists(f"{path}/assigned"):
+            SIM.ann_index_write(
+                emb, "embedding", "vec_id", path, num_cells=4, train_iters=2,
+                train_mode="sample", extra_cols=("label",),
+            )
+        return SIM.hard_negative_ivf_prebuilt(
+            spark, path, "label", k=3, nprobe=2
+        )
+
     def _raw_lsh(spark, sf_dir):
         emb = Pipeline.from_table(spark, sf_dir, "embeddings").df
         return SIM.lsh_topk(
@@ -318,6 +339,7 @@ def main() -> None:
     qs["dedup_simhash"] = _raw_simhash
     qs["ann_topk_ivf"] = _raw_ivf
     qs["ann_topk_ivf_prebuilt"] = _raw_ivf_prebuilt
+    qs["hard_negative_ivf_prebuilt"] = _raw_hn_prebuilt
     qs["ann_topk_lsh"] = _raw_lsh
     qs["knn_join_ivf"] = _raw_knn_ivf
     qs["knn_join_ivf_nprobe2"] = _raw_knn_ivf2
@@ -370,6 +392,9 @@ def main() -> None:
         # build itself runs once (build-if-missing), so reps time the
         # honest probe-only path: read index -> select cells -> score
         "ann_topk_ivf_prebuilt",
+        # centroid table collects at construction (probe-cell setup);
+        # index build runs once outside the reps (build-if-missing)
+        "hard_negative_ivf_prebuilt",
         "incremental_release_e2e",  # changed-bucket ranges collect at construction
     }
 

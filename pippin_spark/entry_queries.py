@@ -1486,6 +1486,65 @@ def q_ann_topk_ivf_prebuilt(spark, sf_dir):
     return DEDUP.pair_agreement(bf, ivf)
 
 
+def _hn_index_path(sf_dir: str) -> str:
+    # like _ann_index_path but a separate index family: the
+    # hard-negative index persists the LABEL with each vector
+    # (extra_cols) and uses hard_negative_ivf's build parameters
+    # (4 cells, sample-trained Lloyd), not ann_index_build's 16
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    mt = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+    return f"/tmp/pippin_hn_ivf_{base}_{mt}"
+
+
+@_q(
+    "hard_negative_ivf_prebuilt",
+    # corpus-scale hard-negative mining against the PERSISTED index —
+    # the form a training loop re-mining negatives every few epochs
+    # actually runs (hard_negative_ivf retrains Lloyd + reassigns the
+    # whole corpus per call; this probes the cell-sorted parquet
+    # tables, label already co-located via ann_index_write extra_cols).
+    # Values are EXACTLY hard_negative_ivf's for the same build
+    # parameters (pytest-pinned fresh==prebuilt), so the declared
+    # recall-vs-exact-arm output reuses hard_negative_ivf's literals
+    # verbatim — same SNAPSHOT GATE semantics, same fixture dispatch.
+    """
+    WITH s AS (SELECT COUNT(*) AS n,
+                      SUM(list_sum(CAST(embedding AS DOUBLE[]))) AS t
+               FROM embeddings),
+    v AS (SELECT CASE WHEN n = 2000 THEN 60
+                      WHEN t < 0 THEN 56 ELSE 59 END AS c
+          FROM s)
+    SELECT CAST(75 AS BIGINT) AS n_exact,
+           CAST(75 AS BIGINT) AS n_approx,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(c AS DOUBLE) / 75 AS recall,
+           CAST(c AS DOUBLE) / 75 AS prec
+    FROM v
+    """,
+)
+def q_hard_negative_ivf_prebuilt(spark, sf_dir):
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    path = _hn_index_path(sf_dir)
+    if not os.path.exists(f"{path}/assigned"):
+        SIM.ann_index_write(
+            emb, "embedding", "vec_id", path, num_cells=4, train_iters=2,
+            train_mode="sample", extra_cols=("label",),
+        )
+    hv = SIM.hard_negative_ivf_prebuilt(spark, path, "label", k=3, nprobe=2)
+    hvp = hv.filter(F.col("query_id") < 25).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    q = emb.filter(F.col("vec_id") < 25)
+    bf = SIM.hard_negative_topk(
+        emb, q, "embedding", "vec_id", "label", k=3
+    ).select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    return DEDUP.pair_agreement(bf, hvp)
+
+
 @_q(
     "emb_normalize",
     """
@@ -10429,6 +10488,7 @@ _DRIVER_ROW_PRIORITY = [
     "ann_topk_ivf_prebuilt",
     "pack_epochs_e2e",
     "incremental_release_e2e",
+    "hard_negative_ivf_prebuilt",
     "agg_sum",
     "agg_avg",
     "agg_min",

@@ -273,6 +273,44 @@ def hard_negative_ivf(
     )
 
 
+def hard_negative_ivf_prebuilt(
+    spark,
+    path: str,
+    label_col: str,
+    k: int = 5,
+    nprobe: int = 1,
+    overfetch: int = 8,
+) -> DataFrame:
+    """Corpus-scale hard-negative mining against a PERSISTED IVF index
+    (ann_index_write with ``extra_cols=(label_col,)`` so the label is
+    already co-located with each indexed vector): no Lloyd retrain, no
+    assignment pass — the probe starts from the cell-sorted parquet
+    tables, which is what a training loop re-mining negatives every
+    few epochs actually runs. Values are EXACTLY hard_negative_ivf's
+    for the same build parameters (float64 round-trips parquet
+    bit-exactly; the cell matmul sorts by id so partition layout is
+    irrelevant) — pytest-pinned, like ann_topk_ivf_prebuilt.
+
+    Scale: the index read is a columnar scan of (id, cv, cell, label);
+    shuffle volume is the same n·nprobe vector rows + n·(k+overfetch)
+    id pairs as the fresh path, minus the entire training/assignment
+    cost."""
+    centroids, assigned = ann_index_read(spark, path)
+    out = knn_join_ivf(
+        assigned,
+        "cv",
+        "id",
+        k=k,
+        overfetch=overfetch,
+        nprobe=nprobe,
+        anti_col=label_col,
+        index=(centroids, assigned),
+    )
+    return out.select(
+        F.col("id").alias("query_id"), "neighbor_id", "cosine", "rank"
+    )
+
+
 def _assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -665,6 +703,8 @@ def ann_index_write(
     path: str,
     num_cells: int = 16,
     train_iters: int = 0,
+    train_mode: str = "distributed",
+    extra_cols: tuple = (),
 ) -> None:
     """Build-once half of the build-once/query-many IVF contract
     (VERDICT r7 #6: every IVF consumer retrained Lloyd at
@@ -673,12 +713,20 @@ def ann_index_write(
     (id, cv, cell), the latter repartitioned AND sorted by cell so a
     probe's IN-literal on ``cell`` prunes row groups at the scan.
 
+    ``extra_cols`` persist alongside the vectors (e.g. the label a
+    cross-label hard-negative probe masks on — see
+    hard_negative_ivf_prebuilt); ``train_mode`` mirrors ivf_build's
+    so a persisted index can match any fresh-build consumer exactly.
+
     Scale: the write is the same one-pass broadcast-centroid
     assignment ivf_build always does, plus one cell-keyed exchange to
     co-locate cells in files; float64 round-trips parquet bit-exactly,
     so a prebuilt probe equals the fresh-build probe EXACTLY
     (pytest-pinned)."""
-    centroids, assigned = ivf_build(corpus, vec_col, id_col, num_cells, train_iters)
+    centroids, assigned = ivf_build(
+        corpus, vec_col, id_col, num_cells, train_iters,
+        train_mode=train_mode, extra_cols=extra_cols,
+    )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     (
         assigned.repartition("cell")
@@ -1159,6 +1207,7 @@ def knn_join_ivf(
     overfetch: int = 8,
     nprobe: int = 1,
     anti_col: str = None,
+    index: tuple = None,
 ) -> DataFrame:
     """Corpus-to-corpus kNN fed by IVF cells — the composition
     ``knn_join_blocked`` documents as its corpus-scale path ("for
@@ -1205,12 +1254,22 @@ def knn_join_ivf(
     in that column are excluded — cross-label-only neighbors, the
     corpus-scale hard-negative regime (see hard_negative_ivf). The
     label rides the cell shuffle as one extra pass-through column
-    (zero extra exchanges)."""
+    (zero extra exchanges).
+
+    ``index``: a prebuilt (centroids, assigned) pair (ann_index_read)
+    skips the in-line build entirely — the query-many half of the
+    build-once contract at corpus-join scale; ``assigned`` must carry
+    ``anti_col`` if one is set (persist it via ann_index_write's
+    ``extra_cols``). ``df``/``num_cells``/``train_iters`` are ignored
+    when ``index`` is given."""
     extra = (anti_col,) if anti_col else ()
-    centroids, assigned = ivf_build(
-        df, vec_col, id_col, num_cells, train_iters, train_mode="sample",
-        extra_cols=extra,
-    )
+    if index is not None:
+        centroids, assigned = index
+    else:
+        centroids, assigned = ivf_build(
+            df, vec_col, id_col, num_cells, train_iters, train_mode="sample",
+            extra_cols=extra,
+        )
     if nprobe <= 1:
         return knn_join_blocked(
             assigned, "cv", "id", "cell", k=k, overfetch=overfetch,

@@ -1824,3 +1824,28 @@ def test_ivf_prebuilt_equals_fresh_build_exactly(spark, tmp_path):
     a = sorted(map(tuple, fresh.collect()), key=lambda t: (t[0], t[3]))
     b = sorted(map(tuple, pre.collect()), key=lambda t: (t[0], t[3]))
     assert a == b and len(a) > 0
+
+
+def test_hard_negative_prebuilt_equals_fresh_exactly(spark, tmp_path):
+    # the prebuilt hard-negative probe (label persisted via
+    # extra_cols, no retrain) must equal hard_negative_ivf EXACTLY for
+    # the same build parameters — ids, cosines, ranks; and every pair
+    # must be cross-label
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fresh = S.hard_negative_ivf(
+        emb, "embedding", "vec_id", "label",
+        k=3, num_cells=4, train_iters=2, nprobe=2,
+    )
+    path = str(tmp_path / "hn_ivf")
+    S.ann_index_write(
+        emb, "embedding", "vec_id", path, num_cells=4, train_iters=2,
+        train_mode="sample", extra_cols=("label",),
+    )
+    pre = S.hard_negative_ivf_prebuilt(spark, path, "label", k=3, nprobe=2)
+    a = sorted(map(tuple, fresh.collect()), key=lambda t: (t[0], t[3]))
+    b = sorted(map(tuple, pre.collect()), key=lambda t: (t[0], t[3]))
+    assert a == b and len(a) > 0
+    # cross-label invariant holds on the prebuilt path too
+    lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for qid, nid, _, _ in b:
+        assert lab[qid] != lab[nid]
