@@ -155,6 +155,8 @@ HEADLINE = [
     "incremental_release_e2e",
     "ann_topk_ivf_prebuilt",  # probe-only latency: build-if-missing
     "hard_negative_ivf_prebuilt",  # corpus-scale probe, no retrain
+    "dedup_keep_best_quality",
+    "quality_rank_fusion",
 ]
 
 

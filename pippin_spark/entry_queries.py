@@ -1682,7 +1682,9 @@ def q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
 
 
-def _quality_oracle() -> str:
+def _quality_expr_sql() -> str:
+    # DuckDB replay of TXT.quality_score, as a bare expression so the
+    # dedup_keep_best_quality / quality_rank_fusion oracles can reuse it
     toks = "len(string_split_regex(lower(text), '\\s+'))"
     punct = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
     stop_list = "[" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS["en"]) + "]"
@@ -1692,12 +1694,15 @@ def _quality_oracle() -> str:
     n_tok = f"{toks}::DOUBLE"
     avg_tok = f"({n_chars} / greatest({n_tok}, 1.0))"
     punct_ratio = f"({punct}::DOUBLE / greatest({n_chars}, 1.0))"
-    return f"""
-    SELECT doc_id,
-           ROUND(0.4 * least({n_tok} / 50.0, 1.0)
+    return f"""ROUND(0.4 * least({n_tok} / 50.0, 1.0)
                + 0.2 * (CASE WHEN {avg_tok} >= 3 AND {avg_tok} <= 10 THEN 1.0 ELSE 0.5 END)
                + 0.2 * (CASE WHEN {punct_ratio} <= 0.2 THEN 1.0 ELSE 0.5 END)
-               + 0.2 * ({hits}::DOUBLE / 10.0), 6) AS quality
+               + 0.2 * ({hits}::DOUBLE / 10.0), 6)"""
+
+
+def _quality_oracle() -> str:
+    return f"""
+    SELECT doc_id, {_quality_expr_sql()} AS quality
     FROM documents
     """
 
@@ -10465,6 +10470,89 @@ def q_source_orc_roundtrip(spark, sf_dir):
     )
 
 
+@_q("dedup_keep_best_quality", None)
+def q_dedup_keep_best_quality(spark, sf_dir):
+    # exact dedup keeping the BEST-quality member of each duplicate
+    # cluster (argmax quality_score, ties to the lowest doc_id) — the
+    # curation form: min-id dedup keeps an arbitrary copy; a real
+    # pipeline keeps the highest-quality provenance. Two-phase operator
+    # (dedup.dedup_keep_best): only (digest, id, score) triples cross
+    # the digest shuffle, the text column moves zero times, survivors
+    # semi-join back by id. Full value oracle: DuckDB replays the
+    # fingerprint + quality expressions and the same (quality DESC,
+    # doc_id ASC) per-cluster election.
+    docs = _t(spark, sf_dir, "documents").df
+    kept = DEDUP.dedup_keep_best(
+        docs, "text", "doc_id", TXT.quality_score(F.col("text"))
+    )
+    return kept.select(
+        "doc_id", TXT.quality_score(F.col("text")).alias("quality")
+    )
+
+
+ENTRY_ORACLES["dedup_keep_best_quality"] = f"""
+    WITH m AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {_quality_expr_sql()} AS quality
+      FROM documents
+    ), r AS (
+      SELECT doc_id, quality,
+             row_number() OVER (
+               PARTITION BY fp ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM m
+    )
+    SELECT doc_id, quality FROM r WHERE rn = 1
+    """
+
+
+@_q("quality_rank_fusion", None)
+def q_quality_rank_fusion(spark, sf_dir):
+    # Borda-count fusion of two quality orderings — the standard way to
+    # combine heterogeneous document signals (here: length rank and
+    # heuristic-quality rank) into ONE curation order without
+    # calibrating the signals against each other. Exact integer
+    # arithmetic: both ranks are row_numbers with doc_id tie-breaks, so
+    # the fused score is engine- and partitioning-invariant. Scale:
+    # each global rank goes through ranked_sort's range-exchange
+    # decomposition (never a full-corpus SinglePartition window,
+    # plan-gated class-wide in test_plans), and only (doc_id, rank)
+    # pairs meet at the id-keyed fusion join.
+    docs = _t(spark, sf_dir, "documents").df
+    r1 = REL.ranked_sort(
+        docs.select("doc_id", TXT.token_count(F.col("text")).alias("n_tok")),
+        [F.col("n_tok").desc(), F.col("doc_id").asc()],
+        "rank_len",
+    ).select("doc_id", "rank_len")
+    r2 = REL.ranked_sort(
+        docs.select("doc_id", TXT.quality_score(F.col("text")).alias("q")),
+        [F.col("q").desc(), F.col("doc_id").asc()],
+        "rank_q",
+    ).select("doc_id", "rank_q")
+    return r1.join(r2, "doc_id").select(
+        "doc_id",
+        "rank_len",
+        "rank_q",
+        (F.col("rank_len") + F.col("rank_q")).alias("borda"),
+    )
+
+
+ENTRY_ORACLES["quality_rank_fusion"] = f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '\\s+')) AS n_tok,
+             {_quality_expr_sql()} AS q
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) AS rank_len,
+             row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rank_q
+      FROM m
+    )
+    SELECT doc_id, rank_len, rank_q, rank_len + rank_q AS borda FROM r
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-8 rotation)
 # ---------------------------------------------------------------------------
@@ -10489,6 +10577,8 @@ _DRIVER_ROW_PRIORITY = [
     "pack_epochs_e2e",
     "incremental_release_e2e",
     "hard_negative_ivf_prebuilt",
+    "dedup_keep_best_quality",
+    "quality_rank_fusion",
     "agg_sum",
     "agg_avg",
     "agg_min",

@@ -104,6 +104,37 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
 
 
+def dedup_keep_best(
+    df: DataFrame, text_col: str, id_col: str, score: Column
+) -> DataFrame:
+    """Exact dedup keeping the BEST-scoring member of each duplicate
+    cluster — the curation form of dedup_exact: when near-identical
+    copies differ in provenance/quality, min-id keeps an arbitrary one;
+    this keeps argmax(``score``), ties to the LOWEST id (total order:
+    ids are unique, so the winner is deterministic in both engines).
+
+    Scale: two-phase so document TEXT never rides the digest shuffle —
+    only (digest, id, score) triples are exchanged to elect each
+    cluster's winner (max_by over a (score, -id) struct: one map-side-
+    combining aggregation), then survivors semi-join back on the id
+    (id-keyed, text moves zero times). dedup_exact's window form
+    shuffles whole rows; at 100 TB the text column IS the corpus, so
+    the triple shuffle is ~1% of that volume."""
+    triples = df.select(
+        fingerprint(F.col(text_col)).alias("__fp__"),
+        F.col(id_col).alias("__id__"),
+        score.alias("__s__"),
+    )
+    winners = triples.groupBy("__fp__").agg(
+        F.max_by(
+            "__id__", F.struct(F.col("__s__"), (-F.col("__id__")).alias("__nid__"))
+        ).alias("keep_id")
+    )
+    return df.join(
+        winners.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------

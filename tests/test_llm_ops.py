@@ -31,6 +31,26 @@ def test_dedup_exact(spark, docs):
     assert sorted(r[0] for r in kept) == [1, 2, 3]
 
 
+def test_dedup_keep_best_elects_by_score_then_min_id(spark):
+    rows = [
+        # one dup cluster (same normalized text), scores 1.0/3.0/3.0:
+        # winner is the score-3 member with the LOWER id -> 11
+        (10, "the same text", 1.0),
+        (11, "The  Same   Text", 3.0),
+        (12, "the same text", 3.0),
+        # singleton always survives regardless of score
+        (20, "unique doc", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "score"])
+    kept = D.dedup_keep_best(df, "text", "doc_id", F.col("score"))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 20]
+    # exactly one survivor per distinct normalized text (dedup_exact's
+    # invariant, independent of which member wins)
+    assert kept.count() == df.select(
+        X.fingerprint(F.col("text"))
+    ).distinct().count()
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = D.dedup_minhash_lsh(docs, "text", "doc_id", threshold=0.5)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
