@@ -6223,11 +6223,23 @@ def q_running_distinct_users(spark, sf_dir):
 def q_pagerank_trade_graph(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").df
     o = _t(spark, sf_dir, "orders").df
+    # Node ids are BIGINT inside the loop (customer k -> 2k, supplier
+    # k -> 2k+1); the 'c<key>'/'s<key>' strings the oracle and the
+    # declared output use are re-derived in the FINAL projection only.
+    # Round-8 century profiling (SCALING.md) showed the top decade's
+    # extra cost is memory pressure — 21.6 GB of execution-memory
+    # spills and an OOM-dead 16 g heap at 100× — and every one of those
+    # bytes was dominated by string node keys riding the checkpointed
+    # edge table and all four shuffles per iteration. The integer
+    # encoding carries the same information in 8 fixed bytes (vs ~2×20
+    # variable string bytes per edge row), with cheaper hashing on
+    # every join/groupBy key. Rank arithmetic is untouched, so the
+    # output — and the unrolled-CTE oracle — are byte-identical.
     pairs = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("c_node"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s_node"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -6241,14 +6253,22 @@ def q_pagerank_trade_graph(spark, sf_dir):
     # the lineage so three iterations don't re-derive the fact join
     # (the Pregel loop shape — each round shuffles only node-sized
     # rank rows onto the edge partitioning)
-    edges_n = edges.join(outdeg, "src").localCheckpoint(eager=False)
-    nodes = edges_n.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=False
+    from pyspark import StorageLevel as _SL
+
+    edges_n = edges.join(outdeg, "src").persist(_SL.MEMORY_AND_DISK)
+    nodes = edges_n.select(F.col("src").alias("node")).distinct().persist(
+        _SL.MEMORY_AND_DISK
     )
     ranks = nodes.select("node", F.lit(1000000000).cast("bigint").alias("rank"))
     for _ in range(3):
+        # SHUFFLE_HASH on the node-sized rank side: the planner's
+        # default SMJ re-sorts the full edge side every round — at the
+        # 100× century those sorts were the two 10.8 GB-spill stages
+        # (SCALING.md r8 profile). SHJ builds a per-partition hash map
+        # from the rank rows (#nodes/512 per task) and streams edges
+        # unsorted: no sort buffer, no spill, same linear shuffle.
         contrib = (
-            edges_n.join(ranks, edges_n["src"] == ranks["node"])
+            edges_n.join(ranks.hint("shuffle_hash"), edges_n["src"] == ranks["node"])
             .select(
                 F.col("dst"),
                 F.expr("(rank * cnt) div deg").alias("part"),
@@ -6263,7 +6283,13 @@ def q_pagerank_trade_graph(spark, sf_dir):
                 + F.expr("85 * coalesce(c, 0L) div 100")
             ).alias("rank"),
         )
-    return ranks
+    return ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.expr("node div 2").cast("string"),
+        ).alias("node"),
+        "rank",
+    )
 
 
 # ---------------------------------------------------------------------------
