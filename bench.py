@@ -157,6 +157,7 @@ HEADLINE = [
     "hard_negative_ivf_prebuilt",  # corpus-scale probe, no retrain
     "dedup_keep_best_quality",
     "quality_rank_fusion",
+    "streaming_ivf_cell_route",
 ]
 
 
@@ -398,6 +399,7 @@ def main() -> None:
         # index build runs once outside the reps (build-if-missing)
         "hard_negative_ivf_prebuilt",
         "incremental_release_e2e",  # changed-bucket ranges collect at construction
+        "streaming_ivf_cell_route",  # drains the stream in the builder
     }
 
     timings: dict[str, float] = {}

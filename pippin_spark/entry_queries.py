@@ -10496,6 +10496,76 @@ def q_source_orc_roundtrip(spark, sf_dir):
     )
 
 
+@_q(
+    "streaming_ivf_cell_route",
+    # live-ingest embedding routing: the persisted IVF index's
+    # centroids route a STREAM of vectors to their cells with the SAME
+    # Arrow assignment operator the batch path uses (_assign_cells is
+    # stateless — mapInPandas over micro-batches, centroids driver-side
+    # from the index read, zero state store). Complete-mode per-cell
+    # counts are compared in-query against the batch assignment read
+    # back from the index: every vector routed, zero cells disagreeing.
+    # The parity property (stream == batch, cell by cell) is the check;
+    # the oracle pins the corpus total and the zero-mismatch invariant
+    # cross-engine. This is the ingest half of build-once/query-many:
+    # new vectors join the right cell files without touching the index.
+    """
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_cells_mismatch
+    """,
+)
+def q_streaming_ivf_cell_route(spark, sf_dir):
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    path = _ann_index_path(sf_dir)
+    if not os.path.exists(f"{path}/assigned"):
+        SIM.ann_index_write(
+            emb, "embedding", "vec_id", path, num_cells=16, train_iters=3
+        )
+    cents, assigned = SIM.ann_index_read(spark, path)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    routed = SIM._assign_cells(
+        stream.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        ),
+        cents,
+    )
+    agg = routed.groupBy("cell").agg(F.count(F.lit(1)).alias("n_s"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pippin_stream_ivf_route")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="pippin_ckpt_ivfroute_")
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    sc = spark.table("pippin_stream_ivf_route")
+    bc = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_b"))
+    j = sc.join(bc, "cell", "full_outer")
+    return j.agg(
+        F.coalesce(F.sum("n_s"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.coalesce(F.col("n_s"), F.lit(-1))
+                != F.coalesce(F.col("n_b"), F.lit(-2)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_cells_mismatch"),
+    )
+
+
 @_q("dedup_keep_best_quality", None)
 def q_dedup_keep_best_quality(spark, sf_dir):
     # exact dedup keeping the BEST-quality member of each duplicate
@@ -10603,6 +10673,7 @@ _DRIVER_ROW_PRIORITY = [
     "pack_epochs_e2e",
     "incremental_release_e2e",
     "hard_negative_ivf_prebuilt",
+    "streaming_ivf_cell_route",
     "dedup_keep_best_quality",
     "quality_rank_fusion",
     "agg_sum",

@@ -190,6 +190,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
     idles the rest of the cluster. No-op when the scan already has
     enough splits (the 100 TB case — there the input is thousands of
     splits and an extra shuffle of raw bytes would be pure cost)."""
+    if df.isStreaming:
+        # no .rdd on a stream; micro-batch partitioning comes from the
+        # source (maxFilesPerTrigger / kafka partitions), and an
+        # unconditional repartition would add a shuffle per micro-batch
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
