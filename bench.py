@@ -158,6 +158,7 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "quality_rank_fusion",
     "streaming_ivf_cell_route",
+    "training_manifest_e2e",
 ]
 
 
@@ -400,6 +401,7 @@ def main() -> None:
         "hard_negative_ivf_prebuilt",
         "incremental_release_e2e",  # changed-bucket ranges collect at construction
         "streaming_ivf_cell_route",  # drains the stream in the builder
+        "training_manifest_e2e",  # waterfill fold + budget collect at construction
     }
 
     timings: dict[str, float] = {}

@@ -10496,6 +10496,98 @@ def q_source_orc_roundtrip(spark, sf_dir):
     )
 
 
+def _training_manifest_oracle() -> str:
+    plan = _waterfill_oracle(cap_mult=4, budget_sql="SUM(n_chars) * 2", with_epochs=True)
+    return f"""
+    WITH plan AS (
+      SELECT lang, avail, alloc FROM ({plan})
+    ), pf AS (
+      SELECT lang, avail, alloc,
+             alloc // avail AS full_ep, alloc % avail AS rem
+      FROM plan
+    ), cand AS (
+      SELECT d.doc_id, d.lang, d.n_chars, e.epoch, pf.full_ep, pf.rem
+      FROM documents d JOIN pf ON d.lang = pf.lang
+      CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS e(epoch)
+      WHERE e.epoch <= pf.full_ep + 1
+    ), r AS (
+      SELECT lang, epoch, doc_id, full_ep, rem,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang, epoch
+               ORDER BY md5('tm42:' || CAST(epoch AS VARCHAR) || ':'
+                            || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord,
+             CAST(SUM(n_chars) OVER (
+               PARTITION BY lang, epoch
+               ORDER BY md5('tm42:' || CAST(epoch AS VARCHAR) || ':'
+                            || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_chars
+      FROM cand
+    )
+    SELECT lang, CAST(epoch AS INT) AS epoch, doc_id, ord, cum_chars
+    FROM r WHERE epoch <= full_ep OR cum_chars <= rem
+    """
+
+
+@_q("training_manifest_e2e", None)
+def q_training_manifest_e2e(spark, sf_dir):
+    # the full data-constrained loader manifest, composed end-to-end
+    # (Muennighoff-style): water-fill the char budget across domains
+    # under a 4-epoch capacity cap (token_budget_waterfill's fold) ->
+    # per-domain FULL epochs (alloc div avail) plus one PARTIAL epoch
+    # consuming the remainder in permuted order -> per-(domain, epoch)
+    # deterministic md5 permutation with running char offsets. The
+    # output (lang, epoch, doc_id, ord, cum_chars) is exactly what a
+    # replay-aware training loader consumes; repeat_epochs_plan /
+    # shuffle_order_epochs were the disjoint halves. Scale: the plan
+    # table is a #domains-row driver artifact (waterfill's documented
+    # contract); candidates join it broadcast; the permutation windows
+    # partition by (domain, epoch) — the manifest's natural parallel
+    # unit, per-key volume = one domain's docs (the global-stream form
+    # with range exchanges is pack_epochs_e2e). Full value oracle:
+    # DuckDB replays the waterfill rounds (unrolled CTEs), the epoch
+    # expansion, and the same permutation windows.
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "lang", "n_chars")
+    by = docs.groupBy("lang").agg(F.sum("n_chars").alias("true_avail"))
+    w = SMP.sqrt_temperature_weights(docs, ["lang"]).select(
+        "lang", F.col("weight_ppm").alias("weight")
+    )
+    domains = by.join(w, "lang").withColumn("cap", F.col("true_avail") * 4)
+    budget = docs.agg(F.expr("sum(n_chars) * 2").alias("b")).collect()[0]["b"]
+    filled = SMP.waterfill_allocate(domains, "lang", "cap", "weight", int(budget))
+    plan = (
+        filled.withColumnRenamed("avail", "cap")
+        .join(by, "lang")
+        .select(
+            "lang",
+            F.expr("alloc div true_avail").alias("full_ep"),
+            F.expr("alloc % true_avail").alias("rem"),
+        )
+    )
+    epochs = spark.range(1, 6).select(F.col("id").cast("int").alias("epoch"))
+    cand = (
+        docs.join(F.broadcast(plan), "lang")
+        .crossJoin(F.broadcast(epochs))
+        .filter(F.col("epoch") <= F.col("full_ep") + 1)
+    )
+    key = F.md5(
+        F.concat(
+            F.lit("tm42:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    win = Window.partitionBy("lang", "epoch").orderBy(key, F.col("doc_id"))
+    r = cand.withColumn(
+        "ord", F.row_number().over(win).cast("bigint")
+    ).withColumn("cum_chars", F.sum("n_chars").over(win).cast("bigint"))
+    return r.filter(
+        (F.col("epoch") <= F.col("full_ep")) | (F.col("cum_chars") <= F.col("rem"))
+    ).select("lang", "epoch", "doc_id", "ord", "cum_chars")
+
+
+ENTRY_ORACLES["training_manifest_e2e"] = _training_manifest_oracle()
+
+
 @_q(
     "streaming_ivf_cell_route",
     # live-ingest embedding routing: the persisted IVF index's
@@ -10673,6 +10765,7 @@ _DRIVER_ROW_PRIORITY = [
     "pack_epochs_e2e",
     "incremental_release_e2e",
     "hard_negative_ivf_prebuilt",
+    "training_manifest_e2e",
     "streaming_ivf_cell_route",
     "dedup_keep_best_quality",
     "quality_rank_fusion",

@@ -1846,6 +1846,36 @@ def test_ivf_prebuilt_equals_fresh_build_exactly(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_training_manifest_invariants(spark):
+    # structural invariants beyond the full value oracle: each
+    # (domain, epoch) slot is one permutation prefix — ords contiguous
+    # from 1, offsets strictly increasing, no duplicate doc within a
+    # slot; and every domain gets at least one epoch row
+    from pippin_spark.entry_queries import ENTRY_QUERIES
+
+    df = ENTRY_QUERIES["training_manifest_e2e"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    slots = {}
+    for r in rows:
+        slots.setdefault((r["lang"], r["epoch"]), []).append(
+            (r["ord"], r["doc_id"], r["cum_chars"])
+        )
+    langs = {k[0] for k in slots}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+    for (lang, ep), members in slots.items():
+        members.sort()
+        ords = [m[0] for m in members]
+        assert ords == list(range(1, len(members) + 1)), (lang, ep)
+        ids = [m[1] for m in members]
+        assert len(set(ids)) == len(ids), (lang, ep)
+        cums = [m[2] for m in members]
+        assert all(a < b for a, b in zip(cums, cums[1:])), (lang, ep)
+
+
 def test_hard_negative_prebuilt_equals_fresh_exactly(spark, tmp_path):
     # the prebuilt hard-negative probe (label persisted via
     # extra_cols, no retrain) must equal hard_negative_ivf EXACTLY for
