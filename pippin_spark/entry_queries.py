@@ -10539,12 +10539,21 @@ def q_training_manifest_e2e(spark, sf_dir):
     # replay-aware training loader consumes; repeat_epochs_plan /
     # shuffle_order_epochs were the disjoint halves. Scale: the plan
     # table is a #domains-row driver artifact (waterfill's documented
-    # contract); candidates join it broadcast; the permutation windows
-    # partition by (domain, epoch) — the manifest's natural parallel
-    # unit, per-key volume = one domain's docs (the global-stream form
-    # with range exchanges is pack_epochs_e2e). Full value oracle:
-    # DuckDB replays the waterfill rounds (unrolled CTEs), the epoch
-    # expansion, and the same permutation windows.
+    # contract); candidates join it broadcast; the per-(domain, epoch)
+    # permutation is a keyed window — per-key volume is ONE domain's
+    # docs (the documented bound, same class as sessionize/asof_join
+    # base forms; the global-stream range-exchange form is
+    # pack_epochs_e2e). A rebased ranked_sort variant (global
+    # (lang, epoch, md5) rank + #slots-row offset subtraction) was
+    # tried and REVERTED: a second consumer of a ranked_sort output
+    # (the per-slot min-rank aggregate) is not evaluation-stable even
+    # under persist — monotonically_increasing_id re-evaluation
+    # assigned different per-partition offsets between branches at
+    # sf0.1 (per-slot constant ord shifts). ranked_sort is safe with
+    # ONE downstream consumer (its internal counts branch is
+    # ReusedExchange-gated; every other user consumes it once). Full
+    # value oracle: DuckDB replays the waterfill rounds (unrolled
+    # CTEs), the epoch expansion, and the same windows.
     docs = _t(spark, sf_dir, "documents").df.select("doc_id", "lang", "n_chars")
     by = docs.groupBy("lang").agg(F.sum("n_chars").alias("true_avail"))
     w = SMP.sqrt_temperature_weights(docs, ["lang"]).select(

@@ -109,6 +109,20 @@ def ranked_sort(
       compute identical boundaries over the same input.
     tests/test_plans.py asserts the exchange is in fact reused
     (one ReusedExchange, no AQEShuffleRead between the branches).
+
+    CONSUMER CONTRACT (round-8 finding): treat the returned frame as
+    single-consumer, or make sure every consumer is a same-shape
+    projection the planner dedupes via ReusedExchange (the
+    sorted_neighborhood self-join is the verified-stable example). A
+    STRUCTURALLY DIFFERENT second consumer — e.g. an aggregate taking
+    per-group MIN(rank) next to a row-level branch — can re-evaluate
+    the rank subtree, and monotonically_increasing_id may then assign
+    different per-partition offsets between the branches (observed at
+    sf0.1 as per-group constant rank shifts; persist() did NOT pin it
+    under AQE cached-plan re-partitioning). If you need rank-derived
+    aggregates, either recompute them from the consumed output after a
+    materialization barrier, or use a keyed window when the group
+    volume is bounded (training_manifest_e2e's resolution).
     """
     ranged, ided = _ranged_ided(df, order_by, num_partitions)
     # counts hang off the PRE-sort exchange: the range shuffle is reused
