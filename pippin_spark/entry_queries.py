@@ -10496,6 +10496,106 @@ def q_source_orc_roundtrip(spark, sf_dir):
     )
 
 
+@_q(
+    "pack_mix_report",
+    # domain-diversity report of the packed stream: after concat-chunk
+    # packing along the epoch-1 permutation, how many distinct SOURCES
+    # does each 2048-char training sequence draw from? (The mixing
+    # question cross-doc attention cares about: a shuffled pack should
+    # mix sources; a sorted one would not.) Output is the distribution
+    # (n_sources -> n_seqs, n_docs) — a ≤#sources-row artifact. Scale:
+    # permutation rank via ranked_sort's range exchange, offsets via
+    # the bucketed two-phase prefix (pack_stream_offsets), then one
+    # seq-keyed aggregation; nothing wider than (id, source, len)
+    # triples crosses any exchange. Full value oracle replays the
+    # permutation window, the prefix sum, and both aggregates.
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('mix42:1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ), o AS (
+      SELECT source,
+             (SUM(n_chars) OVER (ORDER BY rk) - n_chars) // 2048 AS seq_id
+      FROM r
+    ), s AS (
+      SELECT seq_id, COUNT(DISTINCT source) AS n_sources,
+             COUNT(*) AS n_docs_seq
+      FROM o GROUP BY 1
+    )
+    SELECT CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_docs_seq) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1
+    """,
+)
+def q_pack_mix_report(spark, sf_dir):
+    from pippin_spark.operators.packing import pack_stream_offsets
+
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "source", "n_chars")
+    ranked = SMP.shuffle_order(docs, "doc_id", seed="mix42", epoch=1)
+    packed = pack_stream_offsets(ranked, "n_chars", "shuffle_rank", target_len=2048)
+    per_seq = packed.groupBy("seq_id").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs_seq"),
+    )
+    return per_seq.groupBy("n_sources").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("n_docs_seq").cast("bigint").alias("n_docs"),
+    )
+
+
+@_q(
+    "sft_render_docs",
+    # SFT example rendering: each document becomes an instruction-tuning
+    # example under a fixed template, the input clipped to <=256 chars
+    # at a word boundary, with the LOSS-MASK offset (chars before the
+    # response region — the prefix a trainer masks out) and the
+    # rendered token count. Pure zero-shuffle string codegen (concat /
+    # substring / regexp), the FIM/span-corruption family's SFT
+    # sibling; full value oracle renders the identical template.
+    """
+    WITH c AS (
+      SELECT doc_id, lang,
+             CASE WHEN n_chars <= 256 THEN text
+                  ELSE regexp_replace(substr(text, 1, 256), '\\s+\\S*$', '')
+             END AS clip
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             '### Instruction:' || chr(10) || 'Summarize the following '
+               || lang || ' document.' || chr(10) || '### Input:' || chr(10)
+               || clip AS prefix
+      FROM c
+    )
+    SELECT doc_id,
+           prefix || chr(10) || '### Response:' || chr(10) AS rendered,
+           CAST(length(prefix) AS BIGINT) AS mask_off,
+           CAST(len(string_split_regex(lower(prefix || chr(10) || '### Response:' || chr(10)), '\\s+')) AS BIGINT) AS n_tokens
+    FROM r
+    """,
+)
+def q_sft_render_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    clip = F.when(F.col("n_chars") <= 256, F.col("text")).otherwise(
+        F.regexp_replace(F.substring(F.col("text"), 1, 256), "\\s+\\S*$", "")
+    )
+    prefix = F.concat(
+        F.lit("### Instruction:\nSummarize the following "),
+        F.col("lang"),
+        F.lit(" document.\n### Input:\n"),
+        clip,
+    )
+    rendered = F.concat(prefix, F.lit("\n### Response:\n"))
+    return docs.select(
+        "doc_id",
+        rendered.alias("rendered"),
+        F.length(prefix).cast("bigint").alias("mask_off"),
+        F.size(F.split(F.lower(rendered), "\\s+")).cast("bigint").alias("n_tokens"),
+    )
+
+
 def _training_manifest_oracle() -> str:
     plan = _waterfill_oracle(cap_mult=4, budget_sql="SUM(n_chars) * 2", with_epochs=True)
     return f"""
@@ -10774,6 +10874,8 @@ _DRIVER_ROW_PRIORITY = [
     "pack_epochs_e2e",
     "incremental_release_e2e",
     "hard_negative_ivf_prebuilt",
+    "pack_mix_report",
+    "sft_render_docs",
     "training_manifest_e2e",
     "streaming_ivf_cell_route",
     "dedup_keep_best_quality",

@@ -125,14 +125,22 @@ def ranked_sort(
     volume is bounded (training_manifest_e2e's resolution).
     """
     ranged, ided = _ranged_ided(df, order_by, num_partitions)
-    # counts hang off the PRE-sort exchange: the range shuffle is reused
-    # across both branches and the counts branch never pays the sort
-    # (partition ids match — monotonically_increasing_id's high bits ARE
-    # the task partition index, i.e. spark_partition_id of the reused
-    # exchange output)
-    counts = ranged.groupBy(F.spark_partition_id().alias("__pid__")).agg(
-        F.count(F.lit(1)).alias("__n__")
-    )
+    # The counts branch MUST observe the exact same partition indexing
+    # as the mids in ``ided``. The original shape hung counts off the
+    # PRE-sort exchange via spark_partition_id and relied on exchange
+    # reuse — which held in the standalone plan (ReusedExchange-gated)
+    # but DESYNCED when ranked_sort was embedded under a further
+    # exchange (round-8 finding: pack_stream_offsets compositions at
+    # sf0.1 produced block-shifted ranks — the two branches evaluated
+    # the range shuffle with different partition indexing). Persisting
+    # ``ided`` removes the assumption entirely: the mids materialize
+    # ONCE, and the offsets are derived from the very same cached
+    # values they will be joined back to. The cache is the thin
+    # (input-cols + mid) frame — ranked_sort callers pass projected
+    # frames; same lifecycle as pack_stream_offsets' internal persist
+    # (LRU-evicted, released on session clearCache).
+    ided = ided.persist()
+    counts = ided.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__n__"))
     w = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "__off__", F.coalesce(F.sum("__n__").over(w), F.lit(0))

@@ -210,30 +210,28 @@ def test_q4_exists_decorrelates_to_semi_join(spark, qs):
     assert "LeftSemi" in p
 
 
-def test_ranked_sort_counts_branch_reuses_range_exchange(spark, qs):
-    # ranked_sort correctness hinges on both consumers of the range
-    # shuffle seeing identical partition indexing: the counts branch
-    # (spark_partition_id) must read the SAME exchange via
-    # ReusedExchange, with no AQEShuffleRead re-slicing it first.
-    # Static explain can't show runtime reuse, so execute and inspect
-    # the final adaptive plan.
-    df = qs["agg_sort"](spark, SF)
-    df.collect()
-    p = df._jdf.queryExecution().executedPlan().toString()
-    final = p.split("== Initial Plan ==")[0]
-    assert "isFinalPlan=true" in final
-    reused = re.findall(r"ReusedExchange .*rangepartitioning", final)
-    assert len(reused) == 1, f"range exchange not reused:\n{final}"
-    # the pid projection must sit DIRECTLY on the reused exchange —
-    # nothing (in particular no AQEShuffleRead) may re-slice partitions
-    # between them
-    m = re.search(
-        r"SPARK_PARTITION_ID\(\)[^\n]*\n(.*?)(ReusedExchange|Exchange)",
-        final,
-        re.S,
-    )
-    assert m is not None and m.group(2) == "ReusedExchange"
-    assert "AQEShuffleRead" not in m.group(1)
+def test_ranked_sort_counts_branch_reads_persisted_mids(spark, qs):
+    # ranked_sort correctness hinges on both consumers (offsets branch
+    # and output join) observing the SAME materialized mid values. The
+    # pre-round-8 shape relied on ReusedExchange of the range shuffle —
+    # which desynced when ranked_sort sat under a further exchange
+    # (pack_stream_offsets compositions at sf0.1 produced block-shifted
+    # ranks). The fix persists the id'd frame; both branches must read
+    # it as InMemoryTableScans and no spark_partition_id projection may
+    # read a live exchange.
+    try:
+        df = qs["agg_sort"](spark, SF)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        final = p.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final
+        # the output join must read the persisted mids (the offsets
+        # branch ran inside the already-materialized broadcast stage,
+        # which the executed-plan string does not re-print)
+        assert len(re.findall(r"InMemoryTableScan", final)) >= 1, final
+        assert "SPARK_PARTITION_ID()" not in final
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_round3_plan_shapes(spark, qs):
