@@ -159,6 +159,8 @@ HEADLINE = [
     "quality_rank_fusion",
     "streaming_ivf_cell_route",
     "training_manifest_e2e",
+    "pack_mix_report",
+    "sft_render_docs",
 ]
 
 
