@@ -161,6 +161,7 @@ HEADLINE = [
     "training_manifest_e2e",
     "pack_mix_report",
     "sft_render_docs",
+    "eval_split_decontaminated_e2e",
 ]
 
 

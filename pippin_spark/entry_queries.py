@@ -10596,6 +10596,89 @@ def q_sft_render_docs(spark, sf_dir):
     )
 
 
+@_q("eval_split_decontaminated_e2e", None)
+def q_eval_split_decontaminated_e2e(spark, sf_dir):
+    # leakage-free eval-split construction end-to-end: hash-stable
+    # train/val/test assignment (split_assign — membership a pure
+    # function of doc_id), then every val/test document sharing ANY
+    # winnowing fingerprint with the TRAIN split is dropped — a
+    # verbatim train↔eval overlap of >= window+k-1 = 14 chars is
+    # guaranteed caught. This is the direction a benchmark builder
+    # needs (decontaminate_winnow's declared query flags the train
+    # side); the train fingerprint set is corpus-sized, so it meets
+    # the eval side in a plain fp-keyed shuffle join — no broadcast
+    # assumption. Split labels re-derive from doc_id arithmetic on the
+    # fingerprint table (zero extra join). Full value oracle replays
+    # the hash split, the winnow selection, and both joins.
+    d = _t(spark, sf_dir, "documents").df.select("doc_id", "text")
+    s = SMP.split_assign(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    fps = (
+        DEDUP.winnow_fingerprints(d, "text", "doc_id", k=5, window=10)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    is_train = SMP.hash_bucket(F.col("doc_id")) < F.lit(int(0.8 * _B))
+    train_fps = fps.filter(is_train).select("fp").distinct()
+    flagged = (
+        fps.filter(~is_train)
+        .join(train_fps, "fp")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    return s.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.when(
+            (F.col("split") != "train") & F.col("__hit__").isNotNull(),
+            F.lit("dropped"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
+ENTRY_ORACLES["eval_split_decontaminated_e2e"] = f"""
+    WITH s AS (
+      SELECT doc_id, text,
+        CASE
+          WHEN {SMP.hash_bucket_sql("doc_id")} < {int(0.8 * SMP._M32)} THEN 'train'
+          WHEN {SMP.hash_bucket_sql("doc_id")} < {int(0.9 * SMP._M32)} THEN 'val'
+          ELSE 'test'
+        END AS split
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8)) AS BIGINT)
+               * 1048576 + (1048576 - 1 - i) AS key
+      FROM (
+        SELECT doc_id, text,
+               UNNEST(generate_series(1, length(text) - 5 + 1)) AS i
+        FROM s WHERE length(text) >= 14
+      )
+    ), wins AS (
+      SELECT doc_id, i,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id) AS m
+      FROM hashes
+    ), fps AS (
+      SELECT DISTINCT doc_id, sel // 1048576 AS fp
+      FROM wins WHERE i <= m - 10 + 1
+    ), tr AS (
+      SELECT DISTINCT fp FROM fps JOIN s USING (doc_id) WHERE s.split = 'train'
+    ), flg AS (
+      SELECT DISTINCT fps.doc_id
+      FROM fps JOIN s USING (doc_id) JOIN tr ON fps.fp = tr.fp
+      WHERE s.split <> 'train'
+    )
+    SELECT s.doc_id, s.split,
+           CASE WHEN s.split <> 'train' AND flg.doc_id IS NOT NULL
+                THEN 'dropped' ELSE 'kept' END AS status
+    FROM s LEFT JOIN flg ON s.doc_id = flg.doc_id
+    """
+
+
 def _training_manifest_oracle() -> str:
     plan = _waterfill_oracle(cap_mult=4, budget_sql="SUM(n_chars) * 2", with_epochs=True)
     return f"""
@@ -10874,6 +10957,7 @@ _DRIVER_ROW_PRIORITY = [
     "pack_epochs_e2e",
     "incremental_release_e2e",
     "hard_negative_ivf_prebuilt",
+    "eval_split_decontaminated_e2e",
     "pack_mix_report",
     "sft_render_docs",
     "training_manifest_e2e",
