@@ -162,6 +162,7 @@ HEADLINE = [
     "pack_mix_report",
     "sft_render_docs",
     "eval_split_decontaminated_e2e",
+    "contrastive_pairs_e2e",
 ]
 
 
@@ -386,6 +387,7 @@ def main() -> None:
         "quality_classifier_score",  # trains at construction, scores lazily
         "temperature_rebalance_e2e",  # weights collected at construction
         "hard_negative_mining",  # anchors collected at construction
+        "contrastive_pairs_e2e",  # both arms collect anchors at construction
         "classifier_scrub_e2e",  # trains + selects the median threshold
         "dsir_select_docs",  # scores cached + kth threshold at construction
         "streaming_quality_gate",  # trains + drains the stream in the builder

@@ -10596,6 +10596,64 @@ def q_sft_render_docs(spark, sf_dir):
     )
 
 
+@_q(
+    "contrastive_pairs_e2e",
+    # contrastive training-pair construction: per anchor, the exact
+    # nearest SAME-label vector (the positive; self excluded) plus the
+    # exact top-3 most-similar CROSS-label vectors (the hard
+    # negatives) — the (anchor, pair, role) table a contrastive /
+    # retrieval trainer consumes directly. Both arms are
+    # hard_negative_topk's one-Arrow-corpus-pass shape (mode='same'
+    # masks cross-label + self; default masks same-label); anchors are
+    # bounded by contract. FULL value oracle: DuckDB recomputes both
+    # exact arms with list_cosine_similarity at the same rounding.
+    """
+    WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) qv
+               FROM embeddings WHERE vec_id < 25),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) cv
+               FROM embeddings),
+         pos AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS pair_id,
+                  ROUND(list_cosine_similarity(qv, cv), 6) AS cosine,
+                  'pos' AS role,
+                  CAST(ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+                             c.vec_id) AS INT) AS rank
+           FROM q JOIN c ON q.label = c.label AND q.vec_id <> c.vec_id
+           QUALIFY rank <= 1
+         ),
+         neg AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS pair_id,
+                  ROUND(list_cosine_similarity(qv, cv), 6) AS cosine,
+                  'neg' AS role,
+                  CAST(ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+                             c.vec_id) AS INT) AS rank
+           FROM q JOIN c ON q.label <> c.label
+           QUALIFY rank <= 3
+         )
+    SELECT * FROM pos UNION ALL SELECT * FROM neg
+    """,
+)
+def q_contrastive_pairs_e2e(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 25)
+    pos = SIM.hard_negative_topk(
+        emb, q, "embedding", "vec_id", "label", k=1, mode="same"
+    )
+    neg = SIM.hard_negative_topk(emb, q, "embedding", "vec_id", "label", k=3)
+    cols = lambda df, role: df.select(
+        "query_id",
+        F.col("neighbor_id").alias("pair_id"),
+        "cosine",
+        F.lit(role).alias("role"),
+        "rank",
+    )
+    return cols(pos, "pos").unionByName(cols(neg, "neg"))
+
+
 @_q("eval_split_decontaminated_e2e", None)
 def q_eval_split_decontaminated_e2e(spark, sf_dir):
     # leakage-free eval-split construction end-to-end: hash-stable
@@ -10957,6 +11015,7 @@ _DRIVER_ROW_PRIORITY = [
     "pack_epochs_e2e",
     "incremental_release_e2e",
     "hard_negative_ivf_prebuilt",
+    "contrastive_pairs_e2e",
     "eval_split_decontaminated_e2e",
     "pack_mix_report",
     "sft_render_docs",

@@ -72,6 +72,7 @@ def hard_negative_topk(
     k: int = 5,
     overfetch: int = 8,
     max_queries: int = 65536,
+    mode: str = "cross",
 ) -> DataFrame:
     """Exact top-k most-similar CROSS-label neighbors per anchor — the
     hard-negative mining primitive behind contrastive / retrieval
@@ -95,8 +96,16 @@ def hard_negative_topk(
     final scores/ranks are bit-identical to the all-pairs formulation.
     A same-id pair is impossible across labels, so no self-pair guard
     is needed. Scale path for corpus-sized anchor sets: route through
-    IVF cells (knn_join_ivf) and filter labels inside the cell join."""
+    IVF cells (knn_join_ivf) and filter labels inside the cell join.
+
+    ``mode="same"`` inverts the mask: top-k most-similar SAME-label
+    neighbors (self-pairs excluded) — the positive-pair half of
+    contrastive pair construction (see contrastive_pairs_e2e). Same
+    streaming shape, same exactness contract."""
     import numpy as np
+
+    if mode not in ("cross", "same"):
+        raise ValueError(f"mode must be 'cross' or 'same', got {mode!r}")
 
     q_rows = (
         queries.select(
@@ -164,7 +173,11 @@ def hard_negative_topk(
             bo = np.argsort(ids, kind="stable")
             ids, labs, Vn = ids[bo], labs[bo], Vn[bo]
             sims = np.round(Qn @ Vn.T, 6)  # anchors × batch
-            sims[q_labs[:, None] == labs[None, :]] = -np.inf  # same label
+            if mode == "same":
+                sims[q_labs[:, None] != labs[None, :]] = -np.inf  # cross label
+                sims[q_ids[:, None] == ids[None, :]] = -np.inf  # self pair
+            else:
+                sims[q_labs[:, None] == labs[None, :]] = -np.inf  # same label
             top = min(nk, sims.shape[1])
             out_q: list = []
             out_n: list = []

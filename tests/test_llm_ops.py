@@ -1846,6 +1846,30 @@ def test_ivf_prebuilt_equals_fresh_build_exactly(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_hard_negative_topk_same_mode(spark):
+    # mode='same' returns nearest SAME-label neighbors, never self,
+    # never cross-label; mode='cross' (default) never same-label
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    pos = S.hard_negative_topk(
+        emb, q, "embedding", "vec_id", "label", k=2, mode="same"
+    ).collect()
+    assert len(pos) > 0
+    for r in pos:
+        assert r["query_id"] != r["neighbor_id"]
+        assert lab[r["query_id"]] == lab[r["neighbor_id"]]
+    neg = S.hard_negative_topk(
+        emb, q, "embedding", "vec_id", "label", k=2
+    ).collect()
+    for r in neg:
+        assert lab[r["query_id"]] != lab[r["neighbor_id"]]
+    with pytest.raises(ValueError, match="mode"):
+        S.hard_negative_topk(
+            emb, q, "embedding", "vec_id", "label", mode="bogus"
+        )
+
+
 def test_training_manifest_invariants(spark):
     # structural invariants beyond the full value oracle: each
     # (domain, epoch) slot is one permutation prefix — ords contiguous
