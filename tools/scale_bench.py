@@ -182,6 +182,26 @@ def main() -> None:
             k=3, num_cells=cells, train_iters=2,
         )
 
+    def hardneg_ivf_prebuilt(spark, d):
+        # probe-only arm of the same regime against a PERSISTED labeled
+        # index (build-if-missing runs once per replica dir, outside
+        # the timed reps after the cold rep): the delta vs the
+        # hard_negative_ivf row is what build-once/query-many buys a
+        # training loop at corpus scale. Same scale-derived cell count.
+        import os
+
+        emb = Pipeline.from_table(spark, d, "embeddings").df
+        n = emb.count()
+        cells = max(4, n // 500)
+        base = os.path.basename(os.path.normpath(d))
+        path = f"/tmp/pippin_hn_scale_{base}_{cells}"
+        if not os.path.exists(f"{path}/assigned"):
+            SIM.ann_index_write(
+                emb, "embedding", "vec_id", path, num_cells=cells,
+                train_iters=2, train_mode="sample", extra_cols=("label",),
+            )
+        return SIM.hard_negative_ivf_prebuilt(spark, path, "label", k=3)
+
     def triangles(spark, d):
         # degree-ordered wedge counting: the O(sqrt(E)) fanout cap is a
         # plan-shape argument until measured — wedge volume under the
@@ -221,6 +241,7 @@ def main() -> None:
         "shuffle_order_docs": shuffle_order,
         "pack_bins_docs": pack_bins,
         "hard_negative_ivf": hardneg_ivf,
+        "hard_negative_ivf_prebuilt": hardneg_ivf_prebuilt,
         "triangle_count_parts": triangles,
         "pagerank_trade_graph": pagerank,
         "dedup_sorted_neighborhood": sorted_neighborhood,
