@@ -242,6 +242,9 @@ def main() -> None:
         "pack_bins_docs": pack_bins,
         "hard_negative_ivf": hardneg_ivf,
         "hard_negative_ivf_prebuilt": hardneg_ivf_prebuilt,
+        "training_manifest_e2e": lambda spark, d: ENTRY_QUERIES[
+            "training_manifest_e2e"
+        ](spark, d),
         "triangle_count_parts": triangles,
         "pagerank_trade_graph": pagerank,
         "dedup_sorted_neighborhood": sorted_neighborhood,
