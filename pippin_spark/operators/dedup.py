@@ -1617,6 +1617,8 @@ def sorted_neighborhood_pairs(
     key_col: str,
     window: int = 5,
     max_dist: int = 2,
+    barrier: str = "persist",
+    caches=None,
 ) -> DataFrame:
     """Sorted-neighborhood record linkage (Hernandez & Stolfo): sort
     records by a blocking key and compare each record only against its
@@ -1635,8 +1637,15 @@ def sorted_neighborhood_pairs(
     from pippin_spark.operators.relational import ranked_sort
 
     keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("k"))
+    # the ranked output is consumed TWICE (the a/bt self-join below) —
+    # exactly the multi-consumer shape ranked_sort's contract warns
+    # about; both consumers are same-shape projections (ReusedExchange-
+    # stable, plan-gated) with the default barrier, and a caller at
+    # corpus scale can pass barrier='table' for by-construction
+    # stability instead
     ranked = ranked_sort(
-        keyed, [F.col("k").asc(), F.col("id").asc()], rank_col="r"
+        keyed, [F.col("k").asc(), F.col("id").asc()], rank_col="r",
+        barrier=barrier, caches=caches,
     ).withColumn("b", F.expr(f"(r - 1) div {window}"))
     a = ranked.select(
         F.col("id").alias("id_a"), F.col("k").alias("k_a"),

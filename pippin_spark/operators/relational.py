@@ -71,11 +71,55 @@ def _ranged_ided(df: DataFrame, order_by, num_partitions: Optional[int]):
     return ranged, ided
 
 
+# table-barrier temp dirs created without a CacheHandle: deleted at
+# interpreter exit so repeated bench/verify runs don't accumulate
+# orphan parquet dirs under /tmp
+_BARRIER_DIRS: list = []
+
+
+def _cleanup_barrier_dirs() -> None:
+    import shutil
+
+    for p in _BARRIER_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+    _BARRIER_DIRS.clear()
+
+
+def _table_barrier(df: DataFrame, caches=None) -> DataFrame:
+    """Materialize ``df`` to a temp parquet table and return a scan of
+    it — an evaluation-stability barrier BY CONSTRUCTION: every
+    downstream consumer reads the same committed files, so no cache
+    eviction, AQE re-partitioning, or branch re-evaluation can ever
+    observe different values. This is the multi-consumer/corpus-scale
+    alternative to persist() (which is LRU-evictable; recompute after
+    eviction is deterministic for ranked_sort's range shuffle — pinned
+    by tests/test_relational_barrier.py — but 'deterministic recompute'
+    is an argument, a written table is a guarantee).
+
+    The temp dir is registered on ``caches`` (a CacheHandle) when
+    given, else deleted at interpreter exit."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="pippin_rank_barrier_")
+    df.write.mode("overwrite").parquet(path)
+    if caches is not None:
+        caches.register_path(path)
+    else:
+        if not _BARRIER_DIRS:
+            import atexit
+
+            atexit.register(_cleanup_barrier_dirs)
+        _BARRIER_DIRS.append(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def ranked_sort(
     df: DataFrame,
     order_by: Sequence[Column],
     rank_col: str = "rank",
     num_partitions: Optional[int] = None,
+    barrier: str = "persist",
+    caches=None,
 ) -> DataFrame:
     """Totally-ordered global rank WITHOUT a single-partition window.
 
@@ -110,7 +154,8 @@ def ranked_sort(
     tests/test_plans.py asserts the exchange is in fact reused
     (one ReusedExchange, no AQEShuffleRead between the branches).
 
-    CONSUMER CONTRACT (round-8 finding): treat the returned frame as
+    CONSUMER CONTRACT (round-8 finding, round-9 hardening): with the
+    default ``barrier='persist'``, treat the returned frame as
     single-consumer, or make sure every consumer is a same-shape
     projection the planner dedupes via ReusedExchange (the
     sorted_neighborhood self-join is the verified-stable example). A
@@ -118,11 +163,30 @@ def ranked_sort(
     per-group MIN(rank) next to a row-level branch — can re-evaluate
     the rank subtree, and monotonically_increasing_id may then assign
     different per-partition offsets between the branches (observed at
-    sf0.1 as per-group constant rank shifts; persist() did NOT pin it
-    under AQE cached-plan re-partitioning). If you need rank-derived
-    aggregates, either recompute them from the consumed output after a
-    materialization barrier, or use a keyed window when the group
-    volume is bounded (training_manifest_e2e's resolution).
+    sf0.1 as per-group constant rank shifts; the pre-r8 exchange-reuse
+    shape did NOT pin it under AQE cached-plan re-partitioning). For
+    multi-consumer or eviction-exposed callers, pass
+    ``barrier='table'``: the id'd frame is written to a temp parquet
+    table and every branch scans the SAME committed files —
+    evaluation-stable by construction, no persist()/recompute
+    assumption at all (this is also the 100 TB shape: a corpus-sized
+    cache WILL evict, a written table cannot). Recompute determinism
+    of the default path (explicit partition count + deterministic
+    range sampling ⇒ identical ranks on full re-evaluation after
+    unpersist) is pinned by tests/test_relational_barrier.py.
+
+    barrier: 'persist' (default — MEMORY_AND_DISK cache of the id'd
+        frame), 'table' (temp parquet materialization, see above), or
+        'checkpoint' (eager localCheckpoint: executor-block-backed,
+        lineage truncated; lost blocks FAIL the job rather than
+        silently recompute).
+    caches: optional CacheHandle. With 'persist' the internal cache is
+        registered for deterministic release after the caller's
+        terminal action (otherwise it lives until LRU eviction /
+        clearCache — heavy callers invoked repeatedly in one session
+        each leak one full-input materialization). With 'table' the
+        temp dir is registered for deletion; without a handle it is
+        removed at interpreter exit.
     """
     ranged, ided = _ranged_ided(df, order_by, num_partitions)
     # The counts branch MUST observe the exact same partition indexing
@@ -138,8 +202,21 @@ def ranked_sort(
     # values they will be joined back to. The cache is the thin
     # (input-cols + mid) frame — ranked_sort callers pass projected
     # frames; same lifecycle as pack_stream_offsets' internal persist
-    # (LRU-evicted, released on session clearCache).
-    ided = ided.persist()
+    # (LRU-evicted, released on session clearCache, or released
+    # deterministically via the ``caches`` handle).
+    if barrier == "table":
+        ided = _table_barrier(ided, caches)
+    elif barrier == "checkpoint":
+        ided = ided.localCheckpoint(eager=True)
+    elif barrier == "persist":
+        ided = ided.persist()
+        if caches is not None:
+            caches.register(ided)
+    else:
+        raise ValueError(
+            f"ranked_sort barrier must be 'persist', 'table' or "
+            f"'checkpoint', got {barrier!r}"
+        )
     counts = ided.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__n__"))
     w = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(

@@ -417,6 +417,8 @@ def shuffle_order(
     seed: str = "shuf42",
     epoch: int = 0,
     rank_col: str = "shuffle_rank",
+    barrier: str = "persist",
+    caches=None,
 ) -> DataFrame:
     """Deterministic global shuffle order for one training EPOCH:
     rank by md5(seed:epoch:id). Every real training loop reshuffles
@@ -438,6 +440,8 @@ def shuffle_order(
         df.withColumn("__k__", key),
         [F.col("__k__").asc(), F.col(id_col).asc()],
         rank_col=rank_col,
+        barrier=barrier,
+        caches=caches,
     )
     return ranked.drop("__k__")
 

@@ -45,6 +45,7 @@ class CacheHandle:
 
     def __init__(self) -> None:
         self._dfs: List[DataFrame] = []
+        self._paths: List[str] = []
         self._released = False
 
     def register(self, df: DataFrame) -> DataFrame:
@@ -53,15 +54,31 @@ class CacheHandle:
         self._dfs.append(df)
         return df
 
+    def register_path(self, path: str) -> str:
+        """Register an on-disk materialization (ranked_sort's
+        ``barrier='table'`` temp parquet) for deletion on release —
+        the disk analog of :meth:`register`. The caller must be done
+        reading every plan that scans the path before releasing."""
+        if self._released:
+            raise ValueError("CacheHandle already released")
+        self._paths.append(path)
+        return path
+
     @property
     def registered(self) -> int:
-        return len(self._dfs)
+        return len(self._dfs) + len(self._paths)
 
     def release(self, blocking: bool = True) -> None:
-        """Unpersist every registered DataFrame (idempotent)."""
+        """Unpersist every registered DataFrame and delete every
+        registered path (idempotent)."""
+        import shutil
+
         for df in self._dfs:
             df.unpersist(blocking=blocking)
         self._dfs.clear()
+        for p in self._paths:
+            shutil.rmtree(p, ignore_errors=True)
+        self._paths.clear()
         self._released = True
 
     def __enter__(self) -> "CacheHandle":
