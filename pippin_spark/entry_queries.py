@@ -1498,18 +1498,15 @@ def _hn_index_path(sf_dir: str) -> str:
     return f"/tmp/pippin_hn_ivf_{base}_{mt}"
 
 
-@_q(
-    "hard_negative_ivf_prebuilt",
-    # corpus-scale hard-negative mining against the PERSISTED index —
-    # the form a training loop re-mining negatives every few epochs
-    # actually runs (hard_negative_ivf retrains Lloyd + reassigns the
-    # whole corpus per call; this probes the cell-sorted parquet
-    # tables, label already co-located via ann_index_write extra_cols).
-    # Values are EXACTLY hard_negative_ivf's for the same build
-    # parameters (pytest-pinned fresh==prebuilt), so the declared
-    # recall-vs-exact-arm output reuses hard_negative_ivf's literals
-    # verbatim — same SNAPSHOT GATE semantics, same fixture dispatch.
-    """
+# ONE snapshot oracle shared by hard_negative_ivf AND its prebuilt
+# twin: the prebuilt probe is pytest-pinned EXACTLY equal to the fresh
+# build for the same parameters (test_llm_ops.py fresh==prebuilt), so
+# both queries must pin the same recall literals — a single constant
+# makes a parameter change on either side break loudly in one place
+# instead of letting verbatim copies drift independently (ADVICE r8).
+# Dispatch discriminator as knn_join_ivf's: COUNT + embedding-sum
+# disambiguates the fixtures.
+_HN_SNAPSHOT_ORACLE = """
     WITH s AS (SELECT COUNT(*) AS n,
                       SUM(list_sum(CAST(embedding AS DOUBLE[]))) AS t
                FROM embeddings),
@@ -1522,7 +1519,21 @@ def _hn_index_path(sf_dir: str) -> str:
            CAST(c AS DOUBLE) / 75 AS recall,
            CAST(c AS DOUBLE) / 75 AS prec
     FROM v
-    """,
+    """
+
+
+@_q(
+    "hard_negative_ivf_prebuilt",
+    # corpus-scale hard-negative mining against the PERSISTED index —
+    # the form a training loop re-mining negatives every few epochs
+    # actually runs (hard_negative_ivf retrains Lloyd + reassigns the
+    # whole corpus per call; this probes the cell-sorted parquet
+    # tables, label already co-located via ann_index_write extra_cols).
+    # Values are EXACTLY hard_negative_ivf's for the same build
+    # parameters (pytest-pinned fresh==prebuilt), so the declared
+    # recall-vs-exact-arm output reuses hard_negative_ivf's SHARED
+    # snapshot constant — same SNAPSHOT GATE semantics, same dispatch.
+    _HN_SNAPSHOT_ORACLE,
 )
 def q_hard_negative_ivf_prebuilt(spark, sf_dir):
     import os
@@ -2413,6 +2424,40 @@ def _events_stream(spark, sf_dir):
     return ensure_epoch_ns(stream, "ts").withColumn(
         "tsc", F.timestamp_micros(F.expr("ts div 1000"))
     )
+
+
+_CKPT_DIRS: list = []
+
+
+def _stream_ckpt(prefix: str) -> str:
+    """mkdtemp checkpoint dir registered for interpreter-exit cleanup
+    (ADVICE r8: repeated bench/verify runs were accumulating orphan
+    checkpoint dirs under /tmp)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    if not _CKPT_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _CKPT_DIRS]
+        )
+    _CKPT_DIRS.append(path)
+    return path
+
+
+def _drain(q, timeout_sec: int = 120) -> None:
+    """Block until an availableNow stream finishes, failing LOUDLY on
+    timeout: awaitTermination returns False when the clock runs out —
+    silently reading the memory sink then would surface as a bogus
+    correctness mismatch instead of the real 'stream did not finish'
+    (ADVICE r8)."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} did not finish within "
+            f"{timeout_sec}s — result would be a mid-stream read"
+        )
 
 
 def _stream_parts(spark, sf_dir) -> int:
@@ -9547,22 +9592,9 @@ def q_knn_join_ivf(spark, sf_dir):
     # regression of the measured recall; the recall SEMANTICS
     # (n_common/n_exact vs the exact arm) is computed in-query on both
     # arms Spark-side — no cross-engine oracle can reproduce the
-    # approximate arm. Same dispatch discriminator as knn_join_ivf
-    # (COUNT + embedding-sum disambiguates the two 500-row fixtures).
-    """
-    WITH s AS (SELECT COUNT(*) AS n,
-                      SUM(list_sum(CAST(embedding AS DOUBLE[]))) AS t
-               FROM embeddings),
-    v AS (SELECT CASE WHEN n = 2000 THEN 60
-                      WHEN t < 0 THEN 56 ELSE 59 END AS c
-          FROM s)
-    SELECT CAST(75 AS BIGINT) AS n_exact,
-           CAST(75 AS BIGINT) AS n_approx,
-           CAST(c AS BIGINT) AS n_common,
-           CAST(c AS DOUBLE) / 75 AS recall,
-           CAST(c AS DOUBLE) / 75 AS prec
-    FROM v
-    """,
+    # approximate arm. Literals live in _HN_SNAPSHOT_ORACLE, shared
+    # with the prebuilt twin (pytest-pinned fresh==prebuilt).
+    _HN_SNAPSHOT_ORACLE,
 )
 def q_hard_negative_ivf(spark, sf_dir):
     # end-to-end: Lloyd-trained IVF build with the label riding the
@@ -10858,7 +10890,6 @@ ENTRY_ORACLES["training_manifest_e2e"] = _training_manifest_oracle()
 )
 def q_streaming_ivf_cell_route(spark, sf_dir):
     import os
-    import tempfile
 
     emb = _t(spark, sf_dir, "embeddings").df
     path = _ann_index_path(sf_dir)
@@ -10885,12 +10916,10 @@ def q_streaming_ivf_cell_route(spark, sf_dir):
         .queryName("pippin_stream_ivf_route")
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="pippin_ckpt_ivfroute_")
-        )
+        .option("checkpointLocation", _stream_ckpt("pippin_ckpt_ivfroute_"))
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     sc = spark.table("pippin_stream_ivf_route")
     bc = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_b"))
     j = sc.join(bc, "cell", "full_outer")

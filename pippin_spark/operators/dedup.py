@@ -112,6 +112,9 @@ def dedup_keep_best(
     copies differ in provenance/quality, min-id keeps an arbitrary one;
     this keeps argmax(``score``), ties to the LOWEST id (total order:
     ids are unique, so the winner is deterministic in both engines).
+    ``score`` must be numeric (it is negated to fold the argmax into
+    one min_by); the id may be ANY orderable type — string ids work,
+    matching dedup_exact's contract (ADVICE r8).
 
     Scale: two-phase so document TEXT never rides the digest shuffle —
     only (digest, id, score) triples are exchanged to elect each
@@ -126,8 +129,9 @@ def dedup_keep_best(
         score.alias("__s__"),
     )
     winners = triples.groupBy("__fp__").agg(
-        F.max_by(
-            "__id__", F.struct(F.col("__s__"), (-F.col("__id__")).alias("__nid__"))
+        F.min_by(
+            "__id__",
+            F.struct((-F.col("__s__")).alias("__ns__"), F.col("__id__")),
         ).alias("keep_id")
     )
     return df.join(

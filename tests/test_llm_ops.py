@@ -49,6 +49,12 @@ def test_dedup_keep_best_elects_by_score_then_min_id(spark):
     assert kept.count() == df.select(
         X.fingerprint(F.col("text"))
     ).distinct().count()
+    # string ids work too (dedup_exact's contract — ADVICE r8): ties
+    # go to the lexicographically lowest id
+    srows = [(f"id-{i}", t, s) for i, t, s in rows]
+    sdf = spark.createDataFrame(srows, ["doc_id", "text", "score"])
+    skept = D.dedup_keep_best(sdf, "text", "doc_id", F.col("score"))
+    assert sorted(r["doc_id"] for r in skept.collect()) == ["id-11", "id-20"]
 
 
 def test_minhash_lsh_finds_near_dups(spark, docs):
