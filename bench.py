@@ -163,6 +163,8 @@ HEADLINE = [
     "sft_render_docs",
     "eval_split_decontaminated_e2e",
     "contrastive_pairs_e2e",
+    # round-9 additions
+    "ann_index_maintain_e2e",
 ]
 
 
@@ -407,6 +409,9 @@ def main() -> None:
         "incremental_release_e2e",  # changed-bucket ranges collect at construction
         "streaming_ivf_cell_route",  # drains the stream in the builder
         "training_manifest_e2e",  # waterfill fold + budget collect at construction
+        # full maintain cycle (base build + streamed append + compact
+        # + fresh-arm rebuild + drift) runs in the builder
+        "ann_index_maintain_e2e",
     }
 
     timings: dict[str, float] = {}

@@ -718,6 +718,8 @@ def ann_index_write(
     train_iters: int = 0,
     train_mode: str = "distributed",
     extra_cols: tuple = (),
+    layout: str = "flat",
+    train_on: DataFrame = None,
 ) -> None:
     """Build-once half of the build-once/query-many IVF contract
     (VERDICT r7 #6: every IVF consumer retrained Lloyd at
@@ -735,18 +737,58 @@ def ann_index_write(
     assignment ivf_build always does, plus one cell-keyed exchange to
     co-locate cells in files; float64 round-trips parquet bit-exactly,
     so a prebuilt probe equals the fresh-build probe EXACTLY
-    (pytest-pinned)."""
-    centroids, assigned = ivf_build(
-        corpus, vec_col, id_col, num_cells, train_iters,
-        train_mode=train_mode, extra_cols=extra_cols,
-    )
+    (pytest-pinned).
+
+    ``layout='flat'`` (default) writes one cell-sorted dataset — the
+    probe prunes ROW GROUPS via min/max stats on ``cell``.
+    ``layout='cells'`` writes ``partitionBy('cell')`` — the probe's
+    IN-literal prunes whole DIRECTORIES at planning time, and it is
+    the MAINTAINABLE layout: ann_index_append lands new files under
+    only their target cell dirs and ann_index_compact rewrites one
+    hot cell without touching cold cells' files (impossible in one
+    flat dataset without rewriting everything).
+
+    ``train_on`` optionally trains the centroids on a DIFFERENT frame
+    than the one being indexed (e.g. the pre-append base corpus), so
+    a maintained index and a from-scratch rebuild that assigns the
+    augmented corpus against base-trained centroids agree exactly —
+    the equality ann_index_maintain_e2e pins."""
+    if train_on is not None:
+        centroids, _ = ivf_build(
+            train_on, vec_col, id_col, num_cells, train_iters,
+            train_mode=train_mode,
+        )
+        assigned = _assign_cells(
+            corpus.select(
+                F.col(id_col).alias("id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+                *[F.col(c) for c in extra_cols],
+            ),
+            centroids,
+            extra_cols=extra_cols,
+        )
+    else:
+        centroids, assigned = ivf_build(
+            corpus, vec_col, id_col, num_cells, train_iters,
+            train_mode=train_mode, extra_cols=extra_cols,
+        )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    (
-        assigned.repartition("cell")
-        .sortWithinPartitions("cell")
-        .write.mode("overwrite")
-        .parquet(f"{path}/assigned")
-    )
+    writer = assigned.repartition("cell").sortWithinPartitions("cell").write
+    if layout == "cells":
+        # static overwrite of a partitioned dataset wipes the whole
+        # assigned dir (any stale appended partitions included) —
+        # explicit so a session-level dynamic default can't leak
+        # half-overwritten indexes
+        (
+            writer.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("cell")
+            .parquet(f"{path}/assigned")
+        )
+    elif layout == "flat":
+        writer.mode("overwrite").parquet(f"{path}/assigned")
+    else:
+        raise ValueError(f"layout must be 'flat' or 'cells', got {layout!r}")
 
 
 def ann_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -778,6 +820,132 @@ def ivf_topk_prebuilt(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
     return _ivf_probe(centroids, assigned, q, k, nprobe, prune_cells=True)
+
+
+def ann_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    extra_cols: tuple = (),
+) -> None:
+    """Incremental-ingest half of index maintenance (VERDICT r8 #3):
+    route ``new_vectors`` to the EXISTING centroids and append them as
+    new files under only their target cell partitions. Requires a
+    ``layout='cells'`` index (ann_index_write).
+
+    Scale/isolation guarantees, both pytest-gated
+    (tests/test_llm_ops.py ann_index_maintain):
+    - the append job reads ONLY the (driver-sized) centroid table —
+      never the assigned data, so ingest cost is O(new), not O(index);
+    - mode('append') + partitionBy('cell') creates new files in the
+      touched cells' directories and never rewrites or deletes an
+      existing file — cold cells are untouched bytes.
+
+    This is exactly what streaming_ivf_cell_route's assignment half
+    computes; driving THIS function from foreachBatch turns that
+    routing demo into a live index (ann_index_maintain_e2e does)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned_new = _assign_cells(
+        new_vectors.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            *[F.col(c) for c in extra_cols],
+        ),
+        centroids,
+        extra_cols=extra_cols,
+    )
+    (
+        assigned_new.repartition("cell")
+        .sortWithinPartitions("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/assigned")
+    )
+
+
+def ann_index_compact(spark, path: str, max_files: int = 1) -> list:
+    """Size-targeted compaction of a ``layout='cells'`` index: every
+    cell directory holding more than ``max_files`` parquet files (the
+    HOT cells — repeated appends fragment exactly the cells receiving
+    traffic) is rewritten to one file; cells at or under the target
+    are never read, never written. Returns the compacted cell ids.
+
+    The per-cell rewrite loop is driver-side but bounded by #cells
+    (driver-sized by contract — the same budget as the centroid
+    table); each rewrite is a distributed read+write of ONE cell's
+    rows. Write-to-temp-then-swap keeps a reader-visible cell dir at
+    all times (the swap is two renames, not a rewrite-in-place)."""
+    import glob
+    import os
+    import shutil
+
+    compacted = []
+    for cdir in sorted(glob.glob(f"{path}/assigned/cell=*")):
+        files = glob.glob(f"{cdir}/*.parquet")
+        if len(files) <= max_files:
+            continue
+        tmp = f"{cdir}.compacting"
+        old = f"{cdir}.old"
+        (
+            spark.read.parquet(cdir)
+            .coalesce(1)
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(cdir, old)
+        os.rename(tmp, cdir)
+        shutil.rmtree(old)
+        compacted.append(int(os.path.basename(cdir).split("=", 1)[1]))
+    return compacted
+
+
+def ann_index_drift(spark, path: str) -> DataFrame:
+    """Rebuild-trigger gate for a maintained index: per-cell cosine
+    distance between the STORED centroid and the current mean of the
+    cell's assigned vectors (appends shift the mean; Lloyd would have
+    moved the centroid with it). A maintenance loop rebuilds when
+    ``max(drift)`` crosses its threshold — the compose-and-verify step
+    over centroid_drift_snapshots' idea, run against the index itself.
+
+    Returns (cell, n_vectors, drift). Scale: one map-side-combined
+    aggregation of the assigned table (per-cell vector sums — #cells
+    rows cross the exchange) joined to the #cells centroid table;
+    the corpus never moves."""
+    centroids, assigned = ann_index_read(spark, path)
+    # per-cell mean without a UDF and without collecting vectors:
+    # explode to (cell, i, x), average per (cell, i), regroup to an
+    # index-sorted array. One shuffle of corpus·dim scalars with full
+    # map-side partial aggregation — no single partition anywhere.
+    exploded = assigned.select(
+        "cell", F.posexplode(F.col("cv")).alias("i", "x")
+    )
+    means = (
+        exploded.groupBy("cell", "i")
+        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
+        .groupBy("cell")
+        .agg(
+            F.array_agg(F.struct("i", "m")).alias("__im__"),
+            F.first("n").alias("n_vectors"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.transform(
+                F.array_sort("__im__"), lambda s: s.getField("m")
+            ).alias("mean_vec"),
+        )
+    )
+    joined = means.join(F.broadcast(centroids), "cell")
+    return joined.select(
+        "cell",
+        "n_vectors",
+        F.round(
+            1.0 - cosine_similarity(F.col("mean_vec"), F.col("centroid")), 6
+        ).alias("drift"),
+    )
 
 
 def random_hyperplanes(dim: int, num_tables: int, num_planes: int, seed: int = 7):

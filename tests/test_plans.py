@@ -805,3 +805,30 @@ def test_ivf_prebuilt_probe_prunes_cells_at_scan(spark, qs):
     assert any("In(cell" in f for f in pushed), pushed[:4]
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_maintained_index_probe_prunes_partitions(spark):
+    # the layout='cells' (maintained) index is partitioned BY cell, so
+    # the probe's IN-literal prunes whole DIRECTORIES at planning time:
+    # the scan's PartitionFilters must carry cell IN (...) and the
+    # partition count read must be < the total cell count
+    import glob
+
+    from pippin_spark.entry_queries import _maint_index_path, _t
+    from pippin_spark.operators import similarity as SIM
+
+    emb = _t(spark, SF, "embeddings").df
+    path = _maint_index_path(SF)
+    if not glob.glob(f"{path}/assigned/cell=*"):
+        base = emb.filter(F.col("vec_id") % 10 < 8)
+        SIM.ann_index_write(
+            base, "embedding", "vec_id", path, num_cells=16,
+            train_iters=3, layout="cells",
+        )
+    q = emb.filter(F.col("vec_id") < 5)
+    probe = SIM.ivf_topk_prebuilt(
+        spark, path, q, "embedding", "vec_id", k=5, nprobe=4
+    )
+    p = plan(probe)
+    part = re.findall(r"PartitionFilters: \[[^\]]*\]", p)
+    assert any("cell" in f and "IN" in f.upper() for f in part), part[:4]
