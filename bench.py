@@ -165,6 +165,8 @@ HEADLINE = [
     "contrastive_pairs_e2e",
     # round-9 additions
     "ann_index_maintain_e2e",
+    "sft_render_multiturn",
+    "contrastive_inbatch_export",
 ]
 
 
@@ -390,6 +392,7 @@ def main() -> None:
         "temperature_rebalance_e2e",  # weights collected at construction
         "hard_negative_mining",  # anchors collected at construction
         "contrastive_pairs_e2e",  # both arms collect anchors at construction
+        "contrastive_inbatch_export",  # anchor matrix collects at construction
         "classifier_scrub_e2e",  # trains + selects the median threshold
         "dsir_select_docs",  # scores cached + kth threshold at construction
         "streaming_quality_gate",  # trains + drains the stream in the builder

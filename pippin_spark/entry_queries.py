@@ -10629,6 +10629,95 @@ def q_sft_render_docs(spark, sf_dir):
 
 
 @_q(
+    "sft_render_multiturn",
+    # multi-turn SFT rendering with PER-TURN loss masks (VERDICT r8
+    # #7: sft_render_docs is single-turn): the clipped document is
+    # chunked into 80-char turns alternating user/assistant, each turn
+    # rendered as '<|role|>' + NL + chunk + NL, and every row carries
+    # the turn's 0-based [mask_start, mask_end) char offsets of its
+    # chunk region inside the CONCATENATED conversation plus the loss
+    # flag (assistant turns only — the region a trainer keeps loss
+    # on). Offsets are CLOSED-FORM arithmetic, not a running window:
+    # every non-final chunk is exactly 80 chars and header lengths are
+    # constants, so turn t starts at ceil(t/2)·10 + floor(t/2)·15 +
+    # 80·t — zero shuffle end-to-end (explode of a bounded sequence,
+    # string codegen, no exchange; plan-gated). Full value oracle
+    # replays the identical arithmetic.
+    """
+    WITH c AS (
+      SELECT doc_id, substr(text, 1, 240) AS clip,
+             length(substr(text, 1, 240)) AS n
+      FROM documents
+    ), t AS (
+      SELECT doc_id, clip, n, UNNEST(range(CAST(ceil(n / 80.0) AS INT)))
+               AS turn_idx
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(turn_idx AS INT) AS turn_idx,
+           CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
+             AS role,
+           CASE WHEN turn_idx % 2 = 0 THEN '<|user|>' || chr(10)
+                ELSE '<|assistant|>' || chr(10) END
+             || substr(clip, CAST(turn_idx * 80 + 1 AS INT), 80)
+             || chr(10) AS rendered_turn,
+           CAST(CAST(ceil(turn_idx / 2.0) AS BIGINT) * 10
+                + (turn_idx // 2) * 15 + turn_idx * 80
+                + CASE WHEN turn_idx % 2 = 0 THEN 9 ELSE 14 END
+                AS BIGINT) AS mask_start,
+           CAST(CAST(ceil(turn_idx / 2.0) AS BIGINT) * 10
+                + (turn_idx // 2) * 15 + turn_idx * 80
+                + CASE WHEN turn_idx % 2 = 0 THEN 9 ELSE 14 END
+                + length(substr(clip, CAST(turn_idx * 80 + 1 AS INT), 80))
+                AS BIGINT) AS mask_end,
+           CAST(turn_idx % 2 AS BIGINT) AS loss
+    FROM t
+    """,
+)
+def q_sft_render_multiturn(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    clip = F.substring(F.col("text"), 1, 240)
+    c = docs.select(
+        "doc_id",
+        clip.alias("clip"),
+        F.length(clip).alias("n"),
+    )
+    t = c.select(
+        "doc_id",
+        "clip",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("n") / 80.0).cast("int") - 1)
+        ).alias("turn_idx"),
+    )
+    is_user = F.col("turn_idx") % 2 == 0
+    header = F.when(is_user, F.lit("<|user|>\n")).otherwise(
+        F.lit("<|assistant|>\n")
+    )
+    chunk = F.expr("substring(clip, turn_idx * 80 + 1, 80)")
+    # closed-form start of turn t's chunk region: among turns j < t,
+    # ceil(t/2) are user (header+NL = 10 chars) and floor(t/2) are
+    # assistant (15 chars), every prior chunk is exactly 80 chars +
+    # its trailing NL; then skip this turn's own header + NL
+    start = (
+        F.ceil(F.col("turn_idx") / 2.0).cast("bigint") * 10
+        + F.expr("turn_idx div 2").cast("bigint") * 15
+        + F.col("turn_idx").cast("bigint") * 80
+        + F.when(is_user, F.lit(9)).otherwise(F.lit(14))
+    )
+    return t.select(
+        "doc_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.when(is_user, F.lit("user")).otherwise(F.lit("assistant")).alias(
+            "role"
+        ),
+        F.concat(header, chunk, F.lit("\n")).alias("rendered_turn"),
+        start.alias("mask_start"),
+        (start + F.length(chunk)).cast("bigint").alias("mask_end"),
+        (F.col("turn_idx") % 2).cast("bigint").alias("loss"),
+    )
+
+
+@_q(
     "contrastive_pairs_e2e",
     # contrastive training-pair construction: per anchor, the exact
     # nearest SAME-label vector (the positive; self excluded) plus the
@@ -10684,6 +10773,84 @@ def q_contrastive_pairs_e2e(spark, sf_dir):
         "rank",
     )
     return cols(pos, "pos").unionByName(cols(neg, "neg"))
+
+
+@_q(
+    "contrastive_inbatch_export",
+    # in-batch-negative loader export (VERDICT r8 #7): take each
+    # anchor's exact nearest SAME-label positive (contrastive_pairs'
+    # pos arm) and assign (anchor, positive) pairs to loader batches
+    # such that NO TWO PAIRS IN A BATCH SHARE A LABEL — inside such a
+    # batch every other pair's members are valid in-batch negatives,
+    # which is how contrastive trainers actually consume pairs (one
+    # forward pass per batch, negatives for free). Deterministic
+    # two-level assignment: round r = the anchor's rank within its
+    # label (round-robin across labels caps same-label collisions at
+    # zero by construction), then each round splits into
+    # capacity-4 sub-batches by label order -> batch_id = r*100 +
+    # (position-in-round div 4). Both windows are keyed (per-label /
+    # per-round volume bounded by the anchor contract); the FULL value
+    # oracle replays the positive arm and both rank assignments.
+    """
+    WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) qv
+               FROM embeddings WHERE vec_id < 25),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) cv
+               FROM embeddings),
+         pos AS (
+           SELECT q.vec_id AS query_id, q.label AS label,
+                  c.vec_id AS pair_id,
+                  ROUND(list_cosine_similarity(qv, cv), 6) AS cosine,
+                  CAST(ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+                             c.vec_id) AS INT) AS rnk
+           FROM q JOIN c ON q.label = c.label AND q.vec_id <> c.vec_id
+           QUALIFY rnk <= 1
+         ),
+         r AS (
+           SELECT query_id, label, pair_id, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                          ORDER BY query_id) - 1 AS BIGINT)
+                    AS round
+           FROM pos
+         )
+    SELECT query_id, label, pair_id, cosine,
+           round * 100
+             + (ROW_NUMBER() OVER (PARTITION BY round ORDER BY label) - 1)
+               // 4 AS batch_id
+    FROM r
+    """,
+)
+def q_contrastive_inbatch_export(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 25)
+    pos = SIM.hard_negative_topk(
+        emb, q, "embedding", "vec_id", "label", k=1, mode="same"
+    )
+    # anchor label rides a broadcast join of the bounded anchor set
+    labeled = pos.join(
+        F.broadcast(q.select(F.col("vec_id").alias("query_id"), "label")),
+        "query_id",
+    )
+    w_label = Window.partitionBy("label").orderBy("query_id")
+    w_round = Window.partitionBy("round").orderBy("label")
+    return (
+        labeled.withColumn(
+            "round", (F.row_number().over(w_label) - 1).cast("bigint")
+        )
+        .withColumn(
+            "batch_id",
+            F.col("round") * 100
+            + ((F.row_number().over(w_round) - 1) / 4).cast("bigint"),
+        )
+        .select(
+            "query_id",
+            "label",
+            F.col("neighbor_id").alias("pair_id"),
+            "cosine",
+            "batch_id",
+        )
+    )
 
 
 @_q("eval_split_decontaminated_e2e", None)

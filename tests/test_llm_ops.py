@@ -1996,3 +1996,71 @@ def test_ann_index_maintain_append_compact_isolation(spark, tmp_path):
     drift = S.ann_index_drift(spark, path)
     rows = drift.collect()
     assert len(rows) > 0 and all(r["drift"] >= 0 for r in rows)
+
+
+def test_sft_render_multiturn_offsets_reconstruct(spark):
+    # per-turn loss-mask offsets must index into the CONCATENATED
+    # conversation: rebuilding each doc's conversation from its
+    # rendered turns, conversation[mask_start:mask_end] must equal the
+    # turn's chunk text, and loss must flag exactly assistant turns
+    from pippin_spark.entry_queries import ENTRY_QUERIES
+
+    out = ENTRY_QUERIES["sft_render_multiturn"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.orderBy("doc_id", "turn_idx").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) > 0
+    for doc_id, turns in list(by_doc.items())[:50]:
+        conv = "".join(t["rendered_turn"] for t in turns)
+        for t in turns:
+            hdr = "<|user|>\n" if t["role"] == "user" else "<|assistant|>\n"
+            chunk = t["rendered_turn"][len(hdr):-1]
+            assert conv[t["mask_start"]:t["mask_end"]] == chunk, (
+                doc_id, t["turn_idx"]
+            )
+            assert t["loss"] == (1 if t["role"] == "assistant" else 0)
+        # roles strictly alternate starting at user
+        assert [t["role"] for t in turns[:2]] == \
+            ["user", "assistant"][: len(turns[:2])]
+
+
+def test_contrastive_inbatch_no_label_collisions(spark):
+    # the whole point of the export: inside any batch no two pairs
+    # share a label (so every other pair is a valid in-batch
+    # negative), batches hold at most 4 pairs, and each pair's
+    # positive is the exact nearest same-label non-self vector
+    from pippin_spark.entry_queries import ENTRY_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = ENTRY_QUERIES["contrastive_inbatch_export"](spark, sf).collect()
+    assert len(out) == 25  # one positive per anchor
+    batches = {}
+    for r in out:
+        batches.setdefault(r["batch_id"], []).append(r)
+    for bid, members in batches.items():
+        labels = [m["label"] for m in members]
+        assert len(set(labels)) == len(labels), bid
+        assert len(members) <= 4, bid
+    emb = {
+        r["vec_id"]: (r["label"], list(r["embedding"]))
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6) if na and nb else 0.0
+
+    for r in out:
+        qlab, qv = emb[r["query_id"]]
+        assert emb[r["pair_id"]][0] == qlab and r["pair_id"] != r["query_id"]
+        best = max(
+            ((cos(qv, v), -i) for i, (lab, v) in emb.items()
+             if lab == qlab and i != r["query_id"]),
+        )
+        assert (best[0], -best[1]) == (r["cosine"], r["pair_id"])

@@ -807,6 +807,16 @@ def test_ivf_prebuilt_probe_prunes_cells_at_scan(spark, qs):
     assert "MapInPandas" not in p
 
 
+def test_sft_render_multiturn_zero_shuffle(spark, qs):
+    # multi-turn rendering is closed-form arithmetic + string codegen
+    # over an exploded bounded sequence: no exchange, no Python — the
+    # per-turn offsets must NOT come from a running window
+    p = plan(qs["sft_render_multiturn"](spark, SF))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Window" not in p
+
+
 def test_maintained_index_probe_prunes_partitions(spark):
     # the layout='cells' (maintained) index is partitioned BY cell, so
     # the probe's IN-literal prunes whole DIRECTORIES at planning time:
