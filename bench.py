@@ -465,6 +465,20 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             f.write(full_line + "\n")
+        # append-only committed history (VERDICT r8 "What's wrong" #2):
+        # BENCH_rN.json truncates to its 2000-char stdout-tail budget
+        # and BENCH_LOCAL.json is overwritten per run — the history
+        # file keeps every full per-query map immutable in-repo, so
+        # cross-round comparisons never depend on a mutable file. Each
+        # line self-describes via host/cpus (box-drift normalization
+        # picks controls per line).
+        import platform
+
+        hist = dict(full)
+        hist["cpus"] = cpus
+        hist["host"] = platform.node()
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps(hist, separators=(",", ":")) + "\n")
     except OSError:
         pass  # read-only checkout: the printed full line still has it
     budget = 1800

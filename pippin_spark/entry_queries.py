@@ -11342,6 +11342,56 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # tools/next_window.py --emit; tests/test_oracle.py asserts the list
 # stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "sft_render_multiturn",
+    "contrastive_inbatch_export",
+    "ann_index_maintain_e2e",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_keep",
+    "dedup_minhash",
+    "dedup_simhash",
+    "join_bloom_prefilter",
+    "multimodal_audio_chunk",
+    "emb_random_projection",
+    "text_lm_score",
+    "dedup_span_stats",
+    "bpe_train_merges",
+    "collocations_pmi",
+    "dedup_winnowing",
+    "bpe_vocab_segments",
+    "text_feature_hashing",
+    "triangle_count_parts",
+    "drawdown_users",
+    "decontaminate_winnow",
+    "skyline_parts",
+    "exact_median_orders",
+    "cogroup_reconcile_events",
+    "fuzzy_join_qgram_parts",
+    "set_join_jaccard_docs",
+    "benford_order_prices",
+    "dedup_sorted_neighborhood",
+    "streaming_trending_topk",
+    "streaming_tumbling_window",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "streaming_join_static",
+    "streaming_stateful_counts",
+    "streaming_dedup",
+    "streaming_latest_value",
+    "sample_hash_orders",
+    "sample_stratified_orders",
+    "split_assign_docs",
+    "sample_mixture_docs",
+    "sample_weighted_docs",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q18_large_orders",
+    "grouping_sets_pricing",
+    "pivot_pricing",
+    "unpivot_lineitem",
+    "dedup_clusters",
+    "dedup_minhash_megabucket",
+    "dedup_ngram_megablock",
+    "dedup_lines_docs",
     "ann_index_build",
     "ann_topk_ivf_prebuilt",
     "pack_epochs_e2e",
@@ -11392,15 +11442,6 @@ _DRIVER_ROW_PRIORITY = [
     "time_bucket_events",
     "range_join_price",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_keep",
-    "dedup_minhash",
-    "dedup_simhash",
-    "join_bloom_prefilter",
-    "multimodal_audio_chunk",
-    "emb_random_projection",
-    "text_lm_score",
-    "dedup_span_stats",
     "hard_negative_mining",
     "mixture_weights_sqrt",
     "shuffle_order_docs",
@@ -11597,44 +11638,6 @@ _DRIVER_ROW_PRIORITY = [
     "pagerank_trade_graph",
     "heavy_hitters_events",
     "recursive_cte_reach",
-    "bpe_train_merges",
-    "collocations_pmi",
-    "dedup_winnowing",
-    "bpe_vocab_segments",
-    "text_feature_hashing",
-    "triangle_count_parts",
-    "drawdown_users",
-    "decontaminate_winnow",
-    "skyline_parts",
-    "exact_median_orders",
-    "cogroup_reconcile_events",
-    "fuzzy_join_qgram_parts",
-    "set_join_jaccard_docs",
-    "benford_order_prices",
-    "dedup_sorted_neighborhood",
-    "streaming_trending_topk",
-    "streaming_tumbling_window",
-    "streaming_sliding_window",
-    "streaming_session_window",
-    "streaming_join_static",
-    "streaming_stateful_counts",
-    "streaming_dedup",
-    "streaming_latest_value",
-    "sample_hash_orders",
-    "sample_stratified_orders",
-    "split_assign_docs",
-    "sample_mixture_docs",
-    "sample_weighted_docs",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q18_large_orders",
-    "grouping_sets_pricing",
-    "pivot_pricing",
-    "unpivot_lineitem",
-    "dedup_clusters",
-    "dedup_minhash_megabucket",
-    "dedup_ngram_megablock",
-    "dedup_lines_docs",
     "dedup_incremental_docs",
     "decontaminate_docs",
     "ann_topk_ivf",

@@ -249,6 +249,19 @@ def main() -> None:
         "training_manifest_e2e": lambda spark, d: ENTRY_QUERIES[
             "training_manifest_e2e"
         ](spark, d),
+        # the two loader-feed compositions routing the corpus through
+        # ranked_sort's materialization at 100x (VERDICT r8 #4) — the
+        # r9 barrier change alters the memory profile, so measured
+        # after it landed
+        "pack_epochs_e2e": lambda spark, d: ENTRY_QUERIES[
+            "pack_epochs_e2e"
+        ](spark, d),
+        "quality_rank_fusion": lambda spark, d: ENTRY_QUERIES[
+            "quality_rank_fusion"
+        ](spark, d),
+        "ann_index_maintain_e2e": lambda spark, d: ENTRY_QUERIES[
+            "ann_index_maintain_e2e"
+        ](spark, d),
         "triangle_count_parts": triangles,
         "pagerank_trade_graph": pagerank,
         "dedup_sorted_neighborhood": sorted_neighborhood,
