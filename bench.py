@@ -167,6 +167,7 @@ HEADLINE = [
     "ann_index_maintain_e2e",
     "sft_render_multiturn",
     "contrastive_inbatch_export",
+    "sft_pack_masked",
 ]
 
 

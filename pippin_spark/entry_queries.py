@@ -10718,6 +10718,95 @@ def q_sft_render_multiturn(spark, sf_dir):
 
 
 @_q(
+    "sft_pack_masked",
+    # loss-mask-aware sequence packing: the missing step between
+    # sft_render_docs (per-example rendered text + mask_off) and a
+    # fixed-length loader — pack the rendered examples into 2048-char
+    # training sequences (pack_sequences: hash-shard + in-shard
+    # cumsum chunking, one KEYED window, never global) and RE-BASE
+    # each example's loss region into the packed coordinate system:
+    # global shard-stream offsets [mask_start_g, mask_end_g), the
+    # sequence the region starts in, and its in-sequence offset. The
+    # rendered length is closed-form (prefix length + the constant
+    # 15-char response header), so packing needs no second pass over
+    # the rendered strings. Full value oracle replays the template
+    # arithmetic and the packing window.
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN n_chars <= 256 THEN text
+                  ELSE regexp_replace(substr(text, 1, 256), '\\s+\\S*$', '')
+             END AS clip,
+             lang
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             length('### Instruction:' || chr(10)
+                    || 'Summarize the following ' || lang || ' document.'
+                    || chr(10) || '### Input:' || chr(10) || clip)
+               AS mask_off
+      FROM c
+    ), b AS (
+      SELECT doc_id, mask_off, mask_off + 15 AS ln,
+             (((((doc_id) + 0) % 2147483647) * 2654435761) % 4294967296) % 8
+               AS shard
+      FROM r
+    ), p AS (
+      SELECT doc_id, mask_off, ln, shard,
+             SUM(ln) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - ln AS start_off
+      FROM b
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(start_off AS BIGINT) // 2048 AS seq_id,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(start_off + mask_off AS BIGINT) AS mask_start_g,
+           CAST(start_off + ln AS BIGINT) AS mask_end_g,
+           CAST((start_off + mask_off) // 2048 AS BIGINT) AS mask_seq,
+           CAST((start_off + mask_off) % 2048 AS BIGINT) AS mask_in_seq_off
+    FROM p
+    """,
+)
+def q_sft_pack_masked(spark, sf_dir):
+    from pippin_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").df
+    clip = F.when(F.col("n_chars") <= 256, F.col("text")).otherwise(
+        F.regexp_replace(F.substring(F.col("text"), 1, 256), "\\s+\\S*$", "")
+    )
+    prefix = F.concat(
+        F.lit("### Instruction:\nSummarize the following "),
+        F.col("lang"),
+        F.lit(" document.\n### Input:\n"),
+        clip,
+    )
+    mask_off = F.length(prefix).cast("bigint")
+    # rendered = prefix + '\n### Response:\n' (15 chars) — the length
+    # is arithmetic, the rendered string itself never needs to exist
+    # on the packing path
+    staged = docs.select(
+        "doc_id",
+        mask_off.alias("__mo__"),
+        (mask_off + 15).alias("__rl__"),
+    )
+    packed = pack_sequences(
+        staged, "doc_id", F.col("__rl__"), target_len=2048, num_shards=8
+    )
+    g = F.col("start_off") + F.col("__mo__")
+    return packed.select(
+        "doc_id",
+        "shard",
+        "seq_id",
+        "start_off",
+        g.alias("mask_start_g"),
+        (F.col("start_off") + F.col("__rl__")).alias("mask_end_g"),
+        F.expr("(start_off + __mo__) div 2048").alias("mask_seq"),
+        F.pmod(g, F.lit(2048)).cast("bigint").alias("mask_in_seq_off"),
+    )
+
+
+@_q(
     "contrastive_pairs_e2e",
     # contrastive training-pair construction: per anchor, the exact
     # nearest SAME-label vector (the positive; self excluded) plus the

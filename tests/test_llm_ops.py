@@ -2064,3 +2064,29 @@ def test_contrastive_inbatch_no_label_collisions(spark):
              if lab == qlab and i != r["query_id"]),
         )
         assert (best[0], -best[1]) == (r["cosine"], r["pair_id"])
+
+
+def test_sft_pack_masked_offsets_tile_the_stream(spark):
+    # within a shard the packed examples tile the concat stream with
+    # no gaps (start_off[i+1] = start_off[i] + rendered_len[i]), the
+    # mask region sits inside the example, and the in-sequence offset
+    # re-bases consistently with mask_seq
+    from pippin_spark.entry_queries import ENTRY_QUERIES
+
+    out = ENTRY_QUERIES["sft_pack_masked"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == 500
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["start_off"])
+        assert rows[0]["start_off"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_off"] == a["mask_end_g"], shard
+        for r in rows:
+            assert r["start_off"] < r["mask_start_g"] < r["mask_end_g"]
+            assert r["mask_seq"] == r["mask_start_g"] // 2048
+            assert r["mask_in_seq_off"] == r["mask_start_g"] % 2048
+            assert r["seq_id"] == r["start_off"] // 2048
