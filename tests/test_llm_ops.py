@@ -2090,3 +2090,71 @@ def test_sft_pack_masked_offsets_tile_the_stream(spark):
             assert r["mask_seq"] == r["mask_start_g"] // 2048
             assert r["mask_in_seq_off"] == r["mask_start_g"] % 2048
             assert r["seq_id"] == r["start_off"] // 2048
+
+
+def test_ann_index_append_labeled_hard_negative_parity(spark, tmp_path):
+    # maintenance composes with the LABELED index family too: append
+    # rides extra_cols, and a hard-negative probe of the maintained
+    # index equals the probe of a fresh index that assigned the
+    # augmented corpus to the same base-trained centroids
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    path = str(tmp_path / "hn_maint")
+    S.ann_index_write(
+        base, "embedding", "vec_id", path, num_cells=4, train_iters=2,
+        train_mode="sample", extra_cols=("label",), layout="cells",
+    )
+    S.ann_index_append(
+        spark, path, new, "embedding", "vec_id", extra_cols=("label",)
+    )
+    maint = S.hard_negative_ivf_prebuilt(spark, path, "label", k=3, nprobe=2)
+    fresh_path = str(tmp_path / "hn_fresh")
+    S.ann_index_write(
+        emb, "embedding", "vec_id", fresh_path, num_cells=4, train_iters=2,
+        train_mode="sample", extra_cols=("label",), layout="cells",
+        train_on=base,
+    )
+    fresh = S.hard_negative_ivf_prebuilt(
+        spark, fresh_path, "label", k=3, nprobe=2
+    )
+    a = sorted(map(tuple, maint.collect()))
+    b = sorted(map(tuple, fresh.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ann_index_drift_triggers_rebuild_on_shifted_appends(spark, tmp_path):
+    # the rebuild gate must actually fire when appended traffic drags
+    # cell means away from the stored centroids, and a rebuild (fresh
+    # Lloyd on the augmented corpus) must bring it back down. Note the
+    # drift an append CAN cause is bounded by the assignment rule —
+    # every appended vector lands in its NEAREST cell, so even a flood
+    # of NEGATED vectors (7x the base here) shifts means toward
+    # near-orthogonal, not flipped (measured ~3.4x the fresh-build
+    # drift, not ~1.0) — hence a RELATIVE gate, which is also how a
+    # real maintenance loop should set its threshold
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 60)
+    path = str(tmp_path / "drift_maint")
+    S.ann_index_write(
+        base, "embedding", "vec_id", path, num_cells=4, train_iters=2,
+        layout="cells",
+    )
+    mx = lambda: S.ann_index_drift(spark, path).agg(  # noqa: E731
+        F.max("drift").alias("d")
+    ).collect()[0]["d"]
+    low0 = mx()
+    assert low0 < 0.1  # freshly built: means ARE near the centroids
+    shifted = emb.filter(F.col("vec_id") >= 60).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    )
+    S.ann_index_append(spark, path, shifted, "embedding", "vec_id")
+    high = mx()
+    assert high > 2.5 * low0 and high > 0.1  # gate fires -> rebuild
+    aug = base.select("vec_id", "embedding").unionByName(shifted)
+    S.ann_index_write(
+        aug, "embedding", "vec_id", path, num_cells=4, train_iters=2,
+        layout="cells",
+    )
+    assert mx() < high  # rebuild re-centers the cells
