@@ -846,6 +846,14 @@ def ann_index_append(
     This is exactly what streaming_ivf_cell_route's assignment half
     computes; driving THIS function from foreachBatch turns that
     routing demo into a live index (ann_index_maintain_e2e does)."""
+    import glob
+
+    if not glob.glob(f"{path}/assigned/cell=*"):
+        raise ValueError(
+            f"{path}/assigned is not a layout='cells' index — appending "
+            "partitioned files into a flat dataset would silently mix "
+            "layouts; rebuild with ann_index_write(..., layout='cells')"
+        )
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned_new = _assign_cells(
         new_vectors.select(

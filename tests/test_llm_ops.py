@@ -2158,3 +2158,15 @@ def test_ann_index_drift_triggers_rebuild_on_shifted_appends(spark, tmp_path):
         layout="cells",
     )
     assert mx() < high  # rebuild re-centers the cells
+
+
+def test_ann_index_append_rejects_flat_layout(spark, tmp_path):
+    # appending partitioned files into a flat index would silently mix
+    # layouts — must fail loudly instead
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "flat_ivf")
+    S.ann_index_write(emb, "embedding", "vec_id", path, num_cells=4)
+    with pytest.raises(ValueError, match="layout"):
+        S.ann_index_append(
+            spark, path, emb.limit(5), "embedding", "vec_id"
+        )
