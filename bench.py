@@ -346,7 +346,58 @@ def main() -> None:
         q.awaitTermination(120)
         return spark.table("bench_stream_minhash").distinct()
 
+    def _raw_maintain(spark, sf_dir):
+        # the PRODUCT maintain cycle a training pipeline repeats: base
+        # build (layout='cells') + streamed foreachBatch append +
+        # hot-cell compaction + drift gate + probe. The declared query
+        # additionally rebuilds a second FULL index (the fresh
+        # verification arm) and runs the equality join + file-snapshot
+        # invariants — that's the correctness harness, and timing it
+        # would roughly double the row (the sketch-query rule).
+        from pyspark.sql import functions as F
+
+        from pippin_spark.entry_queries import (
+            _maint_index_path,
+            _stream_ckpt,
+            _drain,
+        )
+
+        emb = Pipeline.from_table(spark, sf_dir, "embeddings").df
+        base = emb.filter(F.col("vec_id") % 10 < 8)
+        path = _maint_index_path(sf_dir) + "_benchraw"
+        SIM.ann_index_write(
+            base, "embedding", "vec_id", path, num_cells=16,
+            train_iters=3, layout="cells",
+        )
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("vec_id") % 10 >= 8)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _e: SIM.ann_index_append(
+                    b.sparkSession, path, b, "embedding", "vec_id"
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _stream_ckpt("bench_ckpt_maint_"))
+            .start()
+        )
+        _drain(q)
+        SIM.ann_index_compact(spark, path)
+        drift = SIM.ann_index_drift(spark, path)
+        probe = SIM.ivf_topk_prebuilt(
+            spark, path, emb.filter(F.col("vec_id") < 5), "embedding",
+            "vec_id", k=5, nprobe=4,
+        )
+        return probe.join(
+            F.broadcast(drift.agg(F.max("drift").alias("max_drift")))
+        )
+
     qs = dict(qs)
+    qs["ann_index_maintain_e2e"] = _raw_maintain
     qs["dedup_minhash"] = _raw_minhash
     qs["streaming_minhash_dedup"] = _raw_stream_minhash
     qs["dedup_simhash"] = _raw_simhash

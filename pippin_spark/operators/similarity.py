@@ -877,37 +877,48 @@ def ann_index_compact(spark, path: str, max_files: int = 1) -> list:
     """Size-targeted compaction of a ``layout='cells'`` index: every
     cell directory holding more than ``max_files`` parquet files (the
     HOT cells — repeated appends fragment exactly the cells receiving
-    traffic) is rewritten to one file; cells at or under the target
-    are never read, never written. Returns the compacted cell ids.
+    traffic) is rewritten to one file per cell; cells at or under the
+    target are never read, never written. Returns compacted cell ids.
 
-    The per-cell rewrite loop is driver-side but bounded by #cells
-    (driver-sized by contract — the same budget as the centroid
-    table); each rewrite is a distributed read+write of ONE cell's
-    rows. Write-to-temp-then-swap keeps a reader-visible cell dir at
-    all times (the swap is two renames, not a rewrite-in-place)."""
+    Scale shape: ONE distributed job rewrites all hot cells at once
+    (filter on the partition column prunes cold directories at
+    planning time; ``repartition('cell')`` lands each cell in exactly
+    one task so the partitioned write emits exactly one file per
+    cell), then a bounded driver loop (#hot-cells renames — the
+    centroid-table budget) swaps the fresh directories in. A per-cell
+    Spark-job loop would schedule #cells jobs — overhead-bound at
+    thousands of cells; this is one job regardless of cell count.
+    The swap is two renames per cell, so a reader-visible directory
+    exists at all times."""
     import glob
     import os
     import shutil
 
-    compacted = []
+    hot = []
     for cdir in sorted(glob.glob(f"{path}/assigned/cell=*")):
-        files = glob.glob(f"{cdir}/*.parquet")
-        if len(files) <= max_files:
-            continue
-        tmp = f"{cdir}.compacting"
+        if len(glob.glob(f"{cdir}/*.parquet")) > max_files:
+            hot.append(int(os.path.basename(cdir).split("=", 1)[1]))
+    if not hot:
+        return []
+    tmp_root = f"{path}/assigned_compacting"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    (
+        spark.read.parquet(f"{path}/assigned")
+        .filter(F.col("cell").isin(hot))
+        .repartition("cell")
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp_root)
+    )
+    for c in hot:
+        cdir = f"{path}/assigned/cell={c}"
         old = f"{cdir}.old"
-        (
-            spark.read.parquet(cdir)
-            .coalesce(1)
-            .sortWithinPartitions("id")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
         os.rename(cdir, old)
-        os.rename(tmp, cdir)
+        os.rename(f"{tmp_root}/cell={c}", cdir)
         shutil.rmtree(old)
-        compacted.append(int(os.path.basename(cdir).split("=", 1)[1]))
-    return compacted
+    shutil.rmtree(tmp_root)
+    return hot
 
 
 def ann_index_drift(spark, path: str) -> DataFrame:
