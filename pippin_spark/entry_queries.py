@@ -11431,6 +11431,7 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # tools/next_window.py --emit; tests/test_oracle.py asserts the list
 # stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "sft_pack_masked",
     "sft_render_multiturn",
     "contrastive_inbatch_export",
     "ann_index_maintain_e2e",
