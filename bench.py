@@ -168,6 +168,7 @@ HEADLINE = [
     "sft_render_multiturn",
     "contrastive_inbatch_export",
     "sft_pack_masked",
+    "ann_topk_ivfpq",
 ]
 
 
@@ -436,6 +437,7 @@ def main() -> None:
         "knn_join_ivf",
         "knn_join_ivf_nprobe2",
         "ann_topk_pq",
+        "ann_topk_ivfpq",  # Lloyd + codebook training at construction
         "streaming_minhash_dedup",  # drains the stream in the builder
         "diversity_kcenter",  # greedy selection collects at construction
         "agg_count_min_events",  # sketch built + probed at construction

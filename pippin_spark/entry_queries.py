@@ -1486,6 +1486,45 @@ def q_ann_topk_ivf_prebuilt(spark, sf_dir):
     return DEDUP.pair_agreement(bf, ivf)
 
 
+@_q(
+    "ann_topk_ivfpq",
+    # IVF-PQ recall@5 vs exact brute force — the COMPOSED 100 TB
+    # vector-search shape (FAISS IVFx,PQy, by_residual=False): IVF
+    # bounds candidate VOLUME (only nprobe=8 of 16 cells are counted
+    # per query), PQ bounds candidate COST (each counted row is m=8
+    # table lookups, not a 64-dim dot product). Recall is lower than
+    # either single-axis operator at the same budgets (ivf nprobe=4:
+    # 22-25/25; pq m=8: its own row) because the approximations
+    # COMPOUND — the honest figure, tunable on two independent axes
+    # (nprobe for coverage, m/codebook_k/overfetch for fidelity).
+    # SNAPSHOT GATE like knn_join_ivf / hard_negative_ivf: the pin
+    # certifies determinism (seeded Lloyd + lexsort ties + ADC
+    # round-9) — the recall SEMANTICS is computed in-query on both
+    # arms; no cross-engine oracle can reproduce the approximate arm.
+    """
+    WITH v AS (SELECT CASE (SELECT COUNT(*) FROM embeddings)
+                      WHEN 2000 THEN 15 ELSE 17 END AS c)
+    SELECT CAST(25 AS BIGINT) AS n_exact,
+           CAST(25 AS BIGINT) AS n_approx,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(c AS DOUBLE) / 25 AS recall,
+           CAST(c AS DOUBLE) / 25 AS prec
+    FROM v
+    """,
+)
+def q_ann_topk_ivfpq(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 5)
+    ivfpq = SIM.ivfpq_topk(
+        emb, q, "embedding", "vec_id", k=5, num_cells=16, nprobe=8,
+        m=8, codebook_k=16, train_iters=2, overfetch=30,
+    ).select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    bf = SIM.brute_force_topk(emb, q, "embedding", "vec_id", k=5).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return DEDUP.pair_agreement(bf, ivfpq)
+
+
 def _hn_index_path(sf_dir: str) -> str:
     # like _ann_index_path but a separate index family: the
     # hard-negative index persists the LABEL with each vector
@@ -11431,6 +11470,7 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # tools/next_window.py --emit; tests/test_oracle.py asserts the list
 # stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "ann_topk_ivfpq",
     "sft_pack_masked",
     "sft_render_multiturn",
     "contrastive_inbatch_export",

@@ -1864,6 +1864,212 @@ def _pq_topk_chunk(c, spark, q_ids, Q, books, k: int, nk: int) -> DataFrame:
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    codebook_k: int = 16,
+    train_iters: int = 2,
+    overfetch: int = 8,
+    query_chunk: int = 1024,
+    max_queries: int = 262144,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k — the composed 100 TB
+    vector-search shape (FAISS ``IVFx,PQy`` with by_residual=False):
+    the coarse IVF quantizer gates WHICH vectors each query's scan may
+    count (only the ``nprobe`` nearest cells), and PQ/ADC makes each
+    counted row cost ``m`` table lookups instead of a dim-wide dot
+    product. IVF bounds candidate VOLUME, PQ bounds candidate COST —
+    at corpus scale the two multiply: a cells-layout index prunes the
+    probed cells' directories at the scan, and the ADC codes shrink
+    what a scanned row costs by ~dim·8/m bytes of arithmetic.
+
+    Composition of the verified parts: ivf_build's centroids (same
+    deterministic seed + Lloyd as ivf_topk), pq_codebooks' per-subspace
+    codebooks, the pq_topk chunked-ADC scan (queries stream through the
+    driver in ``query_chunk`` slices — the ANN-probe contract, guarded
+    by ``max_queries``), and the standard exact-cosine JVM re-rank with
+    (round-6 DESC, id ASC) ties — output shape matches brute_force_topk.
+
+    Per chunk, each query's probed-cell set is computed driver-side
+    against the driver-sized centroid matrix and ships as a boolean
+    mask in the scan closure; the cell-membership test is a numpy
+    gather, the union of probed cells also filters the assigned frame
+    so Catalyst can prune (IN-literal on the cell column).
+
+    Recall tunes on two independent axes: nprobe (cell coverage, the
+    IVF axis) and m/codebook_k/overfetch (code fidelity, the PQ axis)
+    — scored by the same recall-oracle pattern as IVF/LSH/PQ."""
+    import numpy as np
+
+    centroids, assigned = ivf_build(
+        corpus, vec_col, id_col, num_cells, train_iters
+    )
+    books = pq_codebooks(corpus, vec_col, id_col, m, codebook_k, train_iters)
+    cent_rows = sorted(centroids.collect(), key=lambda r: int(r["cell"]))
+    cell_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows])
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Cn = C / cn[:, None]
+    spark = corpus.sparkSession
+    a = assigned  # (id, cv, cell)
+
+    chunk_results: list[DataFrame] = []
+    buf_ids: list[int] = []
+    buf_vecs: list = []
+
+    def flush() -> None:
+        q_ids = np.array(buf_ids, dtype=np.int64)
+        Q = np.stack(buf_vecs)
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0.0] = 1.0
+        sims = (Q / qn[:, None]) @ Cn.T  # (Q, C)
+        # top-nprobe cells per query, ties to the LOWEST cell id (the
+        # _ivf_probe ordering: cosine desc, cell asc)
+        order = np.lexsort((cell_ids[None, :].repeat(len(Q), 0), -sims))
+        probe_cols = order[:, :nprobe]  # centroid-row indices
+        probed = np.zeros((len(Q), len(cell_ids)), dtype=bool)
+        for qi in range(len(Q)):
+            probed[qi, probe_cols[qi]] = True
+        union_cells = sorted(int(cell_ids[j]) for j in set(probe_cols.ravel()))
+        sub = a.filter(F.col("cell").isin(union_cells))
+        chunk_results.append(
+            _ivfpq_chunk(
+                sub, spark, q_ids, Q, books, cell_ids, probed, k,
+                int(k + overfetch),
+            )
+        )
+        buf_ids.clear()
+        buf_vecs.clear()
+
+    n_seen = 0
+    for r in queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).toLocalIterator():
+        n_seen += 1
+        if n_seen > max_queries:
+            raise ValueError(
+                f"ivfpq_topk: query set exceeds max_queries={max_queries}; "
+                "this is the ANN-probe operator — for corpus-sized query "
+                "sets use knn_join_ivf / knn_join_blocked"
+            )
+        buf_ids.append(int(r["query_id"]))
+        buf_vecs.append(np.asarray(r["qv"], dtype=np.float64))
+        if len(buf_ids) >= query_chunk:
+            flush()
+    if buf_ids:
+        flush()
+    if not chunk_results:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    out = chunk_results[0]
+    for extra in chunk_results[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def _ivfpq_chunk(
+    sub, spark, q_ids, Q, books, cell_ids, probed, k: int, nk: int
+) -> DataFrame:
+    """One ivfpq_topk query chunk: cell-masked ADC scan over the
+    probed-cell subset + batch pruning + exact cosine re-rank."""
+    import numpy as np
+
+    d = books.shape[2]
+    norms = np.linalg.norm(Q, axis=1)
+    norms[norms == 0.0] = 1.0
+    Qn = Q / norms[:, None]
+
+    def scan(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        sub_q = Qn.reshape(len(Qn), books.shape[0], d)
+        tables = ((sub_q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(
+            axis=3
+        )  # (Q, m, k)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.stack(pdf["cv"].to_numpy()).astype(_np.float64)
+            vn = _np.linalg.norm(V, axis=1)
+            vn[vn == 0.0] = 1.0
+            Vn = (V / vn[:, None]).reshape(len(V), books.shape[0], d)
+            codes = _np.empty((len(V), books.shape[0]), dtype=_np.int64)
+            for s in range(books.shape[0]):
+                dist = ((Vn[:, s, None, :] - books[None, s]) ** 2).sum(axis=2)
+                codes[:, s] = _np.argmin(dist, axis=1)
+            ids = pdf["id"].to_numpy()
+            # map each row's cell to its centroid-row index for the
+            # probed-mask gather (cell_ids is sorted)
+            cpos = _np.searchsorted(cell_ids, pdf["cell"].to_numpy())
+            out_q, out_n, out_a = [], [], []
+            srange = _np.arange(books.shape[0])
+            for qi in range(len(q_ids)):
+                adc = tables[qi][srange, codes].sum(axis=1)
+                adc = _np.round(adc, 9)
+                mask = (ids != q_ids[qi]) & probed[qi, cpos]
+                cand_ids, cand_adc = ids[mask], adc[mask]
+                top = min(nk, len(cand_ids))
+                if top == 0:
+                    continue
+                order = _np.lexsort((cand_ids, cand_adc))[:top]
+                out_q.append(_np.full(top, q_ids[qi]))
+                out_n.append(cand_ids[order])
+                out_a.append(cand_adc[order])
+            if out_q:
+                yield _pd.DataFrame(
+                    {
+                        "query_id": _np.concatenate(out_q),
+                        "neighbor_id": _np.concatenate(out_n),
+                        "adc": _np.concatenate(out_a),
+                    }
+                )
+
+    cands = ensure_parallelism(sub.select("id", "cv", "cell")).mapInPandas(
+        scan, "query_id long, neighbor_id long, adc double"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        cands.withColumn("__rn__", F.row_number().over(wq))
+        .filter(F.col("__rn__") <= nk)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = local_table(
+        spark,
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
+        "query_id long, qv array<double>",
+    )
+    scored = (
+        survivors.join(
+            sub.select(F.col("id").alias("neighbor_id"), "cv"), "neighbor_id"
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def random_projection(
     df: DataFrame,
     vec_col: str = "embedding",
