@@ -1486,6 +1486,21 @@ def q_ann_topk_ivf_prebuilt(spark, sf_dir):
     return DEDUP.pair_agreement(bf, ivf)
 
 
+# ONE snapshot oracle shared by ann_topk_ivfpq AND its prebuilt twin
+# (same build parameters; PQ codes round-trip parquet losslessly, so
+# prebuilt == fresh exactly — pytest-pinned; the _HN_SNAPSHOT lesson)
+_IVFPQ_SNAPSHOT_ORACLE = """
+    WITH v AS (SELECT CASE (SELECT COUNT(*) FROM embeddings)
+                      WHEN 2000 THEN 15 ELSE 17 END AS c)
+    SELECT CAST(25 AS BIGINT) AS n_exact,
+           CAST(25 AS BIGINT) AS n_approx,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(c AS DOUBLE) / 25 AS recall,
+           CAST(c AS DOUBLE) / 25 AS prec
+    FROM v
+    """
+
+
 @_q(
     "ann_topk_ivfpq",
     # IVF-PQ recall@5 vs exact brute force — the COMPOSED 100 TB
@@ -1501,16 +1516,7 @@ def q_ann_topk_ivf_prebuilt(spark, sf_dir):
     # certifies determinism (seeded Lloyd + lexsort ties + ADC
     # round-9) — the recall SEMANTICS is computed in-query on both
     # arms; no cross-engine oracle can reproduce the approximate arm.
-    """
-    WITH v AS (SELECT CASE (SELECT COUNT(*) FROM embeddings)
-                      WHEN 2000 THEN 15 ELSE 17 END AS c)
-    SELECT CAST(25 AS BIGINT) AS n_exact,
-           CAST(25 AS BIGINT) AS n_approx,
-           CAST(c AS BIGINT) AS n_common,
-           CAST(c AS DOUBLE) / 25 AS recall,
-           CAST(c AS DOUBLE) / 25 AS prec
-    FROM v
-    """,
+    _IVFPQ_SNAPSHOT_ORACLE,
 )
 def q_ann_topk_ivfpq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").df
@@ -1523,6 +1529,49 @@ def q_ann_topk_ivfpq(spark, sf_dir):
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
     return DEDUP.pair_agreement(bf, ivfpq)
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    # the persisted IVF-PQ family (layout='cells' + pq codes); mtime-
+    # keyed like every index family so a regenerated fixture can never
+    # serve a stale index
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    mt = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+    return f"/tmp/pippin_ivfpq_{base}_{mt}"
+
+
+@_q(
+    "ann_topk_ivfpq_prebuilt",
+    # query-many half of the on-disk IVF-PQ: probe the PERSISTED index
+    # (build-if-missing, then pure reads) — the candidate scan reads
+    # ONLY (id, codes) from the probed cells' DIRECTORIES
+    # (PartitionFilters + ReadSchema, both plan-gated); raw vectors
+    # are fetched just for the survivors' exact re-rank. Codes
+    # round-trip parquet losslessly, so recall pins to the SAME
+    # literals as the fresh path (exact equality pytest-pinned) —
+    # shared snapshot constant, the _HN_SNAPSHOT pattern.
+    _IVFPQ_SNAPSHOT_ORACLE,
+)
+def q_ann_topk_ivfpq_prebuilt(spark, sf_dir):
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    path = _ivfpq_index_path(sf_dir)
+    if not os.path.exists(f"{path}/assigned"):
+        SIM.ann_index_write(
+            emb, "embedding", "vec_id", path, num_cells=16, train_iters=2,
+            layout="cells", pq=(8, 16, 2),
+        )
+    q = emb.filter(F.col("vec_id") < 5)
+    pre = SIM.ivfpq_topk_prebuilt(
+        spark, path, q, "embedding", "vec_id", k=5, nprobe=8, overfetch=30
+    ).select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    bf = SIM.brute_force_topk(emb, q, "embedding", "vec_id", k=5).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return DEDUP.pair_agreement(bf, pre)
 
 
 def _hn_index_path(sf_dir: str) -> str:
@@ -11470,6 +11519,7 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # tools/next_window.py --emit; tests/test_oracle.py asserts the list
 # stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "ann_topk_ivfpq_prebuilt",
     "ann_topk_ivfpq",
     "sft_pack_masked",
     "sft_render_multiturn",

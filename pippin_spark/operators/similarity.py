@@ -720,6 +720,7 @@ def ann_index_write(
     extra_cols: tuple = (),
     layout: str = "flat",
     train_on: DataFrame = None,
+    pq: tuple = None,
 ) -> None:
     """Build-once half of the build-once/query-many IVF contract
     (VERDICT r7 #6: every IVF consumer retrained Lloyd at
@@ -752,7 +753,15 @@ def ann_index_write(
     than the one being indexed (e.g. the pre-append base corpus), so
     a maintained index and a from-scratch rebuild that assigns the
     augmented corpus against base-trained centroids agree exactly —
-    the equality ann_index_maintain_e2e pins."""
+    the equality ann_index_maintain_e2e pins.
+
+    ``pq=(m, codebook_k, train_iters)`` additionally trains PQ
+    codebooks on the indexed corpus, persists them as
+    ``{path}/codebooks``, and stores each vector's ``codes`` column in
+    the assigned table — the full FAISS-style on-disk IVF-PQ index:
+    a probe (ivfpq_topk_prebuilt) scans (id, codes, cell) ONLY —
+    never the raw vectors, which are read back just for the
+    survivors' exact re-rank."""
     if train_on is not None:
         centroids, _ = ivf_build(
             train_on, vec_col, id_col, num_cells, train_iters,
@@ -773,6 +782,14 @@ def ann_index_write(
             train_mode=train_mode, extra_cols=extra_cols,
         )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    if pq is not None:
+        pq_m, pq_k, pq_iters = pq
+        books = pq_codebooks(
+            corpus, vec_col, id_col, m=pq_m, codebook_k=pq_k,
+            train_iters=pq_iters,
+        )
+        _write_codebooks(corpus.sparkSession, books, path)
+        assigned = pq_encode_codes(assigned, books)
     writer = assigned.repartition("cell").sortWithinPartitions("cell").write
     if layout == "cells":
         # static overwrite of a partitioned dataset wipes the whole
@@ -820,6 +837,70 @@ def ivf_topk_prebuilt(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
     return _ivf_probe(centroids, assigned, q, k, nprobe, prune_cells=True)
+
+
+def pq_encode_codes(vectors: DataFrame, books) -> DataFrame:
+    """Add a ``codes array<int>`` column: per subspace, the argmin-L2
+    codeword of the UNIT-NORMALIZED subvector (numpy first-min ties —
+    the exact encode rule of pq_topk's scan, factored out so an index
+    can persist the codes once instead of re-encoding per query). One
+    Arrow pass, zero shuffle; the codebook ndarray ships in the
+    closure (m·k·d doubles)."""
+    import numpy as np
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vectors.schema.fields
+    ) + ", codes array<int>"
+    mm, _kk, d = books.shape
+
+    def enc(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.stack(pdf["cv"].to_numpy()).astype(_np.float64)
+            vn = _np.linalg.norm(V, axis=1)
+            vn[vn == 0.0] = 1.0
+            Vn = (V / vn[:, None]).reshape(len(V), mm, d)
+            codes = _np.empty((len(V), mm), dtype=_np.int64)
+            for s in range(mm):
+                dist = ((Vn[:, s, None, :] - books[None, s]) ** 2).sum(axis=2)
+                codes[:, s] = _np.argmin(dist, axis=1)
+            pdf = pdf.copy()
+            pdf["codes"] = [
+                [int(x) for x in row] for row in codes
+            ]
+            yield pdf
+
+    return vectors.mapInPandas(enc, schema)
+
+
+def _write_codebooks(spark, books, path: str) -> None:
+    rows = [
+        (int(s), int(c), [float(x) for x in books[s, c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    local_table(spark, rows, "s int, c int, vec array<double>").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebooks")
+
+
+def _read_codebooks(spark, path: str):
+    import numpy as np
+
+    rows = sorted(
+        spark.read.parquet(f"{path}/codebooks").collect(),
+        key=lambda r: (r["s"], r["c"]),
+    )
+    m = max(r["s"] for r in rows) + 1
+    kk = max(r["c"] for r in rows) + 1
+    d = len(rows[0]["vec"])
+    books = np.empty((m, kk, d), dtype=np.float64)
+    for r in rows:
+        books[r["s"], r["c"]] = np.asarray(r["vec"], dtype=np.float64)
+    return books
 
 
 def ann_index_append(
@@ -1973,6 +2054,187 @@ def ivfpq_topk(
     for extra in chunk_results[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def ivfpq_topk_prebuilt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    overfetch: int = 8,
+    query_chunk: int = 1024,
+    max_queries: int = 262144,
+) -> DataFrame:
+    """Probe a PERSISTED IVF-PQ index (ann_index_write with
+    ``pq=(m, k, iters)``): the query-many half of the full FAISS-style
+    on-disk shape. The candidate scan reads ONLY (id, codes, cell) —
+    column pruning keeps the raw vectors out of the scan entirely
+    (plan-gated via ReadSchema), the probed-cell IN-literal prunes row
+    groups (flat layout) or whole directories (cells layout), and the
+    ADC uses the codes AS STORED — no per-query re-encode, no Lloyd,
+    no codebook retrain. Raw vectors are read back only for the
+    ~|Q|·(k+overfetch) survivors' exact cosine re-rank.
+
+    At 100 TB this is the operating point the composition exists for:
+    the hot scan touches m bytes per row of a directory-pruned subset,
+    the full-width vectors are touched survivor-count times. Output
+    values are EXACTLY ivfpq_topk's for the same build parameters
+    (codes round-trip parquet losslessly; pytest-pinned)."""
+    import numpy as np
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = _read_codebooks(spark, path)
+    assigned = spark.read.parquet(f"{path}/assigned")
+    cent_rows = sorted(centroids.collect(), key=lambda r: int(r["cell"]))
+    cell_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int64)
+    C = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    )
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Cn = C / cn[:, None]
+
+    chunk_results: list[DataFrame] = []
+    buf_ids: list[int] = []
+    buf_vecs: list = []
+
+    def flush() -> None:
+        q_ids = np.array(buf_ids, dtype=np.int64)
+        Q = np.stack(buf_vecs)
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0.0] = 1.0
+        sims = (Q / qn[:, None]) @ Cn.T
+        order = np.lexsort((cell_ids[None, :].repeat(len(Q), 0), -sims))
+        probe_cols = order[:, :nprobe]
+        probed = np.zeros((len(Q), len(cell_ids)), dtype=bool)
+        for qi in range(len(Q)):
+            probed[qi, probe_cols[qi]] = True
+        union_cells = sorted(int(cell_ids[j]) for j in set(probe_cols.ravel()))
+        sub = assigned.filter(F.col("cell").isin(union_cells))
+        chunk_results.append(
+            _ivfpq_prebuilt_chunk(
+                sub, spark, q_ids, Q, books, cell_ids, probed, k,
+                int(k + overfetch),
+            )
+        )
+        buf_ids.clear()
+        buf_vecs.clear()
+
+    n_seen = 0
+    for r in queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).toLocalIterator():
+        n_seen += 1
+        if n_seen > max_queries:
+            raise ValueError(
+                f"ivfpq_topk_prebuilt: query set exceeds "
+                f"max_queries={max_queries}; use knn_join_ivf for "
+                "corpus-sized query sets"
+            )
+        buf_ids.append(int(r["query_id"]))
+        buf_vecs.append(np.asarray(r["qv"], dtype=np.float64))
+        if len(buf_ids) >= query_chunk:
+            flush()
+    if buf_ids:
+        flush()
+    if not chunk_results:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    out = chunk_results[0]
+    for extra in chunk_results[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def _ivfpq_prebuilt_chunk(
+    sub, spark, q_ids, Q, books, cell_ids, probed, k: int, nk: int
+) -> DataFrame:
+    """One prebuilt-IVF-PQ chunk: cell-masked ADC over STORED codes
+    (the scan never touches cv — its input projection is
+    (id, codes, cell) only) + exact re-rank reading cv for survivors."""
+    import numpy as np
+
+    norms = np.linalg.norm(Q, axis=1)
+    norms[norms == 0.0] = 1.0
+    Qn = Q / norms[:, None]
+    d = books.shape[2]
+
+    def scan(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        sub_q = Qn.reshape(len(Qn), books.shape[0], d)
+        tables = ((sub_q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(
+            axis=3
+        )
+        srange = _np.arange(books.shape[0])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = _np.stack(pdf["codes"].to_numpy()).astype(_np.int64)
+            ids = pdf["id"].to_numpy()
+            cpos = _np.searchsorted(cell_ids, pdf["cell"].to_numpy())
+            out_q, out_n, out_a = [], [], []
+            for qi in range(len(q_ids)):
+                adc = tables[qi][srange, codes].sum(axis=1)
+                adc = _np.round(adc, 9)
+                mask = (ids != q_ids[qi]) & probed[qi, cpos]
+                cand_ids, cand_adc = ids[mask], adc[mask]
+                top = min(nk, len(cand_ids))
+                if top == 0:
+                    continue
+                order = _np.lexsort((cand_ids, cand_adc))[:top]
+                out_q.append(_np.full(top, q_ids[qi]))
+                out_n.append(cand_ids[order])
+                out_a.append(cand_adc[order])
+            if out_q:
+                yield _pd.DataFrame(
+                    {
+                        "query_id": _np.concatenate(out_q),
+                        "neighbor_id": _np.concatenate(out_n),
+                        "adc": _np.concatenate(out_a),
+                    }
+                )
+
+    cands = ensure_parallelism(sub.select("id", "codes", "cell")).mapInPandas(
+        scan, "query_id long, neighbor_id long, adc double"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        cands.withColumn("__rn__", F.row_number().over(wq))
+        .filter(F.col("__rn__") <= nk)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = local_table(
+        spark,
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
+        "query_id long, qv array<double>",
+    )
+    scored = (
+        survivors.join(
+            sub.select(F.col("id").alias("neighbor_id"), "cv"), "neighbor_id"
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def _ivfpq_chunk(

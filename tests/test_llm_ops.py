@@ -2210,3 +2210,26 @@ def test_ivfpq_matches_bruteforce_on_tiny_and_masks_cells(spark):
     assert len(rows) > 0
     for r in rows:
         assert cell_of[r["neighbor_id"]] == qcell[r["query_id"]]
+
+
+def test_ivfpq_prebuilt_equals_fresh_exactly(spark, tmp_path):
+    # PQ codes round-trip parquet losslessly, so the persisted-index
+    # probe must equal the fresh ivfpq_topk EXACTLY (ids, cosines,
+    # ranks) for the same build parameters
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivfpq")
+    S.ann_index_write(
+        emb, "embedding", "vec_id", path, num_cells=16, train_iters=2,
+        layout="cells", pq=(8, 16, 2),
+    )
+    pre = S.ivfpq_topk_prebuilt(
+        spark, path, q, "embedding", "vec_id", k=4, nprobe=3, overfetch=20
+    )
+    fresh = S.ivfpq_topk(
+        emb, q, "embedding", "vec_id", k=4, num_cells=16, nprobe=3,
+        m=8, codebook_k=16, train_iters=2, overfetch=20,
+    )
+    a = sorted(map(tuple, pre.collect()))
+    b = sorted(map(tuple, fresh.collect()))
+    assert a == b and len(a) > 0

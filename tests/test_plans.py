@@ -842,3 +842,18 @@ def test_maintained_index_probe_prunes_partitions(spark):
     p = plan(probe)
     part = re.findall(r"PartitionFilters: \[[^\]]*\]", p)
     assert any("cell" in f and "IN" in f.upper() for f in part), part[:4]
+
+
+def test_ivfpq_prebuilt_scan_reads_codes_not_vectors(spark, qs):
+    # the on-disk IVF-PQ point: the candidate scan's projection is
+    # (id, codes) — the raw vector column must NOT be in the ADC
+    # scan's ReadSchema (it is read back only for survivors), and the
+    # probed-cell IN prunes partitions of the cells-layout index
+    df = qs["ann_topk_ivfpq_prebuilt"](spark, SF)
+    p = plan(df)
+    reads = re.findall(r"ReadSchema: [^\n]*", p)
+    code_scans = [r for r in reads if "codes" in r]
+    assert code_scans, reads[:6]
+    assert all("cv" not in r for r in code_scans), code_scans
+    part = re.findall(r"PartitionFilters: \[[^\]]*\]", p)
+    assert any("cell" in f and "IN" in f.upper() for f in part), part[:4]
