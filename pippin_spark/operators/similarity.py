@@ -945,6 +945,16 @@ def ann_index_append(
         centroids,
         extra_cols=extra_cols,
     )
+    import os
+
+    if os.path.exists(f"{path}/codebooks"):
+        # a PQ index stores per-vector codes — appended rows must carry
+        # them too (mixed schemas would break the codes-only probe),
+        # encoded against the STORED codebooks so prebuilt probes stay
+        # exactly consistent across the append
+        assigned_new = pq_encode_codes(
+            assigned_new, _read_codebooks(spark, path)
+        )
     (
         assigned_new.repartition("cell")
         .sortWithinPartitions("cell")

@@ -2233,3 +2233,43 @@ def test_ivfpq_prebuilt_equals_fresh_exactly(spark, tmp_path):
     a = sorted(map(tuple, pre.collect()))
     b = sorted(map(tuple, fresh.collect()))
     assert a == b and len(a) > 0
+
+
+def test_ann_index_append_encodes_pq_codes(spark, tmp_path):
+    # appending to a PQ index must encode codes against the STORED
+    # codebooks, and the maintained probe must equal a fresh-arm
+    # rebuild (augmented corpus, base-trained centroids, same
+    # codebooks trained on the base corpus)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    path = str(tmp_path / "ivfpq_maint")
+    S.ann_index_write(
+        base, "embedding", "vec_id", path, num_cells=16, train_iters=2,
+        layout="cells", pq=(8, 16, 2),
+    )
+    S.ann_index_append(spark, path, new, "embedding", "vec_id")
+    _, assigned = S.ann_index_read(spark, path)
+    assert "codes" in assigned.columns
+    assert assigned.filter(F.col("codes").isNull()).count() == 0
+    assert assigned.count() == emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    maint = S.ivfpq_topk_prebuilt(
+        spark, path, q, "embedding", "vec_id", k=5, nprobe=8, overfetch=30
+    )
+    # fresh arm: same base-trained centroids AND base-trained codebooks
+    # (write the fresh index from the base model, then append the same
+    # delta — byte-equivalent construction, different file history)
+    fresh_path = str(tmp_path / "ivfpq_fresh")
+    S.ann_index_write(
+        base, "embedding", "vec_id", fresh_path, num_cells=16,
+        train_iters=2, layout="cells", pq=(8, 16, 2),
+    )
+    S.ann_index_append(spark, fresh_path, new, "embedding", "vec_id")
+    S.ann_index_compact(spark, fresh_path)
+    fresh = S.ivfpq_topk_prebuilt(
+        spark, fresh_path, q, "embedding", "vec_id", k=5, nprobe=8,
+        overfetch=30,
+    )
+    assert sorted(map(tuple, maint.collect())) == \
+        sorted(map(tuple, fresh.collect()))
