@@ -206,6 +206,33 @@ def main() -> None:
             )
         return SIM.hard_negative_ivf_prebuilt(spark, path, "label", k=3)
 
+    def ivfpq_prebuilt(spark, d):
+        # probe-only arm of the persisted IVF-PQ index: the ADC scan
+        # reads (id, codes) from the probed cells' directories only;
+        # build-if-missing runs once per replica (mtime-keyed so a
+        # regenerated replica never serves a stale index). Cell count
+        # scales with the corpus (constant ~500-vector cells, the IVF
+        # contract); m=8 PQ codes fixed (code width is a model
+        # parameter, not a data-scale parameter).
+        import os
+
+        emb = Pipeline.from_table(spark, d, "embeddings").df
+        n = emb.count()
+        cells = max(4, n // 500)
+        base = os.path.basename(os.path.normpath(d))
+        mt = int(os.path.getmtime(f"{d}/embeddings.parquet"))
+        path = f"/tmp/pippin_ivfpq_scale_{base}_{cells}_{mt}"
+        if not os.path.exists(f"{path}/assigned"):
+            SIM.ann_index_write(
+                emb, "embedding", "vec_id", path, num_cells=cells,
+                train_iters=2, layout="cells", pq=(8, 16, 2),
+            )
+        q = emb.filter(F.col("vec_id") < 25)
+        return SIM.ivfpq_topk_prebuilt(
+            spark, path, q, "embedding", "vec_id", k=5,
+            nprobe=max(2, cells // 8), overfetch=30,
+        )
+
     def triangles(spark, d):
         # degree-ordered wedge counting: the O(sqrt(E)) fanout cap is a
         # plan-shape argument until measured — wedge volume under the
@@ -262,6 +289,7 @@ def main() -> None:
         "ann_index_maintain_e2e": lambda spark, d: ENTRY_QUERIES[
             "ann_index_maintain_e2e"
         ](spark, d),
+        "ann_topk_ivfpq_prebuilt": ivfpq_prebuilt,
         "triangle_count_parts": triangles,
         "pagerank_trade_graph": pagerank,
         "dedup_sorted_neighborhood": sorted_neighborhood,
