@@ -170,6 +170,7 @@ HEADLINE = [
     "sft_pack_masked",
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_prebuilt",  # probe-only: codes-scan + re-rank
+    "ann_topk_ivfpq_residual",  # FAISS-default residual encoding
 ]
 
 
@@ -442,6 +443,7 @@ def main() -> None:
         # probe-cell selection + chunk staging at construction; index
         # build runs once (build-if-missing) outside the reps
         "ann_topk_ivfpq_prebuilt",
+        "ann_topk_ivfpq_residual",  # residual codebook training at construction
         "streaming_minhash_dedup",  # drains the stream in the builder
         "diversity_kcenter",  # greedy selection collects at construction
         "agg_count_min_events",  # sketch built + probed at construction

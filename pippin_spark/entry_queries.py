@@ -1531,6 +1531,41 @@ def q_ann_topk_ivfpq(spark, sf_dir):
     return DEDUP.pair_agreement(bf, ivfpq)
 
 
+@_q(
+    "ann_topk_ivfpq_residual",
+    # the FAISS-DEFAULT residual form (by_residual=True): codebooks
+    # train on and codes quantize v_n − c_cell — residuals carry far
+    # less variance than raw vectors, so the SAME m=8/k=16 budget
+    # loses less and recall rises from 17/17/15 to 19/19/17 of 25 at
+    # identical nprobe/overfetch (the measured value of residual
+    # encoding, pinned per fixture; pytest additionally pins
+    # residual-recall >= plain-recall on the fixture). Query distance
+    # tables become per-(query, probed cell); the chunk cap bounds the
+    # closure. SNAPSHOT GATE as the plain twin.
+    """
+    WITH v AS (SELECT CASE (SELECT COUNT(*) FROM embeddings)
+                      WHEN 2000 THEN 17 ELSE 19 END AS c)
+    SELECT CAST(25 AS BIGINT) AS n_exact,
+           CAST(25 AS BIGINT) AS n_approx,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(c AS DOUBLE) / 25 AS recall,
+           CAST(c AS DOUBLE) / 25 AS prec
+    FROM v
+    """,
+)
+def q_ann_topk_ivfpq_residual(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 5)
+    res = SIM.ivfpq_topk(
+        emb, q, "embedding", "vec_id", k=5, num_cells=16, nprobe=8,
+        m=8, codebook_k=16, train_iters=2, overfetch=30, by_residual=True,
+    ).select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    bf = SIM.brute_force_topk(emb, q, "embedding", "vec_id", k=5).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    return DEDUP.pair_agreement(bf, res)
+
+
 def _ivfpq_index_path(sf_dir: str) -> str:
     # the persisted IVF-PQ family (layout='cells' + pq codes); mtime-
     # keyed like every index family so a regenerated fixture can never
@@ -11519,6 +11554,7 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # tools/next_window.py --emit; tests/test_oracle.py asserts the list
 # stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "ann_topk_ivfpq_residual",
     "ann_topk_ivfpq_prebuilt",
     "ann_topk_ivfpq",
     "sft_pack_masked",

@@ -721,6 +721,7 @@ def ann_index_write(
     layout: str = "flat",
     train_on: DataFrame = None,
     pq: tuple = None,
+    pq_residual: bool = False,
 ) -> None:
     """Build-once half of the build-once/query-many IVF contract
     (VERDICT r7 #6: every IVF consumer retrained Lloyd at
@@ -784,12 +785,25 @@ def ann_index_write(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     if pq is not None:
         pq_m, pq_k, pq_iters = pq
-        books = pq_codebooks(
-            corpus, vec_col, id_col, m=pq_m, codebook_k=pq_k,
-            train_iters=pq_iters,
-        )
-        _write_codebooks(corpus.sparkSession, books, path)
-        assigned = pq_encode_codes(assigned, books)
+        if pq_residual:
+            cell_ids_np, Cn = _normalized_centroid_matrix(
+                centroids.collect()
+            )
+            books = pq_codebooks_residual(
+                corpus, vec_col, id_col, cell_ids_np, Cn, m=pq_m,
+                codebook_k=pq_k, train_iters=pq_iters,
+            )
+            _write_codebooks(corpus.sparkSession, books, path, residual=True)
+            assigned = pq_encode_codes(
+                assigned, books, resid=(cell_ids_np, Cn)
+            )
+        else:
+            books = pq_codebooks(
+                corpus, vec_col, id_col, m=pq_m, codebook_k=pq_k,
+                train_iters=pq_iters,
+            )
+            _write_codebooks(corpus.sparkSession, books, path)
+            assigned = pq_encode_codes(assigned, books)
     writer = assigned.repartition("cell").sortWithinPartitions("cell").write
     if layout == "cells":
         # static overwrite of a partitioned dataset wipes the whole
@@ -839,15 +853,69 @@ def ivf_topk_prebuilt(
     return _ivf_probe(centroids, assigned, q, k, nprobe, prune_cells=True)
 
 
-def pq_encode_codes(vectors: DataFrame, books) -> DataFrame:
+def _normalized_centroid_matrix(centroids_rows):
+    """(sorted cell_ids, unit-normalized centroid matrix) from
+    collected centroid rows — the shared scaffold of every IVF-PQ
+    residual computation (assign, encode, query tables)."""
+    import numpy as np
+
+    rows = sorted(centroids_rows, key=lambda r: int(r["cell"]))
+    cell_ids = np.array([int(r["cell"]) for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    return cell_ids, C / cn[:, None]
+
+
+def pq_codebooks_residual(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_ids,
+    Cn,
+    m: int = 8,
+    codebook_k: int = 16,
+    train_iters: int = 2,
+    train_mod: int = 1,
+    train_cap: int = 65536,
+):
+    """PQ codebooks over IVF RESIDUALS (the FAISS IVFx,PQy default,
+    by_residual=True): each sampled unit vector is assigned to its
+    nearest normalized centroid (the _assign_cells cosine rule, ties
+    to the lowest cell id) and the codebooks train on v_n − c_n —
+    residuals have far smaller variance than raw vectors, so the same
+    m·codebook_k budget quantizes them with less error. Same bounded
+    driver sample as pq_codebooks."""
+    import numpy as np
+
+    V = _collect_sample(
+        corpus, vec_col, id_col, train_mod, train_cap, normalize=True
+    )
+    dim = V.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
+    d = dim // m
+    idx = np.argmax(V @ Cn.T, axis=1)  # first-max = lowest cell id
+    R = V - Cn[idx]
+    sub = R.reshape(len(R), m, d)
+    k = min(codebook_k, len(R))
+    books = np.zeros((m, k, d))
+    for s in range(m):
+        books[s] = _numpy_lloyd(sub[:, s, :], k, train_iters)
+    return books
+
+
+def pq_encode_codes(vectors: DataFrame, books, resid=None) -> DataFrame:
     """Add a ``codes array<int>`` column: per subspace, the argmin-L2
     codeword of the UNIT-NORMALIZED subvector (numpy first-min ties —
     the exact encode rule of pq_topk's scan, factored out so an index
     can persist the codes once instead of re-encoding per query). One
     Arrow pass, zero shuffle; the codebook ndarray ships in the
-    closure (m·k·d doubles)."""
-    import numpy as np
+    closure (m·k·d doubles).
 
+    ``resid=(cell_ids, Cn)`` switches to RESIDUAL encoding: the row's
+    normalized cell centroid (the ``cell`` column must be present) is
+    subtracted before quantization — the by_residual=True path."""
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in vectors.schema.fields
     ) + ", codes array<int>"
@@ -862,7 +930,12 @@ def pq_encode_codes(vectors: DataFrame, books) -> DataFrame:
             V = _np.stack(pdf["cv"].to_numpy()).astype(_np.float64)
             vn = _np.linalg.norm(V, axis=1)
             vn[vn == 0.0] = 1.0
-            Vn = (V / vn[:, None]).reshape(len(V), mm, d)
+            Vn = V / vn[:, None]
+            if resid is not None:
+                cell_ids, Cn = resid
+                cpos = _np.searchsorted(cell_ids, pdf["cell"].to_numpy())
+                Vn = Vn - Cn[cpos]
+            Vn = Vn.reshape(len(V), mm, d)
             codes = _np.empty((len(V), mm), dtype=_np.int64)
             for s in range(mm):
                 dist = ((Vn[:, s, None, :] - books[None, s]) ** 2).sum(axis=2)
@@ -876,31 +949,34 @@ def pq_encode_codes(vectors: DataFrame, books) -> DataFrame:
     return vectors.mapInPandas(enc, schema)
 
 
-def _write_codebooks(spark, books, path: str) -> None:
+def _write_codebooks(spark, books, path: str, residual: bool = False) -> None:
     rows = [
-        (int(s), int(c), [float(x) for x in books[s, c]])
+        (int(s), int(c), [float(x) for x in books[s, c]], bool(residual))
         for s in range(books.shape[0])
         for c in range(books.shape[1])
     ]
-    local_table(spark, rows, "s int, c int, vec array<double>").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/codebooks")
+    local_table(
+        spark, rows, "s int, c int, vec array<double>, residual boolean"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
 def _read_codebooks(spark, path: str):
+    """Returns (books ndarray, residual flag). Pre-residual indexes
+    (no ``residual`` column) read as residual=False."""
     import numpy as np
 
-    rows = sorted(
-        spark.read.parquet(f"{path}/codebooks").collect(),
-        key=lambda r: (r["s"], r["c"]),
-    )
+    df = spark.read.parquet(f"{path}/codebooks")
+    rows = sorted(df.collect(), key=lambda r: (r["s"], r["c"]))
     m = max(r["s"] for r in rows) + 1
     kk = max(r["c"] for r in rows) + 1
     d = len(rows[0]["vec"])
     books = np.empty((m, kk, d), dtype=np.float64)
     for r in rows:
         books[r["s"], r["c"]] = np.asarray(r["vec"], dtype=np.float64)
-    return books
+    residual = bool(
+        "residual" in df.columns and rows[0]["residual"]
+    )
+    return books, residual
 
 
 def ann_index_append(
@@ -951,10 +1027,13 @@ def ann_index_append(
         # a PQ index stores per-vector codes — appended rows must carry
         # them too (mixed schemas would break the codes-only probe),
         # encoded against the STORED codebooks so prebuilt probes stay
-        # exactly consistent across the append
-        assigned_new = pq_encode_codes(
-            assigned_new, _read_codebooks(spark, path)
-        )
+        # exactly consistent across the append (residual indexes
+        # subtract the stored normalized centroids, same as at build)
+        books, residual = _read_codebooks(spark, path)
+        resid = None
+        if residual:
+            resid = _normalized_centroid_matrix(centroids.collect())
+        assigned_new = pq_encode_codes(assigned_new, books, resid=resid)
     (
         assigned_new.repartition("cell")
         .sortWithinPartitions("cell")
@@ -1969,9 +2048,16 @@ def ivfpq_topk(
     overfetch: int = 8,
     query_chunk: int = 1024,
     max_queries: int = 262144,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate cosine top-k — the composed 100 TB
-    vector-search shape (FAISS ``IVFx,PQy`` with by_residual=False):
+    vector-search shape (FAISS ``IVFx,PQy``; ``by_residual=True`` is
+    the FAISS default — codebooks train on and codes quantize
+    v_n − c_cell, whose variance is far below the raw vectors', so
+    the same m/codebook_k budget loses less; query distance tables
+    then become per-(query, probed cell), so the residual path caps
+    its chunk at 128 queries to bound the closure at
+    128·nprobe·m·k doubles):
     the coarse IVF quantizer gates WHICH vectors each query's scan may
     count (only the ``nprobe`` nearest cells), and PQ/ADC makes each
     counted row cost ``m`` table lookups instead of a dim-wide dot
@@ -2001,13 +2087,17 @@ def ivfpq_topk(
     centroids, assigned = ivf_build(
         corpus, vec_col, id_col, num_cells, train_iters
     )
-    books = pq_codebooks(corpus, vec_col, id_col, m, codebook_k, train_iters)
-    cent_rows = sorted(centroids.collect(), key=lambda r: int(r["cell"]))
-    cell_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int64)
-    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows])
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0.0] = 1.0
-    Cn = C / cn[:, None]
+    cell_ids, Cn = _normalized_centroid_matrix(centroids.collect())
+    if by_residual:
+        books = pq_codebooks_residual(
+            corpus, vec_col, id_col, cell_ids, Cn, m, codebook_k,
+            train_iters,
+        )
+        query_chunk = min(query_chunk, 128)
+    else:
+        books = pq_codebooks(
+            corpus, vec_col, id_col, m, codebook_k, train_iters
+        )
     spark = corpus.sparkSession
     a = assigned  # (id, cv, cell)
 
@@ -2034,6 +2124,8 @@ def ivfpq_topk(
             _ivfpq_chunk(
                 sub, spark, q_ids, Q, books, cell_ids, probed, k,
                 int(k + overfetch),
+                resid_cn=Cn if by_residual else None,
+                probe_cols=probe_cols if by_residual else None,
             )
         )
         buf_ids.clear()
@@ -2096,16 +2188,11 @@ def ivfpq_topk_prebuilt(
     import numpy as np
 
     centroids = spark.read.parquet(f"{path}/centroids")
-    books = _read_codebooks(spark, path)
+    books, residual = _read_codebooks(spark, path)
     assigned = spark.read.parquet(f"{path}/assigned")
-    cent_rows = sorted(centroids.collect(), key=lambda r: int(r["cell"]))
-    cell_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int64)
-    C = np.stack(
-        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
-    )
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0.0] = 1.0
-    Cn = C / cn[:, None]
+    cell_ids, Cn = _normalized_centroid_matrix(centroids.collect())
+    if residual:
+        query_chunk = min(query_chunk, 128)
 
     chunk_results: list[DataFrame] = []
     buf_ids: list[int] = []
@@ -2128,6 +2215,8 @@ def ivfpq_topk_prebuilt(
             _ivfpq_prebuilt_chunk(
                 sub, spark, q_ids, Q, books, cell_ids, probed, k,
                 int(k + overfetch),
+                resid_cn=Cn if residual else None,
+                probe_cols=probe_cols if residual else None,
             )
         )
         buf_ids.clear()
@@ -2161,26 +2250,34 @@ def ivfpq_topk_prebuilt(
 
 
 def _ivfpq_prebuilt_chunk(
-    sub, spark, q_ids, Q, books, cell_ids, probed, k: int, nk: int
+    sub, spark, q_ids, Q, books, cell_ids, probed, k: int, nk: int,
+    resid_cn=None, probe_cols=None,
 ) -> DataFrame:
     """One prebuilt-IVF-PQ chunk: cell-masked ADC over STORED codes
     (the scan never touches cv — its input projection is
-    (id, codes, cell) only) + exact re-rank reading cv for survivors."""
+    (id, codes, cell) only) + exact re-rank reading cv for survivors.
+    ``resid_cn`` switches the query tables to the residual space (the
+    stored codes were residual-encoded at write)."""
     import numpy as np
 
     norms = np.linalg.norm(Q, axis=1)
     norms[norms == 0.0] = 1.0
     Qn = Q / norms[:, None]
     d = books.shape[2]
+    if resid_cn is not None:
+        slot, tables_r = _residual_query_tables(
+            Qn, books, resid_cn, probe_cols, cell_ids
+        )
 
     def scan(batches):
         import numpy as _np
         import pandas as _pd
 
-        sub_q = Qn.reshape(len(Qn), books.shape[0], d)
-        tables = ((sub_q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(
-            axis=3
-        )
+        if resid_cn is None:
+            sub_q = Qn.reshape(len(Qn), books.shape[0], d)
+            tables = ((sub_q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(
+                axis=3
+            )
         srange = _np.arange(books.shape[0])
         for pdf in batches:
             if len(pdf) == 0:
@@ -2190,10 +2287,23 @@ def _ivfpq_prebuilt_chunk(
             cpos = _np.searchsorted(cell_ids, pdf["cell"].to_numpy())
             out_q, out_n, out_a = [], [], []
             for qi in range(len(q_ids)):
-                adc = tables[qi][srange, codes].sum(axis=1)
-                adc = _np.round(adc, 9)
-                mask = (ids != q_ids[qi]) & probed[qi, cpos]
-                cand_ids, cand_adc = ids[mask], adc[mask]
+                if resid_cn is None:
+                    adc = tables[qi][srange, codes].sum(axis=1)
+                    mask = (ids != q_ids[qi]) & probed[qi, cpos]
+                    cand_adc = _np.round(adc, 9)[mask]
+                else:
+                    slots = slot[qi, cpos]
+                    mask = (ids != q_ids[qi]) & (slots >= 0)
+                    sl, cd = slots[mask], codes[mask]
+                    if len(sl) == 0:
+                        continue
+                    cand_adc = _np.round(
+                        tables_r[qi][
+                            sl[:, None], srange[None, :], cd
+                        ].sum(axis=1),
+                        9,
+                    )
+                cand_ids = ids[mask]
                 top = min(nk, len(cand_ids))
                 if top == 0:
                     continue
@@ -2247,48 +2357,90 @@ def _ivfpq_prebuilt_chunk(
     )
 
 
+def _residual_query_tables(Qn, books, Cn, probe_cols, cell_ids):
+    """Residual ADC scaffolding: per (query, probed-cell-slot)
+    distance tables plus the (Q, C) slot map (−1 = not probed).
+    tables_r[qi, j, s, c] = ||(q_n − c_probed_j)_s − codeword||²."""
+    import numpy as np
+
+    m, kk, d = books.shape
+    nq, npb = probe_cols.shape
+    slot = -np.ones((nq, len(cell_ids)), dtype=np.int16)
+    tables_r = np.zeros((nq, npb, m, kk))
+    for qi in range(nq):
+        for j, cellpos in enumerate(probe_cols[qi]):
+            slot[qi, cellpos] = j
+            qres = (Qn[qi] - Cn[cellpos]).reshape(m, d)
+            tables_r[qi, j] = ((qres[:, None, :] - books) ** 2).sum(axis=2)
+    return slot, tables_r
+
+
 def _ivfpq_chunk(
-    sub, spark, q_ids, Q, books, cell_ids, probed, k: int, nk: int
+    sub, spark, q_ids, Q, books, cell_ids, probed, k: int, nk: int,
+    resid_cn=None, probe_cols=None,
 ) -> DataFrame:
     """One ivfpq_topk query chunk: cell-masked ADC scan over the
-    probed-cell subset + batch pruning + exact cosine re-rank."""
+    probed-cell subset + batch pruning + exact cosine re-rank.
+    ``resid_cn`` (normalized centroid matrix) switches both the encode
+    and the query tables to the residual space."""
     import numpy as np
 
     d = books.shape[2]
     norms = np.linalg.norm(Q, axis=1)
     norms[norms == 0.0] = 1.0
     Qn = Q / norms[:, None]
+    if resid_cn is not None:
+        slot, tables_r = _residual_query_tables(
+            Qn, books, resid_cn, probe_cols, cell_ids
+        )
 
     def scan(batches):
         import numpy as _np
         import pandas as _pd
 
-        sub_q = Qn.reshape(len(Qn), books.shape[0], d)
-        tables = ((sub_q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(
-            axis=3
-        )  # (Q, m, k)
+        if resid_cn is None:
+            sub_q = Qn.reshape(len(Qn), books.shape[0], d)
+            tables = ((sub_q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(
+                axis=3
+            )  # (Q, m, k)
+        srange = _np.arange(books.shape[0])
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = _np.stack(pdf["cv"].to_numpy()).astype(_np.float64)
             vn = _np.linalg.norm(V, axis=1)
             vn[vn == 0.0] = 1.0
-            Vn = (V / vn[:, None]).reshape(len(V), books.shape[0], d)
+            Vn = V / vn[:, None]
+            # map each row's cell to its centroid-row index for the
+            # probed-mask gather (cell_ids is sorted)
+            cpos = _np.searchsorted(cell_ids, pdf["cell"].to_numpy())
+            if resid_cn is not None:
+                Vn = Vn - resid_cn[cpos]
+            Vn = Vn.reshape(len(V), books.shape[0], d)
             codes = _np.empty((len(V), books.shape[0]), dtype=_np.int64)
             for s in range(books.shape[0]):
                 dist = ((Vn[:, s, None, :] - books[None, s]) ** 2).sum(axis=2)
                 codes[:, s] = _np.argmin(dist, axis=1)
             ids = pdf["id"].to_numpy()
-            # map each row's cell to its centroid-row index for the
-            # probed-mask gather (cell_ids is sorted)
-            cpos = _np.searchsorted(cell_ids, pdf["cell"].to_numpy())
             out_q, out_n, out_a = [], [], []
-            srange = _np.arange(books.shape[0])
             for qi in range(len(q_ids)):
-                adc = tables[qi][srange, codes].sum(axis=1)
-                adc = _np.round(adc, 9)
-                mask = (ids != q_ids[qi]) & probed[qi, cpos]
-                cand_ids, cand_adc = ids[mask], adc[mask]
+                if resid_cn is None:
+                    adc = tables[qi][srange, codes].sum(axis=1)
+                    mask = (ids != q_ids[qi]) & probed[qi, cpos]
+                    cand_adc = _np.round(adc, 9)[mask]
+                else:
+                    slots = slot[qi, cpos]
+                    mask = (ids != q_ids[qi]) & (slots >= 0)
+                    sl, cd = slots[mask], codes[mask]
+                    if len(sl) == 0:
+                        continue
+                    cand_adc = _np.round(
+                        tables_r[qi][
+                            sl[:, None], srange[None, :], cd
+                        ].sum(axis=1),
+                        9,
+                    )
+                cand_ids = ids[mask]
                 top = min(nk, len(cand_ids))
                 if top == 0:
                     continue

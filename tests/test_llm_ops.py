@@ -2273,3 +2273,51 @@ def test_ann_index_append_encodes_pq_codes(spark, tmp_path):
     )
     assert sorted(map(tuple, maint.collect())) == \
         sorted(map(tuple, fresh.collect()))
+
+
+def test_ivfpq_residual_beats_plain_and_prebuilt_parity(spark, tmp_path):
+    # residual encoding (FAISS by_residual=True) must not lose recall
+    # vs plain codes at identical budgets (it measures +2/25 on every
+    # fixture), and its persisted form must equal the fresh build
+    # exactly (codes + the residual flag round-trip the codebooks
+    # table)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(
+            emb, q, "embedding", "vec_id", k=5
+        ).collect()
+    }
+    common = {}
+    for residual in (False, True):
+        out = S.ivfpq_topk(
+            emb, q, "embedding", "vec_id", k=5, num_cells=16, nprobe=8,
+            m=8, codebook_k=16, train_iters=2, overfetch=30,
+            by_residual=residual,
+        )
+        pairs = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+        common[residual] = len(pairs & bf)
+    assert common[True] >= common[False]
+    path = str(tmp_path / "ivfpq_resid")
+    S.ann_index_write(
+        emb, "embedding", "vec_id", path, num_cells=16, train_iters=2,
+        layout="cells", pq=(8, 16, 2), pq_residual=True,
+    )
+    pre = S.ivfpq_topk_prebuilt(
+        spark, path, q, "embedding", "vec_id", k=5, nprobe=8, overfetch=30
+    )
+    fresh = S.ivfpq_topk(
+        emb, q, "embedding", "vec_id", k=5, num_cells=16, nprobe=8,
+        m=8, codebook_k=16, train_iters=2, overfetch=30, by_residual=True,
+    )
+    assert sorted(map(tuple, pre.collect())) == \
+        sorted(map(tuple, fresh.collect()))
+    # appends to a RESIDUAL index encode with the stored residual rule
+    new = emb.filter(F.col("vec_id") >= 490).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    S.ann_index_append(spark, path, new, "embedding", "vec_id")
+    _, assigned = S.ann_index_read(spark, path)
+    assert assigned.filter(F.col("codes").isNull()).count() == 0
+    assert assigned.count() == emb.count() + 10
