@@ -2168,7 +2168,7 @@ def q_streaming_tumbling_window(spark, sf_dir):
         available_now=True,
         state_partitions=_stream_parts(spark, sf_dir),
     )
-    q.awaitTermination(120)
+    _drain(q)
     return spark.table("pippin_stream_tumble").select(
         F.unix_timestamp(F.col("window.start")).cast("bigint").alias("window_start"),
         "n",
@@ -2213,7 +2213,7 @@ def q_streaming_trending_topk(spark, sf_dir):
         available_now=True,
         state_partitions=_stream_parts(spark, sf_dir),
     )
-    q.awaitTermination(120)
+    _drain(q)
     drained = spark.table("pippin_stream_trend").select(
         F.unix_timestamp(F.col("window.start")).cast("bigint").alias("window_start"),
         "event_type",
@@ -2630,7 +2630,7 @@ def q_streaming_sliding_window(spark, sf_dir):
         available_now=True,
         state_partitions=_stream_parts(spark, sf_dir),
     )
-    q.awaitTermination(120)
+    _drain(q)
     return spark.table("pippin_stream_slide").select(
         F.unix_timestamp(F.col("window.start")).cast("bigint").alias("window_start"),
         "n",
@@ -2686,7 +2686,7 @@ def q_streaming_session_window(spark, sf_dir):
         available_now=True,
         state_partitions=_stream_parts(spark, sf_dir),
     )
-    q.awaitTermination(120)
+    _drain(q)
     return spark.table("pippin_stream_session").select(
         "user_id",
         F.unix_timestamp(F.col("session_window.start"))
@@ -2731,7 +2731,7 @@ def q_streaming_join_static(spark, sf_dir):
         available_now=True,
         state_partitions=_stream_parts(spark, sf_dir),
     )
-    q.awaitTermination(120)
+    _drain(q)
     return spark.table("pippin_stream_static_join")
 
 
@@ -2769,7 +2769,7 @@ def q_streaming_stateful_counts(spark, sf_dir):
         available_now=True,
         state_partitions=_stream_parts(spark, sf_dir),
     )
-    q.awaitTermination(120)
+    _drain(q)
     div = F.lit(10000).cast("decimal(10,0)")
     return spark.table("pippin_stream_stateful").select(
         "key",
@@ -3131,7 +3131,7 @@ def q_streaming_dedup(spark, sf_dir):
         )
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     return (
         spark.table("pippin_stream_dedup")
         .groupBy("event_type")
@@ -3179,7 +3179,7 @@ def q_streaming_dedup_within_watermark(spark, sf_dir):
         )
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     return (
         spark.table("pippin_stream_dedup_ww")
         .groupBy("event_type")
@@ -3410,7 +3410,7 @@ def q_streaming_latest_value(spark, sf_dir):
         available_now=True,
         state_partitions=_stream_parts(spark, sf_dir),
     )
-    q.awaitTermination(120)
+    _drain(q)
     return spark.table("pippin_stream_latest").select(
         "user_id", "latest_value", "ts_ns"
     )
@@ -4539,7 +4539,7 @@ def q_streaming_quality_gate(spark, sf_dir):
         )
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     return spark.table("pippin_stream_qgate")
 
 
@@ -5206,7 +5206,7 @@ def q_streaming_foreach_upsert(spark, sf_dir):
         .option("checkpointLocation", tempfile.mkdtemp(prefix="pippin_ckpt_fbu_"))
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     return spark.read.parquet(out_dir).select(
         "user_id", F.col("value").alias("latest_value")
     )
@@ -6743,7 +6743,7 @@ def q_streaming_stream_stream_join(spark, sf_dir):
         state_partitions=_stream_parts(spark, sf_dir),
         checkpointLocation=tempfile.mkdtemp(prefix="pippin_ckpt_ssj_"),
     )
-    q.awaitTermination(180)
+    _drain(q, 180)
     return spark.table("pippin_stream_stream_join")
 
 
@@ -9581,7 +9581,7 @@ def q_streaming_minhash_dedup(spark, sf_dir):
         )
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     drained = spark.table("pippin_stream_minhash").distinct()
     # ground truth: the identical banding computed batch-side — the
     # stream must reproduce it exactly (the dedupe of band collisions
@@ -10551,7 +10551,7 @@ def q_streaming_corpus_manifest(spark, sf_dir):
         )
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     return spark.table("pippin_stream_manifest")
 
 
@@ -10805,7 +10805,10 @@ def q_sft_render_multiturn(spark, sf_dir):
         clip.alias("clip"),
         F.length(clip).alias("n"),
     )
-    t = c.select(
+    # n > 0 guard: Spark's sequence(0, -1) defaults to a DESCENDING
+    # step and yields [0, -1] for an empty clip — two bogus turns the
+    # DuckDB oracle's range(0) (zero rows) would never emit (ADVICE r9)
+    t = c.filter(F.col("n") > 0).select(
         "doc_id",
         "clip",
         F.explode(
@@ -10999,10 +11002,16 @@ def q_contrastive_pairs_e2e(spark, sf_dir):
     # two-level assignment: round r = the anchor's rank within its
     # label (round-robin across labels caps same-label collisions at
     # zero by construction), then each round splits into
-    # capacity-4 sub-batches by label order -> batch_id = r*100 +
-    # (position-in-round div 4). Both windows are keyed (per-label /
-    # per-round volume bounded by the anchor contract); the FULL value
-    # oracle replays the positive arm and both rank assignments.
+    # capacity-4 sub-batches by label order -> the batch key is the
+    # COMPOSITE (round, sub_batch), emitted as two columns. A single
+    # arithmetic combiner (round*K + sub_batch) silently collides once
+    # a round holds more than 4K pairs (ADVICE r9) — at corpus scale a
+    # round holds one pair per distinct label, which is unbounded, so
+    # the composite form is the only capacity-safe key; loaders that
+    # need one integer derive it from their own known label count.
+    # Both windows are keyed (per-label / per-round volume bounded by
+    # the anchor contract); the FULL value oracle replays the positive
+    # arm and both rank assignments.
     """
     WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) qv
                FROM embeddings WHERE vec_id < 25),
@@ -11026,10 +11035,9 @@ def q_contrastive_pairs_e2e(spark, sf_dir):
                     AS round
            FROM pos
          )
-    SELECT query_id, label, pair_id, cosine,
-           round * 100
-             + (ROW_NUMBER() OVER (PARTITION BY round ORDER BY label) - 1)
-               // 4 AS batch_id
+    SELECT query_id, label, pair_id, cosine, round,
+           (ROW_NUMBER() OVER (PARTITION BY round ORDER BY label) - 1)
+               // 4 AS sub_batch
     FROM r
     """,
 )
@@ -11051,16 +11059,16 @@ def q_contrastive_inbatch_export(spark, sf_dir):
             "round", (F.row_number().over(w_label) - 1).cast("bigint")
         )
         .withColumn(
-            "batch_id",
-            F.col("round") * 100
-            + ((F.row_number().over(w_round) - 1) / 4).cast("bigint"),
+            "sub_batch",
+            ((F.row_number().over(w_round) - 1) / 4).cast("bigint"),
         )
         .select(
             "query_id",
             "label",
             F.col("neighbor_id").alias("pair_id"),
             "cosine",
-            "batch_id",
+            "round",
+            "sub_batch",
         )
     )
 
@@ -11329,28 +11337,36 @@ def _maint_index_path(sf_dir: str) -> str:
 
 @_q(
     "ann_index_maintain_e2e",
-    # the compose-and-verify step VERDICT r8 #3 asked for: build a
-    # partitioned (layout='cells') IVF index on the 80% base corpus,
+    # the compose-and-verify step VERDICT r8 #3 asked for, upgraded in
+    # r10 to the FULL IVF-PQ index (VERDICT r9 #4): build a partitioned
+    # (layout='cells') IVF-PQ index on the 80% base corpus,
     # STREAM the remaining 20% through foreachBatch -> ann_index_append
     # (new files land only under their target cell dirs; every
     # pre-append file must survive byte-identical — checked in-query),
     # compact the fragmented hot cells (row counts preserved), then
-    # probe the maintained index and pin EXACT equality against a
+    # probe the maintained index — BOTH the exact IVF probe and the
+    # codes-only IVF-PQ probe — and pin EXACT equality against a
     # from-scratch rebuild that assigns the augmented corpus to the
-    # same base-trained centroids (ann_index_write train_on=base;
-    # float64 round-trips parquet bit-exactly). ann_index_drift closes
-    # the loop as the rebuild trigger: appended traffic this small
-    # must not cross the 0.2 rebuild gate. Every invariant lands in
-    # the declared one-row summary so the DuckDB oracle is exact.
+    # same base-trained centroids AND base-trained codebooks
+    # (ann_index_write train_on=base, pq_train_on=base; float64 and
+    # int codes round-trip parquet bit-exactly). BOTH rebuild gates
+    # close the loop: ann_index_drift (centroid staleness) and
+    # ann_index_pq_drift (codebook staleness via the ADC
+    # quantization-error ratio) — in-distribution appended traffic
+    # this small must cross neither (drift < 0.2, err_ratio < 2).
+    # Every invariant lands in the declared one-row summary so the
+    # DuckDB oracle is exact.
     """
     SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_indexed,
            CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 >= 8)
                 AS BIGINT) AS n_appended,
            CAST(25 AS BIGINT) AS probe_pairs,
            CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(0 AS BIGINT) AS n_mismatch_pq,
            CAST(1 AS BIGINT) AS append_preserved_files,
            CAST(1 AS BIGINT) AS compact_preserved_rows,
-           CAST(1 AS BIGINT) AS drift_below_rebuild_gate
+           CAST(1 AS BIGINT) AS drift_below_rebuild_gate,
+           CAST(1 AS BIGINT) AS pq_err_ratio_below_gate
     """,
 )
 def q_ann_index_maintain_e2e(spark, sf_dir):
@@ -11366,7 +11382,7 @@ def q_ann_index_maintain_e2e(spark, sf_dir):
     # partitioned overwrite wipes any previously appended files
     SIM.ann_index_write(
         base, "embedding", "vec_id", path, num_cells=16, train_iters=3,
-        layout="cells",
+        layout="cells", pq=(8, 16, 2),
     )
     pre = {
         f: os.path.getsize(f)
@@ -11418,23 +11434,36 @@ def q_ann_index_maintain_e2e(spark, sf_dir):
     SIM.ann_index_write(
         emb, "embedding", "vec_id", fresh_path, num_cells=16,
         train_iters=3, layout="cells", train_on=base,
+        pq=(8, 16, 2), pq_train_on=base,
     )
     fresh = SIM.ivf_topk_prebuilt(
         spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
     )
     cols = ["query_id", "neighbor_id", "cosine", "rank"]
-    n_mismatch = (
-        maint.select(*cols)
-        .join(fresh.select(*cols), cols, "full_outer")
-        .count()
-        - maint.count()
+
+    def _n_mismatch(a, b):
+        return (
+            a.select(*cols).join(b.select(*cols), cols, "full_outer").count()
+            - a.count()
+        )
+
+    n_mismatch = _n_mismatch(maint, fresh)
+    # the codes-only probe must ALSO agree exactly: same base-trained
+    # codebooks on both arms, codes round-trip parquet losslessly
+    maint_pq = SIM.ivfpq_topk_prebuilt(
+        spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
     )
+    fresh_pq = SIM.ivfpq_topk_prebuilt(
+        spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
+    )
+    n_mismatch_pq = _n_mismatch(maint_pq, fresh_pq)
     probe_pairs = maint.count()
     max_drift = (
         SIM.ann_index_drift(spark, path)
         .agg(F.max("drift").alias("d"))
         .collect()[0]["d"]
     )
+    err_ratio = SIM.ann_index_pq_drift(spark, path).collect()[0]["err_ratio"]
     return local_table(
         spark,
         [(
@@ -11442,13 +11471,16 @@ def q_ann_index_maintain_e2e(spark, sf_dir):
             n_appended,
             probe_pairs,
             n_mismatch,
+            n_mismatch_pq,
             append_preserved,
             compact_preserved,
             int(max_drift < 0.2),
+            int(err_ratio < 2.0),
         )],
         "n_indexed long, n_appended long, probe_pairs long, "
-        "n_mismatch long, append_preserved_files long, "
-        "compact_preserved_rows long, drift_below_rebuild_gate long",
+        "n_mismatch long, n_mismatch_pq long, append_preserved_files long, "
+        "compact_preserved_rows long, drift_below_rebuild_gate long, "
+        "pq_err_ratio_below_gate long",
     )
 
 
@@ -11544,16 +11576,65 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # locally by tools/verify_strict.py at sf0.001/0.01/0.1 under the same
 # typed-hash policy, so ordering carries zero correctness risk — but
 # only queries in the driver's window get a hard CORRECTNESS_r{N} row.
-# --- round-8 driver window (first 50): the 4 round-8 additions
-# (ann_index_build / ann_topk_ivf_prebuilt / pack_epochs_e2e /
-# incremental_release_e2e — never driver-checked), then the OLDEST
-# hard rows: 41 r2-vintage (aggregations, sources, early joins/
-# windows/dedup) + 5 r3-vintage — the stale-row refresh cycle,
-# oldest-first per VERDICT r7 #3. Target after r8: driver-row union
-# 291/291 with no row older than r3 unchecked since. Built by
-# tools/next_window.py --emit; tests/test_oracle.py asserts the list
-# stays exhaustive.
+# --- round-10 driver window (first 50): closes the stale-row ledger
+# (VERDICT r9 #1) — the 11 r3-vintage rows (cluster/megabucket dedup,
+# IVF/LSH ANN, knn join, packing, chunking) then 39 of the 50
+# r4-vintage rows (TPC-H mid-range, window functions, percentile/HLL
+# aggregates, sinks), oldest-first. After r10 lands, no driver row is
+# >5 rounds stale and the remaining 11 r4 rows are the freshest
+# residue for r11. Built by tools/next_window.py --emit;
+# tests/test_oracle.py asserts the list stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "dedup_clusters",
+    "dedup_minhash_megabucket",
+    "dedup_ngram_megablock",
+    "dedup_lines_docs",
+    "dedup_incremental_docs",
+    "decontaminate_docs",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "knn_join_labels",
+    "pack_sequences_docs",
+    "doc_chunks",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_counts",
+    "q20_potential_promotion",
+    "window_dist_rank",
+    "window_first_last",
+    "window_percent_rank",
+    "window_rolling_median",
+    "window_range_frame",
+    "window_ntile",
+    "window_lag_lead",
+    "agg_approx_percentile",
+    "agg_percentile",
+    "agg_percentile_by_group",
+    "agg_percentile_disc",
+    "agg_median_pandas",
+    "agg_regression",
+    "agg_stats_moments",
+    "agg_hll_by_group",
+    "agg_hll_union_merge",
+    "agg_hll_datasketches",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_top_customers",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q21_sole_fault_supplier",
+    "q22_dormant_customers",
+    "sink_partitioned_parquet",
+    "sink_csv_roundtrip",
+    "sink_sorted_parquet",
+    "sink_jsonl_roundtrip",
+    "sink_compacted_parquet",
     "ann_topk_ivfpq_residual",
     "ann_topk_ivfpq_prebuilt",
     "ann_topk_ivfpq",
@@ -11604,10 +11685,6 @@ _DRIVER_ROW_PRIORITY = [
     "grouping_sets_pricing",
     "pivot_pricing",
     "unpivot_lineitem",
-    "dedup_clusters",
-    "dedup_minhash_megabucket",
-    "dedup_ngram_megablock",
-    "dedup_lines_docs",
     "ann_index_build",
     "ann_topk_ivf_prebuilt",
     "pack_epochs_e2e",
@@ -11804,45 +11881,6 @@ _DRIVER_ROW_PRIORITY = [
     "props_value_stats",
     "streaming_stream_stream_join",
     "asof_join_tolerance",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_counts",
-    "q20_potential_promotion",
-    "window_dist_rank",
-    "window_first_last",
-    "window_percent_rank",
-    "window_rolling_median",
-    "window_range_frame",
-    "window_ntile",
-    "window_lag_lead",
-    "agg_approx_percentile",
-    "agg_percentile",
-    "agg_percentile_by_group",
-    "agg_percentile_disc",
-    "agg_median_pandas",
-    "agg_regression",
-    "agg_stats_moments",
-    "agg_hll_by_group",
-    "agg_hll_union_merge",
-    "agg_hll_datasketches",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_top_customers",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q21_sole_fault_supplier",
-    "q22_dormant_customers",
-    "sink_partitioned_parquet",
-    "sink_csv_roundtrip",
-    "sink_sorted_parquet",
-    "sink_jsonl_roundtrip",
-    "sink_compacted_parquet",
     "source_from_orc",
     "source_from_xml",
     "source_from_text",
@@ -11854,13 +11892,6 @@ _DRIVER_ROW_PRIORITY = [
     "pagerank_trade_graph",
     "heavy_hitters_events",
     "recursive_cte_reach",
-    "dedup_incremental_docs",
-    "decontaminate_docs",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "knn_join_labels",
-    "pack_sequences_docs",
-    "doc_chunks",
 ]
 
 

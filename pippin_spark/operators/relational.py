@@ -96,11 +96,27 @@ def _table_barrier(df: DataFrame, caches=None) -> DataFrame:
     by tests/test_relational_barrier.py — but 'deterministic recompute'
     is an argument, a written table is a guarantee).
 
+    The barrier location must be visible to every executor AND the
+    driver. On a real cluster the driver's /tmp is NOT (executors
+    would resolve a driver-local path against the default FS), so the
+    dir is derived from ``spark.pippin.scratchDir`` when set — point
+    it at a shared filesystem (HDFS/S3A/NFS) path; a unique subdir is
+    created per barrier. Unset, it falls back to a driver-local
+    tempfile.mkdtemp(), which is correct ONLY in local mode (the test
+    and bench environment). Cleanup is best-effort rmtree of local
+    paths; remote scratch dirs are uniquely named and left to the
+    scratch location's retention policy (ADVICE r9).
+
     The temp dir is registered on ``caches`` (a CacheHandle) when
     given, else deleted at interpreter exit."""
     import tempfile
+    import uuid
 
-    path = tempfile.mkdtemp(prefix="pippin_rank_barrier_")
+    scratch = df.sparkSession.conf.get("spark.pippin.scratchDir", None)
+    if scratch:
+        path = scratch.rstrip("/") + "/pippin_rank_barrier_" + uuid.uuid4().hex
+    else:
+        path = tempfile.mkdtemp(prefix="pippin_rank_barrier_")
     df.write.mode("overwrite").parquet(path)
     if caches is not None:
         caches.register_path(path)

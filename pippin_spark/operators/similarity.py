@@ -722,6 +722,7 @@ def ann_index_write(
     train_on: DataFrame = None,
     pq: tuple = None,
     pq_residual: bool = False,
+    pq_train_on: DataFrame = None,
 ) -> None:
     """Build-once half of the build-once/query-many IVF contract
     (VERDICT r7 #6: every IVF consumer retrained Lloyd at
@@ -762,7 +763,17 @@ def ann_index_write(
     the assigned table — the full FAISS-style on-disk IVF-PQ index:
     a probe (ivfpq_topk_prebuilt) scans (id, codes, cell) ONLY —
     never the raw vectors, which are read back just for the
-    survivors' exact re-rank."""
+    survivors' exact re-rank. ``pq_train_on`` trains the CODEBOOKS on
+    a different frame (the train_on analog for the PQ half), so a
+    from-scratch rebuild of an appended index can reuse base-trained
+    codebooks and pin probe equality exactly.
+
+    A PQ build also persists ``{path}/pq_stats`` — one (phase='base',
+    n, sum_qerr) row aggregating the per-row ADC quantization error
+    the encode emits (the assigned table keeps ``qerr``; probes prune
+    it at the scan). ann_index_append extends the ledger per batch;
+    ann_index_pq_drift reads it as the codebook-staleness rebuild
+    gate (VERDICT r9 #4)."""
     if train_on is not None:
         centroids, _ = ivf_build(
             train_on, vec_col, id_col, num_cells, train_iters,
@@ -785,25 +796,36 @@ def ann_index_write(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     if pq is not None:
         pq_m, pq_k, pq_iters = pq
+        pq_corpus = pq_train_on if pq_train_on is not None else corpus
         if pq_residual:
             cell_ids_np, Cn = _normalized_centroid_matrix(
                 centroids.collect()
             )
             books = pq_codebooks_residual(
-                corpus, vec_col, id_col, cell_ids_np, Cn, m=pq_m,
+                pq_corpus, vec_col, id_col, cell_ids_np, Cn, m=pq_m,
                 codebook_k=pq_k, train_iters=pq_iters,
             )
             _write_codebooks(corpus.sparkSession, books, path, residual=True)
             assigned = pq_encode_codes(
-                assigned, books, resid=(cell_ids_np, Cn)
+                assigned, books, resid=(cell_ids_np, Cn), with_error=True
             )
         else:
             books = pq_codebooks(
-                corpus, vec_col, id_col, m=pq_m, codebook_k=pq_k,
+                pq_corpus, vec_col, id_col, m=pq_m, codebook_k=pq_k,
                 train_iters=pq_iters,
             )
             _write_codebooks(corpus.sparkSession, books, path)
-            assigned = pq_encode_codes(assigned, books)
+            assigned = pq_encode_codes(assigned, books, with_error=True)
+    else:
+        # rebuilding a former PQ index as plain IVF must not leave the
+        # stale PQ sidecars behind: appends would encode against dead
+        # codebooks and mix schemas with the codes-free assigned table.
+        # Sidecar removal is local-FS (the cells-layout maintenance API
+        # — append/compact — already is; see ann_index_compact).
+        import shutil as _sh
+
+        for side in ("codebooks", "pq_stats"):
+            _sh.rmtree(f"{path}/{side}", ignore_errors=True)
     writer = assigned.repartition("cell").sortWithinPartitions("cell").write
     if layout == "cells":
         # static overwrite of a partitioned dataset wipes the whole
@@ -820,6 +842,21 @@ def ann_index_write(
         writer.mode("overwrite").parquet(f"{path}/assigned")
     else:
         raise ValueError(f"layout must be 'flat' or 'cells', got {layout!r}")
+    if pq is not None:
+        # base quantization-error ledger row, aggregated from the
+        # WRITTEN table (one cheap scan of a single double column — no
+        # re-encode pass); overwrite resets any prior build's ledger
+        spark = corpus.sparkSession
+        (
+            spark.read.parquet(f"{path}/assigned")
+            .agg(
+                F.lit("base").alias("phase"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("qerr").alias("sum_qerr"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/pq_stats")
+        )
 
 
 def ann_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -905,7 +942,9 @@ def pq_codebooks_residual(
     return books
 
 
-def pq_encode_codes(vectors: DataFrame, books, resid=None) -> DataFrame:
+def pq_encode_codes(
+    vectors: DataFrame, books, resid=None, with_error: bool = False
+) -> DataFrame:
     """Add a ``codes array<int>`` column: per subspace, the argmin-L2
     codeword of the UNIT-NORMALIZED subvector (numpy first-min ties —
     the exact encode rule of pq_topk's scan, factored out so an index
@@ -915,10 +954,21 @@ def pq_encode_codes(vectors: DataFrame, books, resid=None) -> DataFrame:
 
     ``resid=(cell_ids, Cn)`` switches to RESIDUAL encoding: the row's
     normalized cell centroid (the ``cell`` column must be present) is
-    subtracted before quantization — the by_residual=True path."""
+    subtracted before quantization — the by_residual=True path.
+
+    ``with_error=True`` additionally emits ``qerr double``: the row's
+    squared-L2 PQ reconstruction error (sum over subspaces of the
+    chosen codeword's distance — the per-row ADC quantization error),
+    a free byproduct of the argmin the encode already computes. This
+    is the signal the PQ-codebook drift gate (ann_index_pq_drift)
+    aggregates: codebooks trained on yesterday's distribution quantize
+    shifted vectors with visibly larger qerr even when the cell MEANS
+    (the centroid gate's axis) barely move (VERDICT r9 #4)."""
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in vectors.schema.fields
     ) + ", codes array<int>"
+    if with_error:
+        schema += ", qerr double"
     mm, _kk, d = books.shape
 
     def enc(batches):
@@ -937,13 +987,18 @@ def pq_encode_codes(vectors: DataFrame, books, resid=None) -> DataFrame:
                 Vn = Vn - Cn[cpos]
             Vn = Vn.reshape(len(V), mm, d)
             codes = _np.empty((len(V), mm), dtype=_np.int64)
+            qerr = _np.zeros(len(V), dtype=_np.float64)
             for s in range(mm):
                 dist = ((Vn[:, s, None, :] - books[None, s]) ** 2).sum(axis=2)
                 codes[:, s] = _np.argmin(dist, axis=1)
+                if with_error:
+                    qerr += dist[_np.arange(len(V)), codes[:, s]]
             pdf = pdf.copy()
             pdf["codes"] = [
                 [int(x) for x in row] for row in codes
             ]
+            if with_error:
+                pdf["qerr"] = qerr
             yield pdf
 
     return vectors.mapInPandas(enc, schema)
@@ -1023,7 +1078,8 @@ def ann_index_append(
     )
     import os
 
-    if os.path.exists(f"{path}/codebooks"):
+    has_pq = os.path.exists(f"{path}/codebooks")
+    if has_pq:
         # a PQ index stores per-vector codes — appended rows must carry
         # them too (mixed schemas would break the codes-only probe),
         # encoded against the STORED codebooks so prebuilt probes stay
@@ -1033,7 +1089,9 @@ def ann_index_append(
         resid = None
         if residual:
             resid = _normalized_centroid_matrix(centroids.collect())
-        assigned_new = pq_encode_codes(assigned_new, books, resid=resid)
+        assigned_new = pq_encode_codes(
+            assigned_new, books, resid=resid, with_error=True
+        )
     (
         assigned_new.repartition("cell")
         .sortWithinPartitions("cell")
@@ -1041,6 +1099,21 @@ def ann_index_append(
         .partitionBy("cell")
         .parquet(f"{path}/assigned")
     )
+    if has_pq:
+        # extend the quantization-error ledger with this batch — the
+        # PQ-codebook drift signal (ann_index_pq_drift). Re-running the
+        # O(new) encode for the aggregate keeps the append independent
+        # of which files the write just created; the cost stays O(new),
+        # never O(index).
+        (
+            assigned_new.agg(
+                F.lit("appended").alias("phase"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("qerr").alias("sum_qerr"),
+            )
+            .write.mode("append")
+            .parquet(f"{path}/pq_stats")
+        )
 
 
 def ann_index_compact(spark, path: str, max_files: int = 1) -> list:
@@ -1059,10 +1132,29 @@ def ann_index_compact(spark, path: str, max_files: int = 1) -> list:
     Spark-job loop would schedule #cells jobs — overhead-bound at
     thousands of cells; this is one job regardless of cell count.
     The swap is two renames per cell, so a reader-visible directory
-    exists at all times."""
+    exists at all times.
+
+    Crash/concurrency contract (ADVICE r9): SINGLE WRITER — one
+    compactor (or appender) at a time. Displaced cell dirs park under
+    ``{path}/assigned_old/`` (NOT as ``.old`` siblings inside
+    ``assigned/``, which would parse as bogus partition values for a
+    concurrent reader). A crash between the two renames can leave a
+    cell dir missing from ``assigned/`` with its data intact in
+    ``assigned_old/``; the recovery pass at the top of this function
+    renames any such orphan back before compacting, so re-running
+    compact after a crash is the recovery procedure."""
     import glob
     import os
     import shutil
+
+    # crash recovery: restore any cell displaced to assigned_old/ by a
+    # prior run that died between its two renames
+    old_root = f"{path}/assigned_old"
+    for odir in sorted(glob.glob(f"{old_root}/cell=*")):
+        dst = f"{path}/assigned/{os.path.basename(odir)}"
+        if not os.path.exists(dst):
+            os.rename(odir, dst)
+    shutil.rmtree(old_root, ignore_errors=True)
 
     hot = []
     for cdir in sorted(glob.glob(f"{path}/assigned/cell=*")):
@@ -1081,12 +1173,12 @@ def ann_index_compact(spark, path: str, max_files: int = 1) -> list:
         .partitionBy("cell")
         .parquet(tmp_root)
     )
+    os.makedirs(old_root, exist_ok=True)
     for c in hot:
         cdir = f"{path}/assigned/cell={c}"
-        old = f"{cdir}.old"
-        os.rename(cdir, old)
+        os.rename(cdir, f"{old_root}/cell={c}")
         os.rename(f"{tmp_root}/cell={c}", cdir)
-        shutil.rmtree(old)
+    shutil.rmtree(old_root)
     shutil.rmtree(tmp_root)
     return hot
 
@@ -1134,6 +1226,60 @@ def ann_index_drift(spark, path: str) -> DataFrame:
         F.round(
             1.0 - cosine_similarity(F.col("mean_vec"), F.col("centroid")), 6
         ).alias("drift"),
+    )
+
+
+def ann_index_pq_drift(spark, path: str) -> DataFrame:
+    """PQ-codebook staleness gate — the axis ann_index_drift does NOT
+    cover (VERDICT r9 #4): appends residual-encode against the STORED
+    codebooks, so under distribution shift the quantization error of
+    new vectors grows with no signal, and IVF-PQ recall decays
+    silently even while the cell MEANS still pass the centroid gate
+    (shift that is symmetric around a centroid leaves its mean fixed
+    but lands every shifted vector far from any trained codeword).
+
+    Reads the ``{path}/pq_stats`` ledger (one 'base' row from the
+    build + one row per append batch — all driver-sized) and returns
+    ONE row: (n_base, base_mqerr, n_appended, appended_mqerr,
+    err_ratio) where mqerr is the mean per-row squared ADC
+    reconstruction error and err_ratio = appended_mqerr / base_mqerr.
+
+    The gate is RELATIVE, calibrated like the centroid one (VERIFY r9:
+    absolute error depends on dim/m/k and the corpus scale, so no
+    absolute threshold transfers across indexes): a maintenance loop
+    retrains codebooks when err_ratio crosses its threshold —
+    in-distribution appends measure ~1.0, the shifted-flood pytest
+    fixture >2. Scale: the ledger has #appends+1 rows; nothing else
+    is read."""
+    stats = spark.read.parquet(f"{path}/pq_stats")
+    agg = (
+        stats.filter(F.col("n") > 0)
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("phase") == "base", F.col("n")))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(
+                F.when(F.col("phase") == "base", F.col("sum_qerr"))
+            ).alias("base_sum"),
+            F.sum(F.when(F.col("phase") == "appended", F.col("n")))
+            .cast("long")
+            .alias("n_appended"),
+            F.sum(
+                F.when(F.col("phase") == "appended", F.col("sum_qerr"))
+            ).alias("appended_sum"),
+        )
+    )
+    base_m = F.col("base_sum") / F.col("n_base")
+    app_m = F.col("appended_sum") / F.col("n_appended")
+    return agg.select(
+        F.coalesce(F.col("n_base"), F.lit(0).cast("long")).alias("n_base"),
+        F.round(base_m, 6).alias("base_mqerr"),
+        F.coalesce(F.col("n_appended"), F.lit(0).cast("long")).alias(
+            "n_appended"
+        ),
+        F.round(app_m, 6).alias("appended_mqerr"),
+        F.round(app_m / base_m, 6).alias("err_ratio"),
     )
 
 

@@ -2039,7 +2039,7 @@ def test_contrastive_inbatch_no_label_collisions(spark):
     assert len(out) == 25  # one positive per anchor
     batches = {}
     for r in out:
-        batches.setdefault(r["batch_id"], []).append(r)
+        batches.setdefault((r["round"], r["sub_batch"]), []).append(r)
     for bid, members in batches.items():
         labels = [m["label"] for m in members]
         assert len(set(labels)) == len(labels), bid
@@ -2321,3 +2321,85 @@ def test_ivfpq_residual_beats_plain_and_prebuilt_parity(spark, tmp_path):
     _, assigned = S.ann_index_read(spark, path)
     assert assigned.filter(F.col("codes").isNull()).count() == 0
     assert assigned.count() == emb.count() + 10
+
+
+def test_pq_codebook_drift_gate_fires_where_centroid_gate_does_not(
+    spark, tmp_path
+):
+    # VERDICT r9 #4: appends residual-encode against the STORED
+    # codebooks, so a distribution shift grows the quantization error
+    # of new vectors with no signal from the centroid gate. This pins
+    # both halves of the claim on one maintained index:
+    #   1. an IN-DISTRIBUTION append passes BOTH gates (calibration:
+    #      err_ratio ~ 1, the relative gate's design point);
+    #   2. a shifted flood built as symmetric pairs c_n ± s*delta with
+    #      delta orthogonal to EVERY centroid — orthogonality makes the
+    #      +/- members' centroid cosines IDENTICAL (same cell for both,
+    #      by construction), and the pair cancels in the cell MEAN, so
+    #      the centroid gate stays silent — while each member lands far
+    #      from any trained codeword and the PQ gate fires.
+    # The corpus must be one PQ actually compresses (the fixture
+    # embeddings are diffuse — base mqerr 0.57 of a 1.0 ceiling, so NO
+    # flood can double it): 8 orthonormal cluster directions + 5%
+    # noise, the regime an IVF-PQ index exists for (base mqerr ~0.15).
+    import numpy as np
+
+    from pippin_spark.operators.util import local_table
+
+    dirs, _ = np.linalg.qr(np.random.RandomState(7).standard_normal((64, 8)))
+
+    def clustered(n_per, seed, start_id):
+        r = np.random.RandomState(seed)
+        rows, vid = [], start_id
+        for ci in range(8):
+            for _ in range(n_per):
+                v = dirs[:, ci] + 0.05 * r.standard_normal(64)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        return rows
+
+    schema = "vec_id long, embedding array<double>"
+    base = local_table(spark, clustered(50, 1, 0), schema)
+    path = str(tmp_path / "pq_drift_gate")
+    S.ann_index_write(
+        base, "embedding", "vec_id", path, num_cells=8, train_iters=3,
+        layout="cells", pq=(8, 16, 3),
+    )
+    # 1. in-distribution append: same generator, fresh draw
+    S.ann_index_append(
+        spark, path, local_table(spark, clustered(12, 2, 100000), schema),
+        "embedding", "vec_id",
+    )
+    pq1 = S.ann_index_pq_drift(spark, path).collect()[0]
+    assert pq1["n_appended"] == 96
+    assert pq1["err_ratio"] < 1.5, pq1
+    d1 = S.ann_index_drift(spark, path).agg(F.max("drift")).collect()[0][0]
+    assert d1 < 0.2
+    # 2. shifted flood: delta from the orthogonal complement of the
+    # centroid span (64-dim, 8 centroids — plenty of room)
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cents])
+    Cn = C / np.linalg.norm(C, axis=1)[:, None]
+    Q, _ = np.linalg.qr(Cn.T)  # orthonormal basis of the centroid span
+    rng = np.random.RandomState(11)
+    rows, vid = [], 10_000_000
+    for ci in range(len(Cn)):
+        for _ in range(20):
+            delta = rng.standard_normal(Cn.shape[1])
+            # exact projection onto the orthogonal complement
+            delta -= Q @ (Q.T @ delta)
+            delta /= np.linalg.norm(delta)
+            for sgn in (3.0, -3.0):
+                v = Cn[ci] + sgn * delta
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+    flood = local_table(spark, rows, "vec_id long, embedding array<double>")
+    S.ann_index_append(spark, path, flood, "embedding", "vec_id")
+    pq2 = S.ann_index_pq_drift(spark, path).collect()[0]
+    d2 = S.ann_index_drift(spark, path).agg(F.max("drift")).collect()[0][0]
+    assert d2 < 0.2, d2          # centroid gate alone: silent
+    assert pq2["err_ratio"] > 2.0, pq2  # PQ gate: fires
+    assert pq2["n_appended"] == pq1["n_appended"] + len(rows)
