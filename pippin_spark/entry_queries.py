@@ -10933,6 +10933,113 @@ def q_sft_pack_masked(spark, sf_dir):
 
 
 @_q(
+    "sft_manifest_e2e",
+    # the SFT loader manifest, composed end-to-end (VERDICT r9 #6 —
+    # training_manifest_e2e's fine-tuning sibling): render each
+    # document as an instruction/response example (closed-form lengths
+    # — the rendered string never materializes on the packing path,
+    # same template as sft_pack_masked), give EVERY EPOCH its own
+    # deterministic md5 permutation (shuffle_order_epochs' key), pack
+    # each epoch's permuted stream into 2048-char training sequences
+    # (pack_sequences' hash-shard + in-shard cumsum, order_by = the
+    # epoch key), and RE-BASE each example's loss region into the
+    # packed coordinates: per-(epoch, sequence) loss-mask offsets —
+    # exactly what a fine-tuning loader replays. Scale: per epoch one
+    # KEYED window (shard partitions, never global); epochs union.
+    # Full value oracle replays the template arithmetic, the md5
+    # epoch permutation and the packing window in one SQL statement.
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN n_chars <= 256 THEN text
+                  ELSE regexp_replace(substr(text, 1, 256), '\\s+\\S*$', '')
+             END AS clip,
+             lang
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             length('### Instruction:' || chr(10)
+                    || 'Summarize the following ' || lang || ' document.'
+                    || chr(10) || '### Input:' || chr(10) || clip)
+               AS mask_off
+      FROM c
+    ), b AS (
+      SELECT doc_id, mask_off, mask_off + 15 AS ln,
+             (((((doc_id) + 0) % 2147483647) * 2654435761) % 4294967296) % 8
+               AS shard
+      FROM r
+    ), e AS (
+      SELECT b.*, ep.epoch
+      FROM b CROSS JOIN (VALUES (1), (2)) AS ep(epoch)
+    ), p AS (
+      SELECT doc_id, epoch, mask_off, ln, shard,
+             SUM(ln) OVER (
+               PARTITION BY epoch, shard
+               ORDER BY md5('sftm42:' || CAST(epoch AS VARCHAR) || ':'
+                            || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - ln AS start_off
+      FROM e
+    )
+    SELECT CAST(epoch AS INT) AS epoch, doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(start_off AS BIGINT) // 2048 AS seq_id,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(start_off + mask_off AS BIGINT) AS mask_start_g,
+           CAST(start_off + ln AS BIGINT) AS mask_end_g,
+           CAST((start_off + mask_off) // 2048 AS BIGINT) AS mask_seq,
+           CAST((start_off + mask_off) % 2048 AS BIGINT) AS mask_in_seq_off
+    FROM p
+    """,
+)
+def q_sft_manifest_e2e(spark, sf_dir):
+    from pippin_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").df
+    clip = F.when(F.col("n_chars") <= 256, F.col("text")).otherwise(
+        F.regexp_replace(F.substring(F.col("text"), 1, 256), "\\s+\\S*$", "")
+    )
+    prefix = F.concat(
+        F.lit("### Instruction:\nSummarize the following "),
+        F.col("lang"),
+        F.lit(" document.\n### Input:\n"),
+        clip,
+    )
+    mask_off = F.length(prefix).cast("bigint")
+    staged = docs.select(
+        "doc_id",
+        mask_off.alias("__mo__"),
+        (mask_off + 15).alias("__rl__"),
+    )
+    parts = []
+    for ep in (1, 2):
+        key = F.md5(
+            F.concat(F.lit(f"sftm42:{ep}:"), F.col("doc_id").cast("string"))
+        )
+        packed = pack_sequences(
+            staged, "doc_id", F.col("__rl__"), target_len=2048,
+            num_shards=8, order_by=key,
+        )
+        g = F.col("start_off") + F.col("__mo__")
+        parts.append(
+            packed.select(
+                F.lit(ep).cast("int").alias("epoch"),
+                "doc_id",
+                "shard",
+                "seq_id",
+                "start_off",
+                g.alias("mask_start_g"),
+                (F.col("start_off") + F.col("__rl__")).alias("mask_end_g"),
+                F.expr("(start_off + __mo__) div 2048").alias("mask_seq"),
+                F.pmod(g, F.lit(2048)).cast("bigint").alias(
+                    "mask_in_seq_off"
+                ),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@_q(
     "contrastive_pairs_e2e",
     # contrastive training-pair construction: per anchor, the exact
     # nearest SAME-label vector (the positive; self excluded) plus the
@@ -11585,6 +11692,7 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # residue for r11. Built by tools/next_window.py --emit;
 # tests/test_oracle.py asserts the list stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "sft_manifest_e2e",
     "dedup_clusters",
     "dedup_minhash_megabucket",
     "dedup_ngram_megablock",

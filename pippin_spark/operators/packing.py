@@ -29,18 +29,25 @@ def pack_sequences(
     target_len: int,
     num_shards: int = 64,
     salt: int = 0,
+    order_by=None,
 ) -> DataFrame:
     """Adds ``shard``, ``seq_id``, ``start_off`` columns: the training
     sequence each document lands in when each shard's documents are
     concatenated in id order and chunked every ``target_len`` units
     (tokens, chars — whatever ``len_col`` measures). Exact integer
-    arithmetic end-to-end."""
+    arithmetic end-to-end.
+
+    ``order_by`` overrides the in-shard concatenation order (the id
+    stays the tie-break, keeping the order total): pass the per-epoch
+    md5 shuffle key to pack each epoch in its OWN permutation — the
+    sft_manifest_e2e composition — without a second operator."""
     ln = F.col(len_col) if isinstance(len_col, str) else len_col
     shard = F.pmod(hash_bucket(F.col(id_col), salt), F.lit(num_shards))
     out = df.withColumn("shard", shard.cast("long"))
+    order = [F.col(id_col)] if order_by is None else [order_by, F.col(id_col)]
     w = (
         Window.partitionBy("shard")
-        .orderBy(F.col(id_col))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum(ln.cast("long")).over(w) - ln.cast("long")

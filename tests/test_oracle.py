@@ -112,3 +112,15 @@ def test_driver_row_priority_is_exhaustive():
     assert registered - listed == set(), "unslotted queries"
     assert listed - registered == set(), "stale priority entries"
     assert len(_DRIVER_ROW_PRIORITY) == len(listed), "duplicate slots"
+
+
+def test_bench_headline_selection_is_exhaustive():
+    """Every registered query must be either in bench.py's HEADLINE
+    set or matched by a named exclusion rule (stream-rig-dominated /
+    IO-API round-trip / build-once artifact / variant of a timed
+    family representative) — adding a query without deciding its
+    benchmark status must fail loudly (VERDICT r9 #7)."""
+    import bench
+    from pippin_spark.entry_queries import ENTRY_QUERIES
+
+    bench.check_headline_coverage(ENTRY_QUERIES)
