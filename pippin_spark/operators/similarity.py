@@ -1283,6 +1283,84 @@ def ann_index_pq_drift(spark, path: str) -> DataFrame:
     )
 
 
+def ann_index_retrain_codebooks(
+    spark, path: str, train_iters: int = 2
+) -> None:
+    """The action ann_index_pq_drift's gate triggers: retrain the PQ
+    codebooks on the index's CURRENT contents (base + all appends, so
+    the shifted distribution is now in-sample) and re-encode every
+    stored vector against them. Centroids and cell assignment are
+    untouched — this is the CODEBOOK half of maintenance; a centroid
+    rebuild (the ann_index_drift gate's action) is a full
+    ann_index_write.
+
+    Geometry knobs (m, codebook_k via k_eff, residual) are inherited
+    from the stored codebooks, so a probe needs no signature change
+    across the retrain.
+
+    Scale shape: codebook training is the usual driver-sized sample;
+    the re-encode is ONE distributed job over the assigned table
+    (unavoidably O(index) — every stored code is stale by definition
+    when the codebooks move), written partition-preserving
+    (layout='cells' keeps directory pruning) with the static-overwrite
+    rule so stale files can't survive. pq_stats resets to a fresh
+    'base' row over the re-encoded table: the err_ratio baseline is
+    the NEW codebooks' in-sample error, and the next drift measures
+    against that. Single-writer, like append/compact."""
+    import os
+
+    centroids, assigned = ann_index_read(spark, path)
+    old_books, residual = _read_codebooks(spark, path)
+    m, kk = int(old_books.shape[0]), int(old_books.shape[1])
+    # keep every stored column (extra_cols like a hard-negative label
+    # ride along); only the stale codes/qerr are regenerated
+    corpus = assigned.drop("codes", "qerr")
+    if residual:
+        cell_ids_np, Cn = _normalized_centroid_matrix(centroids.collect())
+        books = pq_codebooks_residual(
+            corpus, "cv", "id", cell_ids_np, Cn, m=m, codebook_k=kk,
+            train_iters=train_iters,
+        )
+        resid = (cell_ids_np, Cn)
+    else:
+        books = pq_codebooks(
+            corpus, "cv", "id", m=m, codebook_k=kk, train_iters=train_iters
+        )
+        resid = None
+    _write_codebooks(spark, books, path, residual=residual)
+    encoded = pq_encode_codes(corpus, books, resid=resid, with_error=True)
+    is_cells = os.path.isdir(f"{path}/assigned") and any(
+        e.startswith("cell=") for e in os.listdir(f"{path}/assigned")
+    )
+    # write via a temp dataset then swap: overwriting the input of the
+    # very plan being executed would race the scan
+    tmp = f"{path}/assigned_retrain"
+    writer = encoded.repartition("cell").sortWithinPartitions("cell").write
+    if is_cells:
+        (
+            writer.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+    else:
+        writer.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(f"{path}/assigned")
+    os.rename(tmp, f"{path}/assigned")
+    (
+        spark.read.parquet(f"{path}/assigned")
+        .agg(
+            F.lit("base").alias("phase"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qerr").alias("sum_qerr"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/pq_stats")
+    )
+
+
 def random_hyperplanes(dim: int, num_tables: int, num_planes: int, seed: int = 7):
     """Deterministic Gaussian hyperplanes for sign-LSH, shape
     (num_tables, num_planes, dim). numpy's RandomState stream is

@@ -2403,3 +2403,23 @@ def test_pq_codebook_drift_gate_fires_where_centroid_gate_does_not(
     assert d2 < 0.2, d2          # centroid gate alone: silent
     assert pq2["err_ratio"] > 2.0, pq2  # PQ gate: fires
     assert pq2["n_appended"] == pq1["n_appended"] + len(rows)
+    # 3. the gate's ACTION: retrain codebooks on the current contents
+    # and re-encode — the shifted distribution becomes in-sample, the
+    # ledger resets to the new in-sample baseline, and a fresh
+    # in-distribution append measures ~1 against it again
+    n_total = pq2["n_base"] + pq2["n_appended"]
+    S.ann_index_retrain_codebooks(spark, path)
+    pq3 = S.ann_index_pq_drift(spark, path).collect()[0]
+    assert pq3["n_base"] == n_total and pq3["n_appended"] == 0
+    # flood error is in-sample now: the new base error sits strictly
+    # below the stale-codebook flood error the gate flagged
+    assert pq3["base_mqerr"] < pq2["appended_mqerr"], (pq3, pq2)
+    _, assigned = S.ann_index_read(spark, path)
+    assert assigned.count() == n_total
+    assert assigned.filter(F.col("codes").isNull()).count() == 0
+    S.ann_index_append(
+        spark, path, local_table(spark, clustered(10, 3, 200000), schema),
+        "embedding", "vec_id",
+    )
+    pq4 = S.ann_index_pq_drift(spark, path).collect()[0]
+    assert pq4["err_ratio"] < 1.5, pq4

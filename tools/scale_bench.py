@@ -290,6 +290,9 @@ def main() -> None:
             "ann_index_maintain_e2e"
         ](spark, d),
         "ann_topk_ivfpq_prebuilt": ivfpq_prebuilt,
+        "sft_manifest_e2e": lambda spark, d: ENTRY_QUERIES[
+            "sft_manifest_e2e"
+        ](spark, d),
         "triangle_count_parts": triangles,
         "pagerank_trade_graph": pagerank,
         "dedup_sorted_neighborhood": sorted_neighborhood,
