@@ -569,12 +569,15 @@ def main() -> None:
 
     def _raw_maintain(spark, sf_dir):
         # the PRODUCT maintain cycle a training pipeline repeats: base
-        # build (layout='cells') + streamed foreachBatch append +
-        # hot-cell compaction + drift gate + probe. The declared query
-        # additionally rebuilds a second FULL index (the fresh
-        # verification arm) and runs the equality join + file-snapshot
-        # invariants — that's the correctness harness, and timing it
-        # would roughly double the row (the sketch-query rule).
+        # build (layout='cells', full IVF-PQ since r10: codebooks +
+        # per-vector codes + qerr ledger) + streamed foreachBatch
+        # append (PQ-encodes against the stored codebooks) + hot-cell
+        # compaction + BOTH drift gates (centroid + PQ codebook) +
+        # probe. The declared query additionally rebuilds a second
+        # FULL index (the fresh verification arm) and runs the
+        # equality joins + file-snapshot invariants — that's the
+        # correctness harness, and timing it would roughly double the
+        # row (the sketch-query rule).
         from pyspark.sql import functions as F
 
         from pippin_spark.entry_queries import (
@@ -588,7 +591,7 @@ def main() -> None:
         path = _maint_index_path(sf_dir) + "_benchraw"
         SIM.ann_index_write(
             base, "embedding", "vec_id", path, num_cells=16,
-            train_iters=3, layout="cells",
+            train_iters=3, layout="cells", pq=(8, 16, 2),
         )
         stream = (
             spark.readStream.schema(emb.schema)
@@ -609,12 +612,15 @@ def main() -> None:
         _drain(q)
         SIM.ann_index_compact(spark, path)
         drift = SIM.ann_index_drift(spark, path)
+        pq_drift = SIM.ann_index_pq_drift(spark, path)
         probe = SIM.ivf_topk_prebuilt(
             spark, path, emb.filter(F.col("vec_id") < 5), "embedding",
             "vec_id", k=5, nprobe=4,
         )
-        return probe.join(
-            F.broadcast(drift.agg(F.max("drift").alias("max_drift")))
+        return (
+            probe.join(
+                F.broadcast(drift.agg(F.max("drift").alias("max_drift")))
+            ).join(F.broadcast(pq_drift.select("err_ratio")))
         )
 
     qs = dict(qs)
