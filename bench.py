@@ -173,6 +173,7 @@ HEADLINE = [
     "ann_topk_ivfpq_residual",  # FAISS-default residual encoding
     # round-10 additions
     "sft_manifest_e2e",  # epoch-permuted loss-mask-aware packing
+    "bpe_encode_docs",  # per-doc cost under the learned tokenizer
 ]
 
 # ---------------------------------------------------------------------
@@ -657,6 +658,7 @@ def main() -> None:
         "streaming_stateful_counts",
         "streaming_stream_stream_join",
         "bpe_train_merges",
+        "bpe_encode_docs",  # merge training (driver argmax rounds) at construction
         "dedup_clusters",
         "exact_median_orders",
         "pagerank_trade_graph",

@@ -7705,6 +7705,39 @@ def q_bpe_vocab_segments(spark, sf_dir):
 
 
 @_q(
+    "bpe_encode_docs",
+    # per-DOCUMENT cost under the LEARNED tokenizer (the loader-feed
+    # number text_token_count's regex proxy approximates): train the 3
+    # merges, segment the distinct-word vocabulary, join piece counts
+    # back to the doc->word explode — (doc_id, n_words, n_bpe_pieces)
+    # is exactly what a token-budget planner consumes. Training runs
+    # on the vocab table (the classic BPE scale trick), the corpus is
+    # scanned twice total (word counts + the doc explode), and the
+    # per-word piece counts meet documents in ONE word-keyed join.
+    # Oracle: the same chained-CTE training replay, final select
+    # re-derives doc words and joins the last seq state.
+    _bpe_oracle_sql(3).rsplit("\nSELECT 1 AS step", 1)[0]
+    + """
+    , dw AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe_pieces
+    FROM dw JOIN seq_3 v USING (word)
+    GROUP BY 1
+    """,
+)
+def q_bpe_encode_docs(spark, sf_dir):
+    from pippin_spark.operators import bpe as BPE
+
+    docs = _t(spark, sf_dir, "documents").df
+    return BPE.bpe_doc_piece_counts(docs, "text", rounds=3)
+
+
+@_q(
     "collocations_pmi",
     # PMI-ranked collocations over adjacent word pairs (min support 5):
     # the monotone integer transform pair_cnt*N*1e6 div (cnt_a*cnt_b)
@@ -11692,6 +11725,7 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # residue for r11. Built by tools/next_window.py --emit;
 # tests/test_oracle.py asserts the list stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "bpe_encode_docs",
     "sft_manifest_e2e",
     "dedup_clusters",
     "dedup_minhash_megabucket",

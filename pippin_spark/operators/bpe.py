@@ -158,6 +158,39 @@ def bpe_vocab_after(
     )
 
 
+def bpe_doc_piece_counts(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """Per-DOCUMENT cost under the learned tokenizer: train ``rounds``
+    merges, then count each document's words and BPE pieces —
+    (doc_id, n_words, n_bpe_pieces). This is the number a
+    token-budget planner (token_budget_waterfill, pack_sequences on
+    token lengths) actually consumes; text_token_count's regex proxy
+    approximates it without the learned merges.
+
+    Scale shape: the corpus is scanned once for word counts (the
+    training pass) and once for the doc→word explode; every merge
+    round runs on the distinct-word VOCABULARY (the classic BPE scale
+    trick — ~10^7 rows at 100 TB), and the final piece counts come
+    back to documents via one word-keyed join of that vocab table
+    (AQE broadcasts it at small scale; at corpus scale it is a plain
+    shuffle join on a well-distributed key). Documents with zero
+    words produce no row, matching the SQL oracle's inner join."""
+    _, seq = _train(docs, text_col, rounds)
+    vocab = seq.select("word", F.size("s").alias("__np__"))
+    words = docs.select(
+        "doc_id", F.explode(_ws_token_array(F.col(text_col))).alias("word")
+    )
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__np__").cast("long").alias("n_bpe_pieces"),
+        )
+    )
+
+
 def bpe_segment(words: DataFrame, merge_table: DataFrame) -> DataFrame:
     """Apply a learned merge table to segment words: replays the merges
     in order with the same greedy fold. Returns (word, pieces).
