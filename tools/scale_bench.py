@@ -293,6 +293,9 @@ def main() -> None:
         "sft_manifest_e2e": lambda spark, d: ENTRY_QUERIES[
             "sft_manifest_e2e"
         ](spark, d),
+        "bpe_encode_docs": lambda spark, d: ENTRY_QUERIES[
+            "bpe_encode_docs"
+        ](spark, d),
         "triangle_count_parts": triangles,
         "pagerank_trade_graph": pagerank,
         "dedup_sorted_neighborhood": sorted_neighborhood,
