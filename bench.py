@@ -375,21 +375,39 @@ HEADLINE_VARIANT_OF = {
 }
 
 
+# HEADLINE rows that are bench-only parameter variants (exist only as
+# raw-override entries, not declared queries)
+BENCH_ONLY = {"knn_join_ivf_nprobe2"}
+
+
 def check_headline_coverage(declared) -> None:
     """Assert every declared query is either timed or matched by
-    exactly one named exclusion rule (and every variant's
-    representative is itself timed)."""
+    exactly one named exclusion rule — in BOTH directions: a renamed
+    or deleted query must not leave a stale HEADLINE name (which
+    `names = [n for n in HEADLINE if n in qs]` would silently stop
+    timing) or a stale exclusion entry (which would silently
+    'explain' a name that no longer exists)."""
     H = set(HEADLINE)
-    excluded = (
-        EXCLUDE_STREAM_RIG | EXCLUDE_IO_API | EXCLUDE_BUILD_ONCE
-        | set(HEADLINE_VARIANT_OF)
+    excl_sets = (
+        EXCLUDE_STREAM_RIG, EXCLUDE_IO_API, EXCLUDE_BUILD_ONCE,
+        set(HEADLINE_VARIANT_OF),
     )
-    unmatched = sorted(set(declared) - H - excluded)
+    excluded = set().union(*excl_sets)
+    D = set(declared)
+    unmatched = sorted(D - H - excluded)
     assert not unmatched, f"declared but neither timed nor excluded: {unmatched}"
     both = sorted(H & excluded)
     assert not both, f"both timed and excluded: {both}"
     bad_reps = sorted(set(HEADLINE_VARIANT_OF.values()) - H)
     assert not bad_reps, f"variant representative not timed: {bad_reps}"
+    stale_headline = sorted(H - D - BENCH_ONLY)
+    assert not stale_headline, (
+        f"HEADLINE names not declared (stale after a rename/delete?): "
+        f"{stale_headline}"
+    )
+    stale_excl = sorted(excluded - D)
+    assert not stale_excl, f"exclusion entries not declared: {stale_excl}"
+    assert len(HEADLINE) == len(H), "duplicate HEADLINE entries"
 
 
 def main() -> None:

@@ -1092,6 +1092,12 @@ def ann_index_append(
         assigned_new = pq_encode_codes(
             assigned_new, books, resid=resid, with_error=True
         )
+        # the batch feeds TWO actions (data write + ledger aggregate):
+        # persist so the assign join and Arrow encode run ONCE, and the
+        # ledger row is computed from the very rows the write landed
+        # (re-evaluation of a non-deterministic source would otherwise
+        # skew the drift signal)
+        assigned_new = assigned_new.persist()
     (
         assigned_new.repartition("cell")
         .sortWithinPartitions("cell")
@@ -1101,10 +1107,8 @@ def ann_index_append(
     )
     if has_pq:
         # extend the quantization-error ledger with this batch — the
-        # PQ-codebook drift signal (ann_index_pq_drift). Re-running the
-        # O(new) encode for the aggregate keeps the append independent
-        # of which files the write just created; the cost stays O(new),
-        # never O(index).
+        # PQ-codebook drift signal (ann_index_pq_drift); O(new), never
+        # O(index)
         (
             assigned_new.agg(
                 F.lit("appended").alias("phase"),
@@ -1114,6 +1118,7 @@ def ann_index_append(
             .write.mode("append")
             .parquet(f"{path}/pq_stats")
         )
+        assigned_new.unpersist()
 
 
 def ann_index_compact(spark, path: str, max_files: int = 1) -> list:
@@ -1272,6 +1277,10 @@ def ann_index_pq_drift(spark, path: str) -> DataFrame:
     )
     base_m = F.col("base_sum") / F.col("n_base")
     app_m = F.col("appended_sum") / F.col("n_appended")
+    # an index with no appends yet has NO drift by definition:
+    # err_ratio pins to 1.0 (not NULL) so the gate comparison a
+    # maintenance loop runs unconditionally never trips on None
+    ratio = F.coalesce(F.round(app_m / base_m, 6), F.lit(1.0))
     return agg.select(
         F.coalesce(F.col("n_base"), F.lit(0).cast("long")).alias("n_base"),
         F.round(base_m, 6).alias("base_mqerr"),
@@ -1279,7 +1288,7 @@ def ann_index_pq_drift(spark, path: str) -> DataFrame:
             "n_appended"
         ),
         F.round(app_m, 6).alias("appended_mqerr"),
-        F.round(app_m / base_m, 6).alias("err_ratio"),
+        ratio.alias("err_ratio"),
     )
 
 
@@ -1306,8 +1315,31 @@ def ann_index_retrain_codebooks(
     rule so stale files can't survive. pq_stats resets to a fresh
     'base' row over the re-encoded table: the err_ratio baseline is
     the NEW codebooks' in-sample error, and the next drift measures
-    against that. Single-writer, like append/compact."""
+    against that.
+
+    Crash contract (single-writer, like append/compact): codebooks
+    and codes cannot swap atomically across two directories, so a
+    crash mid-retrain can leave a books/codes GENERATION MISMATCH
+    window — and the recovery procedure is RE-RUNNING RETRAIN, which
+    converges because training is deterministic (hash-predicate
+    sample + seeded Lloyd over the same vectors reproduces the same
+    books; the cv column never changes). The new books are
+    deliberately committed BEFORE the re-encode so the tmp encode and
+    any recovery encode read identical books. The assigned swap uses
+    the compact pattern (displaced table parks at
+    ``{path}/assigned_retrain_old``; the recovery pass below restores
+    it if a crash left ``assigned`` missing), so no crash point loses
+    the table."""
     import os
+
+    # crash recovery: restore an assigned table displaced by a prior
+    # retrain that died between its two renames
+    old_root = f"{path}/assigned_retrain_old"
+    if os.path.isdir(old_root) and not os.path.isdir(f"{path}/assigned"):
+        os.rename(old_root, f"{path}/assigned")
+    import shutil
+
+    shutil.rmtree(old_root, ignore_errors=True)
 
     centroids, assigned = ann_index_read(spark, path)
     old_books, residual = _read_codebooks(spark, path)
@@ -1345,10 +1377,12 @@ def ann_index_retrain_codebooks(
         )
     else:
         writer.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(f"{path}/assigned")
+    # compact-style swap: the old table parks (never rmtree'd while it
+    # is the only copy), so a crash at any point leaves either the old
+    # or the new table restorable — see the crash contract above
+    os.rename(f"{path}/assigned", old_root)
     os.rename(tmp, f"{path}/assigned")
+    shutil.rmtree(old_root)
     (
         spark.read.parquet(f"{path}/assigned")
         .agg(

@@ -2365,6 +2365,10 @@ def test_pq_codebook_drift_gate_fires_where_centroid_gate_does_not(
         base, "embedding", "vec_id", path, num_cells=8, train_iters=3,
         layout="cells", pq=(8, 16, 3),
     )
+    # 0. no appends yet = no drift by definition: the gate comparison a
+    # maintenance loop runs unconditionally must see 1.0, never None
+    pq0 = S.ann_index_pq_drift(spark, path).collect()[0]
+    assert pq0["n_appended"] == 0 and pq0["err_ratio"] == 1.0, pq0
     # 1. in-distribution append: same generator, fresh draw
     S.ann_index_append(
         spark, path, local_table(spark, clustered(12, 2, 100000), schema),
