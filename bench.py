@@ -393,6 +393,13 @@ def check_headline_coverage(declared) -> None:
         set(HEADLINE_VARIANT_OF),
     )
     excluded = set().union(*excl_sets)
+    # 'exactly one rule' must be literal (ADVICE r10): a name listed in
+    # two exclusion sets would pass the union-membership checks below
+    # while making the named rules ambiguous
+    assert sum(len(s) for s in excl_sets) == len(excluded), (
+        "exclusion sets overlap: "
+        f"{sorted(n for s in excl_sets for n in s if sum(n in t for t in excl_sets) > 1)}"
+    )
     D = set(declared)
     unmatched = sorted(D - H - excluded)
     assert not unmatched, f"declared but neither timed nor excluded: {unmatched}"

@@ -816,16 +816,6 @@ def ann_index_write(
             )
             _write_codebooks(corpus.sparkSession, books, path)
             assigned = pq_encode_codes(assigned, books, with_error=True)
-    else:
-        # rebuilding a former PQ index as plain IVF must not leave the
-        # stale PQ sidecars behind: appends would encode against dead
-        # codebooks and mix schemas with the codes-free assigned table.
-        # Sidecar removal is local-FS (the cells-layout maintenance API
-        # — append/compact — already is; see ann_index_compact).
-        import shutil as _sh
-
-        for side in ("codebooks", "pq_stats"):
-            _sh.rmtree(f"{path}/{side}", ignore_errors=True)
     writer = assigned.repartition("cell").sortWithinPartitions("cell").write
     if layout == "cells":
         # static overwrite of a partitioned dataset wipes the whole
@@ -842,6 +832,24 @@ def ann_index_write(
         writer.mode("overwrite").parquet(f"{path}/assigned")
     else:
         raise ValueError(f"layout must be 'flat' or 'cells', got {layout!r}")
+    import shutil as _sh
+
+    if pq is None:
+        # rebuilding a former PQ index as plain IVF must not leave the
+        # stale PQ sidecars behind: appends would encode against dead
+        # codebooks and mix schemas with the codes-free assigned table.
+        # Removal happens AFTER the assigned overwrite succeeds
+        # (ADVICE r10): deleting first meant a failed overwrite left
+        # the old PQ table (rows carrying codes) with no codebooks, so
+        # the next append would see has_pq=False and append code-less
+        # rows — the exact mixed-schema state this deletion prevents.
+        for side in ("codebooks", "pq_stats"):
+            _sh.rmtree(f"{path}/{side}", ignore_errors=True)
+    # a full rebuild supersedes every parked maintenance dir; clearing
+    # them here keeps a later _recover_parked from restoring a
+    # pre-rebuild cell into the fresh index
+    for parked in ("assigned_old", "assigned_retrain_old"):
+        _sh.rmtree(f"{path}/{parked}", ignore_errors=True)
     if pq is not None:
         # base quantization-error ledger row, aggregated from the
         # WRITTEN table (one cheap scan of a single double column — no
@@ -1034,6 +1042,38 @@ def _read_codebooks(spark, path: str):
     return books, residual
 
 
+def _recover_parked(path: str) -> None:
+    """Single-writer crash recovery shared by EVERY maintenance entry
+    point (ADVICE r10): reconcile directories parked by a compact or
+    retrain that died between its two renames BEFORE any new writer
+    touches the index. Running this at the top of append — not just
+    compact — closes the data-loss interleaving where a crashed
+    compact leaves cell=N parked in ``assigned_old/``, an append then
+    recreates ``assigned/cell=N`` holding only the new batch's files,
+    and the next compact's recovery (seeing dst exists) would discard
+    the only copy of the original rows.
+
+    Cases: a parked retrain table with ``assigned`` missing restores
+    wholesale; a parked compact cell with its dst missing renames
+    back; a parked dir whose dst EXISTS at this point can only be the
+    post-swap copy of the same rows (because every writer reconciles
+    first, no writer can have recreated dst in between), so it drops."""
+    import glob
+    import os
+    import shutil
+
+    retrain_old = f"{path}/assigned_retrain_old"
+    if os.path.isdir(retrain_old) and not os.path.isdir(f"{path}/assigned"):
+        os.rename(retrain_old, f"{path}/assigned")
+    shutil.rmtree(retrain_old, ignore_errors=True)
+    old_root = f"{path}/assigned_old"
+    for odir in sorted(glob.glob(f"{old_root}/cell=*")):
+        dst = f"{path}/assigned/{os.path.basename(odir)}"
+        if not os.path.exists(dst):
+            os.rename(odir, dst)
+    shutil.rmtree(old_root, ignore_errors=True)
+
+
 def ann_index_append(
     spark,
     path: str,
@@ -1057,9 +1097,21 @@ def ann_index_append(
 
     This is exactly what streaming_ivf_cell_route's assignment half
     computes; driving THIS function from foreachBatch turns that
-    routing demo into a live index (ann_index_maintain_e2e does)."""
+    routing demo into a live index (ann_index_maintain_e2e does).
+
+    Crash contract: single-writer, like compact/retrain. The
+    reconcile-parked pass below runs FIRST so an append can never
+    recreate a cell directory whose original rows are still parked by
+    a crashed compact (ADVICE r10 — that interleaving made the next
+    compact's recovery discard the only copy). On a PQ index the
+    batch lands in TWO writes (assigned files, then the pq_stats
+    ledger row); a crash between them leaves rows in the table that
+    the ledger hasn't counted — detectable (table count ≠ ledger Σn)
+    and repairable by ann_index_repair_ledger, which re-derives the
+    appended side from the table itself."""
     import glob
 
+    _recover_parked(path)
     if not glob.glob(f"{path}/assigned/cell=*"):
         raise ValueError(
             f"{path}/assigned is not a layout='cells' index — appending "
@@ -1147,19 +1199,16 @@ def ann_index_compact(spark, path: str, max_files: int = 1) -> list:
     cell dir missing from ``assigned/`` with its data intact in
     ``assigned_old/``; the recovery pass at the top of this function
     renames any such orphan back before compacting, so re-running
-    compact after a crash is the recovery procedure."""
+    compact after a crash is the recovery procedure — and the SAME
+    pass runs at the top of append/retrain (_recover_parked), so no
+    other writer can recreate a displaced cell's directory while the
+    original rows sit parked (ADVICE r10)."""
     import glob
     import os
     import shutil
 
-    # crash recovery: restore any cell displaced to assigned_old/ by a
-    # prior run that died between its two renames
+    _recover_parked(path)
     old_root = f"{path}/assigned_old"
-    for odir in sorted(glob.glob(f"{old_root}/cell=*")):
-        dst = f"{path}/assigned/{os.path.basename(odir)}"
-        if not os.path.exists(dst):
-            os.rename(odir, dst)
-    shutil.rmtree(old_root, ignore_errors=True)
 
     hot = []
     for cdir in sorted(glob.glob(f"{path}/assigned/cell=*")):
@@ -1279,8 +1328,19 @@ def ann_index_pq_drift(spark, path: str) -> DataFrame:
     app_m = F.col("appended_sum") / F.col("n_appended")
     # an index with no appends yet has NO drift by definition:
     # err_ratio pins to 1.0 (not NULL) so the gate comparison a
-    # maintenance loop runs unconditionally never trips on None
-    ratio = F.coalesce(F.round(app_m / base_m, 6), F.lit(1.0))
+    # maintenance loop runs unconditionally never trips on None.
+    # ONLY that case pins (ADVICE r10): if appended rows exist but the
+    # base side is absent or zero (a ledger created by appending to an
+    # index whose base row was lost, or a degenerate zero-error base),
+    # the ratio stays NULL — a broken ledger must read as "gate
+    # unanswerable", never as "no drift", or the gate would silently
+    # never fire in exactly the stale-codebook scenarios it exists to
+    # catch. NULL here means: repair the ledger
+    # (ann_index_repair_ledger) or rebuild.
+    no_appends = F.col("n_appended").isNull() | (F.col("n_appended") == 0)
+    ratio = F.when(no_appends, F.lit(1.0)).otherwise(
+        F.round(app_m / base_m, 6)
+    )
     return agg.select(
         F.coalesce(F.col("n_base"), F.lit(0).cast("long")).alias("n_base"),
         F.round(base_m, 6).alias("base_mqerr"),
@@ -1290,6 +1350,60 @@ def ann_index_pq_drift(spark, path: str) -> DataFrame:
         F.round(app_m, 6).alias("appended_mqerr"),
         ratio.alias("err_ratio"),
     )
+
+
+def ann_index_repair_ledger(spark, path: str) -> None:
+    """Recovery action for the append crash window (ADVICE r10): an
+    append's batch lands in TWO writes — assigned files, then the
+    pq_stats ledger row — so a crash between them leaves rows in the
+    table the ledger never counted (and a replayed batch can
+    double-count). This rewrites the ledger's APPENDED side from the
+    table itself: appended_n = table_n − base_n and appended_sum =
+    table_sum − base_sum, merged into one row, with the base row kept
+    verbatim — so err_ratio after a repair equals what an uncrashed
+    history would have measured, because Σqerr over the appended rows
+    is the same numbers whichever batch boundaries they arrived in.
+
+    Cost: one scan of the index's single ``qerr`` double column
+    (column-pruned at the parquet reader) plus the driver-sized
+    ledger. If the base row itself is missing there is nothing to
+    anchor the relative gate to — raises, since the only honest reset
+    is a rebuild or retrain (both write a fresh in-sample base)."""
+    stats = spark.read.parquet(f"{path}/pq_stats")
+    base = (
+        stats.filter(F.col("phase") == "base")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_qerr").alias("sum_qerr"),
+        )
+        .collect()[0]
+    )
+    if base["n"] is None:
+        raise ValueError(
+            f"{path}/pq_stats has no base row — the relative drift "
+            "gate has no anchor; rebuild (ann_index_write) or retrain "
+            "(ann_index_retrain_codebooks) to establish one"
+        )
+    total = (
+        spark.read.parquet(f"{path}/assigned")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qerr").alias("sum_qerr"),
+        )
+        .collect()[0]
+    )
+    local_table(
+        spark,
+        [
+            ("base", int(base["n"]), float(base["sum_qerr"])),
+            (
+                "appended",
+                int(total["n"] - base["n"]),
+                float(total["sum_qerr"] - base["sum_qerr"]),
+            ),
+        ],
+        "phase string, n long, sum_qerr double",
+    ).write.mode("overwrite").parquet(f"{path}/pq_stats")
 
 
 def ann_index_retrain_codebooks(
@@ -1331,15 +1445,14 @@ def ann_index_retrain_codebooks(
     it if a crash left ``assigned`` missing), so no crash point loses
     the table."""
     import os
-
-    # crash recovery: restore an assigned table displaced by a prior
-    # retrain that died between its two renames
-    old_root = f"{path}/assigned_retrain_old"
-    if os.path.isdir(old_root) and not os.path.isdir(f"{path}/assigned"):
-        os.rename(old_root, f"{path}/assigned")
     import shutil
 
-    shutil.rmtree(old_root, ignore_errors=True)
+    # crash recovery: reconcile ALL parked state (a prior retrain's
+    # displaced table AND any compact-displaced cell — retraining an
+    # index with a cell still parked would bake the loss into the new
+    # codes and ledger; ADVICE r10) before reading the table
+    _recover_parked(path)
+    old_root = f"{path}/assigned_retrain_old"
 
     centroids, assigned = ann_index_read(spark, path)
     old_books, residual = _read_codebooks(spark, path)

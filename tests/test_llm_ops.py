@@ -1998,6 +1998,124 @@ def test_ann_index_maintain_append_compact_isolation(spark, tmp_path):
     assert len(rows) > 0 and all(r["drift"] >= 0 for r in rows)
 
 
+def test_ann_index_append_recovers_parked_dirs_first(spark, tmp_path):
+    # ADVICE r10 (medium): a compact that crashed between its two
+    # renames leaves cell=N parked under assigned_old/. If an append
+    # then recreated assigned/cell=N with only the batch's files, the
+    # NEXT compact's recovery (dst exists → drop orphan) would delete
+    # the only copy of the original rows. The reconcile pass at the
+    # top of append must restore the parked cell before writing.
+    import glob
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    new = emb.filter(F.col("vec_id") >= 495)
+    path = str(tmp_path / "crash_ivf")
+    S.ann_index_write(
+        base, "embedding", "vec_id", path, num_cells=16, train_iters=3,
+        layout="cells",
+    )
+    total = base.count()
+    # simulate the crash: one populated cell displaced to assigned_old/
+    cdir = sorted(glob.glob(f"{path}/assigned/cell=*"))[0]
+    parked = f"{path}/assigned_old/{os.path.basename(cdir)}"
+    os.makedirs(f"{path}/assigned_old", exist_ok=True)
+    os.rename(cdir, parked)
+    S.ann_index_append(spark, path, new, "embedding", "vec_id")
+    # no rows lost: parked cell restored BEFORE the batch landed, and
+    # a follow-up compact (the documented recovery) keeps every row
+    _, assigned = S.ann_index_read(spark, path)
+    assert assigned.count() == total + new.count()
+    assert not os.path.exists(f"{path}/assigned_old")
+    S.ann_index_compact(spark, path)
+    _, assigned2 = S.ann_index_read(spark, path)
+    assert assigned2.count() == total + new.count()
+    # same contract for a retrain crash (whole table parked): append
+    # must restore it rather than raise on the missing layout
+    os.rename(f"{path}/assigned", f"{path}/assigned_retrain_old")
+    S.ann_index_append(spark, path, new.limit(2), "embedding", "vec_id")
+    _, assigned3 = S.ann_index_read(spark, path)
+    assert assigned3.count() == total + new.count() + 2
+
+
+def test_ann_index_repair_ledger_restores_uncounted_append(spark, tmp_path):
+    # ADVICE r10: append's two writes (assigned files, pq_stats row)
+    # are not atomic — simulate a crash between them by dropping the
+    # second batch's ledger row, then assert ann_index_repair_ledger
+    # re-derives the appended side from the table so err_ratio equals
+    # the uncrashed history's value exactly.
+    from pippin_spark.operators.util import local_table
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    b1 = emb.filter((F.col("vec_id") >= 495) & (F.col("vec_id") < 498))
+    b2 = emb.filter(F.col("vec_id") >= 498)
+    path = str(tmp_path / "ledger_ivfpq")
+    S.ann_index_write(
+        base, "embedding", "vec_id", path, num_cells=8, train_iters=3,
+        layout="cells", pq=(8, 16, 2),
+    )
+    S.ann_index_append(spark, path, b1, "embedding", "vec_id")
+    S.ann_index_append(spark, path, b2, "embedding", "vec_id")
+    truth = S.ann_index_pq_drift(spark, path).collect()[0]
+    ledger = spark.read.parquet(f"{path}/pq_stats").collect()
+    # drop exactly one appended row (the crash-window state)
+    keep = [r for r in ledger if r["phase"] == "base"] + [
+        r for r in ledger if r["phase"] == "appended"
+    ][:1]
+    local_table(
+        spark,
+        [(r["phase"], r["n"], r["sum_qerr"]) for r in keep],
+        "phase string, n long, sum_qerr double",
+    ).write.mode("overwrite").parquet(f"{path}/pq_stats")
+    broken = S.ann_index_pq_drift(spark, path).collect()[0]
+    assert broken["n_appended"] < truth["n_appended"]  # detectably wrong
+    S.ann_index_repair_ledger(spark, path)
+    fixed = S.ann_index_pq_drift(spark, path).collect()[0]
+    assert fixed["n_appended"] == truth["n_appended"]
+    assert fixed["err_ratio"] == truth["err_ratio"]
+    assert abs(fixed["appended_mqerr"] - truth["appended_mqerr"]) < 1e-6
+
+
+def test_pq_drift_broken_base_is_null_not_one(spark, tmp_path):
+    # ADVICE r10: appended rows with a lost/zero base row must NOT
+    # read as err_ratio=1.0 ("no drift") — the gate would silently
+    # never fire. It reads NULL, and repair refuses (no anchor).
+    from pippin_spark.operators.util import local_table
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    path = str(tmp_path / "nobase_ivfpq")
+    S.ann_index_write(
+        base, "embedding", "vec_id", path, num_cells=8, train_iters=3,
+        layout="cells", pq=(8, 16, 2),
+    )
+    S.ann_index_append(
+        spark, path, emb.filter(F.col("vec_id") >= 495), "embedding",
+        "vec_id",
+    )
+    ledger = spark.read.parquet(f"{path}/pq_stats").collect()
+    appended_only = [r for r in ledger if r["phase"] == "appended"]
+    local_table(
+        spark,
+        [(r["phase"], r["n"], r["sum_qerr"]) for r in appended_only],
+        "phase string, n long, sum_qerr double",
+    ).write.mode("overwrite").parquet(f"{path}/pq_stats")
+    row = S.ann_index_pq_drift(spark, path).collect()[0]
+    assert row["err_ratio"] is None and row["n_appended"] > 0
+    with pytest.raises(ValueError, match="no base row"):
+        S.ann_index_repair_ledger(spark, path)
+    # while a pristine no-appends index still pins to exactly 1.0
+    path2 = str(tmp_path / "pristine_ivfpq")
+    S.ann_index_write(
+        base, "embedding", "vec_id", path2, num_cells=8, train_iters=3,
+        layout="cells", pq=(8, 16, 2),
+    )
+    row2 = S.ann_index_pq_drift(spark, path2).collect()[0]
+    assert row2["err_ratio"] == 1.0 and row2["n_appended"] == 0
+
+
 def test_sft_render_multiturn_offsets_reconstruct(spark):
     # per-turn loss-mask offsets must index into the CONCATENATED
     # conversation: rebuilding each doc's conversation from its
