@@ -174,6 +174,8 @@ HEADLINE = [
     # round-10 additions
     "sft_manifest_e2e",  # epoch-permuted loss-mask-aware packing
     "bpe_encode_docs",  # per-doc cost under the learned tokenizer
+    # round-11 additions
+    "ann_index_retrain_e2e",  # PQ gate fires -> codebook retrain cycle
 ]
 
 # ---------------------------------------------------------------------
@@ -649,8 +651,56 @@ def main() -> None:
             ).join(F.broadcast(pq_drift.select("err_ratio")))
         )
 
+    def _raw_retrain(spark, sf_dir):
+        # the PRODUCT retrain cycle (the PQ drift gate's maintenance
+        # action): base IVF-PQ build on the clustered rig + shifted
+        # flood append + both gates + codebook retrain/re-encode +
+        # post-retrain in-distribution append + gate re-read + probe.
+        # The declared query additionally rebuilds a fresh
+        # verification arm and runs the equality joins — correctness
+        # harness, excluded from the timed row (the maintain rule).
+        from pyspark.sql import functions as F
+
+        from pippin_spark.entry_queries import (
+            _clustered_embeddings,
+            _maint_index_path,
+            _retrain_shift_flood,
+        )
+
+        emb_ids = Pipeline.from_table(spark, sf_dir, "embeddings").df
+        base = _clustered_embeddings(emb_ids, salt=1)
+        path = _maint_index_path(sf_dir) + "_retrain_benchraw"
+        SIM.ann_index_write(
+            base, "embedding", "vec_id", path, num_cells=8,
+            train_iters=3, layout="cells", pq=(8, 16, 2),
+        )
+        flood = _retrain_shift_flood(spark, path)
+        SIM.ann_index_append(spark, path, flood, "embedding", "vec_id")
+        SIM.ann_index_pq_drift(spark, path).collect()
+        SIM.ann_index_drift(spark, path).agg(F.max("drift")).collect()
+        SIM.ann_index_retrain_codebooks(spark, path, train_iters=2)
+        SIM.ann_index_append(
+            spark, path,
+            _clustered_embeddings(
+                emb_ids.filter(F.col("vec_id") % 10 >= 8), salt=3,
+                id_offset=20_000_000,
+            ),
+            "embedding", "vec_id",
+        )
+        probe = SIM.ivfpq_topk_prebuilt(
+            spark, path,
+            _clustered_embeddings(emb_ids.filter(F.col("vec_id") < 5), salt=1),
+            "embedding", "vec_id", k=5, nprobe=4,
+        )
+        return probe.join(
+            F.broadcast(
+                SIM.ann_index_pq_drift(spark, path).select("err_ratio")
+            )
+        )
+
     qs = dict(qs)
     qs["ann_index_maintain_e2e"] = _raw_maintain
+    qs["ann_index_retrain_e2e"] = _raw_retrain
     qs["dedup_minhash"] = _raw_minhash
     qs["streaming_minhash_dedup"] = _raw_stream_minhash
     qs["dedup_simhash"] = _raw_simhash
@@ -726,6 +776,9 @@ def main() -> None:
         # full maintain cycle (base build + streamed append + compact
         # + fresh-arm rebuild + drift) runs in the builder
         "ann_index_maintain_e2e",
+        # full retrain cycle (base build + flood append + both gates +
+        # codebook retrain/re-encode + post append) runs in the builder
+        "ann_index_retrain_e2e",
     }
 
     timings: dict[str, float] = {}

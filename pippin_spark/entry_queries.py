@@ -11624,6 +11624,201 @@ def q_ann_index_maintain_e2e(spark, sf_dir):
     )
 
 
+def _clustered_embeddings(df_ids, salt: int, id_offset: int = 0):
+    """Deterministic clustered 64-dim corpus keyed by vec_id — the
+    regime an IVF-PQ index exists for (8 orthonormal cluster
+    directions + 5% noise; the fixture embeddings are too diffuse for
+    any flood to move the relative PQ gate — see
+    test_pq_codebook_drift_gate_fires_where_centroid_gate_does_not).
+    Pure function of (vec_id, salt): partition-layout invariant, built
+    distributed (mapInPandas over only the id column), so the rig
+    scales with the table while staying bit-reproducible."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        dirs, _ = np.linalg.qr(
+            np.random.RandomState(7).standard_normal((64, 8))
+        )
+        for pdf in batches:
+            ids, vecs = [], []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                r = np.random.RandomState((vid * 1000003 + salt) % (2**31))
+                v = dirs[:, vid % 8] + 0.05 * r.standard_normal(64)
+                ids.append(vid + id_offset)
+                vecs.append([float(x) for x in v])
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return df_ids.select("vec_id").mapInPandas(
+        gen, "vec_id long, embedding array<double>"
+    )
+
+
+def _retrain_shift_flood(spark, path: str, per_cell: int = 20):
+    """The PQ-gate's discriminating traffic (VERDICT r9 #4 fixture,
+    promoted from the pytest): symmetric pairs c_n ± 3·delta with
+    delta drawn from the orthogonal complement of the centroid span —
+    the pair cancels in every cell MEAN (centroid gate stays silent)
+    while each member lands far from any trained codeword (PQ gate
+    fires). Driver-built but bounded: #cells × per_cell × 2 rows, the
+    centroid-table budget."""
+    import numpy as np
+
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cents])
+    Cn = C / np.linalg.norm(C, axis=1)[:, None]
+    Q, _ = np.linalg.qr(Cn.T)
+    rng = np.random.RandomState(11)
+    rows, vid = [], 10_000_000
+    for ci in range(len(Cn)):
+        for _ in range(per_cell):
+            delta = rng.standard_normal(Cn.shape[1])
+            delta -= Q @ (Q.T @ delta)
+            delta /= np.linalg.norm(delta)
+            for sgn in (3.0, -3.0):
+                rows.append((vid, [float(x) for x in Cn[ci] + sgn * delta]))
+                vid += 1
+    return local_table(spark, rows, "vec_id long, embedding array<double>")
+
+
+@_q(
+    "ann_index_retrain_e2e",
+    # declared-row evidence for the PQ drift gate's maintenance ACTION
+    # (VERDICT r10 #2): on a live IVF-PQ index, a centroid-mean-
+    # preserving shifted flood fires the PQ gate while the centroid
+    # gate stays silent; ann_index_retrain_codebooks then retrains the
+    # codebooks on the index's current contents (the shift becomes
+    # in-sample), resets the error ledger to the new in-sample
+    # baseline, and a fresh in-distribution append measures ~1 against
+    # it; finally BOTH probes (exact IVF and codes-only IVF-PQ) on the
+    # retrained-and-appended index pin EXACT equality against a
+    # from-scratch rebuild that trains centroids on the base corpus
+    # and codebooks on the retrain-time contents (codebook training is
+    # a pure function of the sampled id set — _collect_sample — so the
+    # two arms compute identical books). Every invariant lands in the
+    # one-row summary so the DuckDB oracle is exact.
+    """
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_base,
+           CAST(320 AS BIGINT) AS n_flood,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 >= 8)
+                AS BIGINT) AS n_post_appended,
+           CAST((SELECT COUNT(*) FROM embeddings) + 320 +
+                (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 >= 8)
+                AS BIGINT) AS n_indexed_final,
+           CAST(25 AS BIGINT) AS probe_pairs,
+           CAST(1 AS BIGINT) AS centroid_gate_silent_on_flood,
+           CAST(1 AS BIGINT) AS pq_gate_fired_on_flood,
+           CAST(1 AS BIGINT) AS ledger_reset_after_retrain,
+           CAST(1 AS BIGINT) AS flood_in_sample_after_retrain,
+           CAST(1 AS BIGINT) AS post_retrain_append_below_gate,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(0 AS BIGINT) AS n_mismatch_pq
+    """,
+)
+def q_ann_index_retrain_e2e(spark, sf_dir):
+    import shutil
+
+    emb_ids = _t(spark, sf_dir, "embeddings").df
+    base = _clustered_embeddings(emb_ids, salt=1)
+    path = _maint_index_path(sf_dir) + "_retrain_e2e"
+    # fresh base build every invocation (same double-append guard as
+    # maintain_e2e: the static partitioned overwrite wipes prior runs)
+    SIM.ann_index_write(
+        base, "embedding", "vec_id", path, num_cells=8, train_iters=3,
+        layout="cells", pq=(8, 16, 2),
+    )
+    n_base = spark.read.parquet(f"{path}/assigned").count()
+    # 1. shifted flood: PQ gate must fire, centroid gate must not
+    flood = _retrain_shift_flood(spark, path)
+    SIM.ann_index_append(spark, path, flood, "embedding", "vec_id")
+    gate_before = SIM.ann_index_pq_drift(spark, path).collect()[0]
+    max_drift = (
+        SIM.ann_index_drift(spark, path)
+        .agg(F.max("drift").alias("d"))
+        .collect()[0]["d"]
+    )
+    n_flood = gate_before["n_appended"]
+    # 2. the gate's action: retrain codebooks, re-encode, reset ledger
+    SIM.ann_index_retrain_codebooks(spark, path, train_iters=2)
+    gate_reset = SIM.ann_index_pq_drift(spark, path).collect()[0]
+    ledger_reset = int(
+        gate_reset["n_base"] == n_base + n_flood
+        and gate_reset["n_appended"] == 0
+        and gate_reset["err_ratio"] == 1.0
+    )
+    flood_in_sample = int(
+        gate_reset["base_mqerr"] < gate_before["appended_mqerr"]
+    )
+    # 3. post-retrain in-distribution traffic measures ~1 again
+    batch3 = _clustered_embeddings(
+        emb_ids.filter(F.col("vec_id") % 10 >= 8), salt=3,
+        id_offset=20_000_000,
+    )
+    SIM.ann_index_append(spark, path, batch3, "embedding", "vec_id")
+    gate_after = SIM.ann_index_pq_drift(spark, path).collect()[0]
+    n_post = gate_after["n_appended"]
+    n_final = spark.read.parquet(f"{path}/assigned").count()
+    # 4. probe equality vs a from-scratch rebuild: same base-trained
+    # centroids, codebooks trained on the retrain-time contents
+    qdf = _clustered_embeddings(emb_ids.filter(F.col("vec_id") < 5), salt=1)
+    maint = SIM.ivf_topk_prebuilt(
+        spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
+    )
+    maint_pq = SIM.ivfpq_topk_prebuilt(
+        spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
+    )
+    fresh_path = f"{path}_fresharm"
+    shutil.rmtree(fresh_path, ignore_errors=True)
+    SIM.ann_index_write(
+        base.unionByName(flood).unionByName(batch3), "embedding", "vec_id",
+        fresh_path, num_cells=8, train_iters=3, layout="cells",
+        train_on=base, pq=(8, 16, 2),
+        pq_train_on=base.unionByName(flood),
+    )
+    fresh = SIM.ivf_topk_prebuilt(
+        spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
+    )
+    fresh_pq = SIM.ivfpq_topk_prebuilt(
+        spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
+    )
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+
+    def _n_mismatch(a, b):
+        return (
+            a.select(*cols).join(b.select(*cols), cols, "full_outer").count()
+            - a.count()
+        )
+
+    return local_table(
+        spark,
+        [(
+            n_base,
+            n_flood,
+            n_post,
+            n_final,
+            maint.count(),
+            int(max_drift < 0.2),
+            int(gate_before["err_ratio"] > 2.0),
+            ledger_reset,
+            flood_in_sample,
+            int(gate_after["err_ratio"] < 1.5),
+            _n_mismatch(maint, fresh),
+            _n_mismatch(maint_pq, fresh_pq),
+        )],
+        "n_base long, n_flood long, n_post_appended long, "
+        "n_indexed_final long, probe_pairs long, "
+        "centroid_gate_silent_on_flood long, pq_gate_fired_on_flood long, "
+        "ledger_reset_after_retrain long, flood_in_sample_after_retrain long, "
+        "post_retrain_append_below_gate long, n_mismatch long, "
+        "n_mismatch_pq long",
+    )
+
+
 @_q("dedup_keep_best_quality", None)
 def q_dedup_keep_best_quality(spark, sf_dir):
     # exact dedup keeping the BEST-quality member of each duplicate
@@ -11716,15 +11911,66 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # locally by tools/verify_strict.py at sf0.001/0.01/0.1 under the same
 # typed-hash policy, so ordering carries zero correctness risk — but
 # only queries in the driver's window get a hard CORRECTNESS_r{N} row.
-# --- round-10 driver window (first 50): closes the stale-row ledger
-# (VERDICT r9 #1) — the 11 r3-vintage rows (cluster/megabucket dedup,
-# IVF/LSH ANN, knn join, packing, chunking) then 39 of the 50
-# r4-vintage rows (TPC-H mid-range, window functions, percentile/HLL
-# aggregates, sinks), oldest-first. After r10 lands, no driver row is
-# >5 rounds stale and the remaining 11 r4 rows are the freshest
-# residue for r11. Built by tools/next_window.py --emit;
-# tests/test_oracle.py asserts the list stays exhaustive.
+# --- round-11 driver window (first 50): the never-recorded round-11
+# addition (ann_index_retrain_e2e) first, then strictly oldest-first
+# (VERDICT r10 #5's rotation invariant) — the 13 rows whose last
+# DRIVER record is r4 (sinks/sources/udtf/graph; the r10 judge
+# re-verified them independently, which doesn't update driver
+# vintage), then the r5-vintage residue. Steady-state staleness with
+# 310 rows and a 50-slot window is ~6 rounds; the local 3-SF strict
+# sweeps cover the gap every round. Built by tools/next_window.py
+# --emit; tests/test_oracle.py asserts the list stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "ann_index_retrain_e2e",
+    "sink_jsonl_roundtrip",
+    "sink_compacted_parquet",
+    "source_from_orc",
+    "source_from_xml",
+    "source_from_text",
+    "source_json_corrupt",
+    "source_parquet_evolved",
+    "source_file_lineage",
+    "source_custom_python",
+    "udtf_sentences",
+    "pagerank_trade_graph",
+    "heavy_hitters_events",
+    "recursive_cte_reach",
+    "for_each_sink_roundtrip",
+    "knn_join_ivf",
+    "ann_topk_pq",
+    "streaming_minhash_dedup",
+    "agg_count_min_events",
+    "diversity_kcenter",
+    "span_corrupt_docs",
+    "fim_transform_docs",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_outer_counts",
+    "join_shuffle_hash",
+    "set_union",
+    "set_intersect_all",
+    "set_except_all",
+    "not_in_customers",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "dedup_media_bytes",
+    "emb_standardize",
+    "pretrain_prep_e2e",
+    "semantic_dedup_e2e",
+    "scd2_user_values",
+    "gap_fill_events",
+    "merge_changes_orders",
+    "incremental_pricing_merge",
+    "asof_join_events_bucketed",
+    "sessionize_events_bucketed",
+    "key_skew_events",
+    "bucketed_join_pricing",
+    "zorder_parts",
+    "text_gopher_filter",
+    "token_freq_spectrum",
+    "text_top_bigrams",
     "bpe_encode_docs",
     "sft_manifest_e2e",
     "dedup_clusters",
@@ -11775,8 +12021,6 @@ _DRIVER_ROW_PRIORITY = [
     "sink_partitioned_parquet",
     "sink_csv_roundtrip",
     "sink_sorted_parquet",
-    "sink_jsonl_roundtrip",
-    "sink_compacted_parquet",
     "ann_topk_ivfpq_residual",
     "ann_topk_ivfpq_prebuilt",
     "ann_topk_ivfpq",
@@ -11977,42 +12221,6 @@ _DRIVER_ROW_PRIORITY = [
     "extract_numbers_stats",
     "length_decile_docs",
     "dedup_transitive_keep",
-    "for_each_sink_roundtrip",
-    "knn_join_ivf",
-    "ann_topk_pq",
-    "streaming_minhash_dedup",
-    "agg_count_min_events",
-    "diversity_kcenter",
-    "span_corrupt_docs",
-    "fim_transform_docs",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_outer_counts",
-    "join_shuffle_hash",
-    "set_union",
-    "set_intersect_all",
-    "set_except_all",
-    "not_in_customers",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "dedup_media_bytes",
-    "emb_standardize",
-    "pretrain_prep_e2e",
-    "semantic_dedup_e2e",
-    "scd2_user_values",
-    "gap_fill_events",
-    "merge_changes_orders",
-    "incremental_pricing_merge",
-    "asof_join_events_bucketed",
-    "sessionize_events_bucketed",
-    "key_skew_events",
-    "bucketed_join_pricing",
-    "zorder_parts",
-    "text_gopher_filter",
-    "token_freq_spectrum",
-    "text_top_bigrams",
     "text_tfidf_topterms",
     "source_binary_files",
     "profile_orders",
@@ -12023,18 +12231,8 @@ _DRIVER_ROW_PRIORITY = [
     "props_value_stats",
     "streaming_stream_stream_join",
     "asof_join_tolerance",
-    "source_from_orc",
-    "source_from_xml",
-    "source_from_text",
-    "source_json_corrupt",
-    "source_parquet_evolved",
-    "source_file_lineage",
-    "source_custom_python",
-    "udtf_sentences",
-    "pagerank_trade_graph",
-    "heavy_hitters_events",
-    "recursive_cte_reach",
 ]
+
 
 
 def _apply_driver_row_priority() -> None:
