@@ -176,6 +176,8 @@ HEADLINE = [
     "bpe_encode_docs",  # per-doc cost under the learned tokenizer
     # round-11 additions
     "ann_index_retrain_e2e",  # PQ gate fires -> codebook retrain cycle
+    "pack_on_bpe_e2e",  # learned-tokenizer token-budget loader manifest
+    "unigram_vocab_segments",  # unigram-LM (SentencePiece-style) induction
 ]
 
 # ---------------------------------------------------------------------
@@ -779,6 +781,12 @@ def main() -> None:
         # full retrain cycle (base build + flood append + both gates +
         # codebook retrain/re-encode + post append) runs in the builder
         "ann_index_retrain_e2e",
+        # BPE merge training (one 1-row action per round) + budget
+        # collect + waterfill fold all run at construction
+        "pack_on_bpe_e2e",
+        # seed/cost collects + the EM recount collect run at
+        # construction
+        "unigram_vocab_segments",
     }
 
     timings: dict[str, float] = {}

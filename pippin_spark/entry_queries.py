@@ -7737,6 +7737,142 @@ def q_bpe_encode_docs(spark, sf_dir):
     return BPE.bpe_doc_piece_counts(docs, "text", rounds=3)
 
 
+def _unigram_viterbi_levels_sql(
+    tag: str, cost_cte: str, maxlen: int = 32, max_piece: int = 4
+) -> str:
+    """Unrolled Viterbi DP over word positions (the waterfill/GD
+    unroll pattern): level k holds, per word with length >= k, the
+    best (cost, n_pieces, space-joined parts) segmentation of the
+    first k chars — min over piece lengths 1..max_piece of
+    D[k-pl] + cost(substr(word, k-pl+1, pl)). Every level is
+    MATERIALIZED (DuckDB inlines plain CTEs; a 32-level chain with
+    4 references each would blow up exponentially — the
+    _waterfill_rounds_sql lesson). The tie-break ORDER BY
+    (cost, np, parts) equals the Python tuple compare because ' '
+    sorts below every piece character."""
+    parts = [
+        f"""d{tag}_0 AS (
+      SELECT word, cnt, 0 AS cost, 0 AS np, '' AS parts FROM words)"""
+    ]
+    for k in range(1, maxlen + 1):
+        branches = []
+        for pl in range(1, max_piece + 1):
+            j = k - pl
+            if j < 0:
+                continue
+            branches.append(f"""
+        SELECT dj.word, dj.cnt, dj.cost + p.c AS cost, dj.np + 1 AS np,
+               CASE WHEN dj.parts = '' THEN p.piece
+                    ELSE dj.parts || ' ' || p.piece END AS parts
+        FROM d{tag}_{j} dj
+        JOIN {cost_cte} p ON p.piece = substr(dj.word, {j} + 1, {pl})
+        WHERE length(dj.word) >= {k}""")
+        parts.append(f"""d{tag}_{k} AS MATERIALIZED (
+      SELECT word, cnt, cost, np, parts FROM (
+        {" UNION ALL ".join(branches)}
+      ) QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY word ORDER BY cost, np, parts) = 1
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT word, cnt, cost, np, parts, {k} AS k FROM d{tag}_{k}"
+        for k in range(1, maxlen + 1)
+    )
+    parts.append(f"""fin{tag} AS MATERIALIZED (
+      SELECT word, cnt, cost, np, parts FROM ({unions})
+      WHERE k = length(word))""")
+    return ",\n    ".join(parts)
+
+
+def _unigram_oracle_sql(
+    max_piece: int = 4, seed_size: int = 300, prune_keep: int = 150
+) -> str:
+    """Chained-CTE replay of unigram_train_segments (see
+    operators/unigram.py for the algorithm and parity contract):
+    substring seed -> bit_length costs -> Viterbi round 1 ->
+    count-weighted recount + prune -> re-cost -> Viterbi round 2."""
+    lv_a = _unigram_viterbi_levels_sql("a", "cost0", max_piece=max_piece)
+    lv_b = _unigram_viterbi_levels_sql("b", "cost2", max_piece=max_piece)
+    return f"""
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents) GROUP BY 1
+    ), subs_raw AS (
+      SELECT cnt, word, i,
+             UNNEST(generate_series(
+               1, LEAST({int(max_piece)}, length(word) - i + 1))) AS l
+      FROM (SELECT word, cnt,
+                   UNNEST(generate_series(1, length(word))) AS i
+            FROM words)
+    ), subs AS MATERIALIZED (
+      SELECT substr(word, i, l) AS piece, CAST(SUM(cnt) AS BIGINT) AS freq
+      FROM subs_raw GROUP BY 1
+    ), seed AS MATERIALIZED (
+      SELECT piece, freq FROM subs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, freq FROM (
+        SELECT piece, freq FROM subs WHERE length(piece) >= 2
+        ORDER BY freq DESC, piece LIMIT {int(seed_size)})
+    ), tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM seed),
+    cost0 AS MATERIALIZED (
+      SELECT piece, CAST(length(format('{{:b}}', t // freq)) AS INT) AS c
+      FROM seed CROSS JOIN tot
+    ),
+    {lv_a},
+    seg1 AS (
+      SELECT cnt, UNNEST(string_split(parts, ' ')) AS piece FROM fina
+    ), freq2 AS MATERIALIZED (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM seg1 GROUP BY 1
+    ), kept AS MATERIALIZED (
+      SELECT s.piece, COALESCE(f.freq, 0) AS freq
+      FROM (SELECT piece FROM seed WHERE length(piece) = 1) s
+      LEFT JOIN freq2 f USING (piece)
+      UNION ALL
+      SELECT piece, freq FROM (
+        SELECT piece, freq FROM freq2 WHERE length(piece) >= 2
+        ORDER BY freq DESC, piece LIMIT {int(prune_keep)})
+    ), tot2 AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM kept),
+    cost2 AS MATERIALIZED (
+      SELECT piece,
+             CAST(CASE WHEN freq = 0
+                  THEN length(format('{{:b}}', t)) + 1
+                  ELSE length(format('{{:b}}', t // freq)) END AS INT) AS c
+      FROM kept CROSS JOIN tot2
+    ),
+    {lv_b}
+    SELECT word, cnt, parts AS pieces,
+           CAST(np AS INT) AS n_pieces, CAST(cost AS INT) AS seg_cost
+    FROM finb
+    """
+
+
+@_q(
+    "unigram_vocab_segments",
+    # unigram-LM (SentencePiece-style) tokenizer induction (VERDICT
+    # r10 #7) — the OTHER dominant real tokenizer family, trained with
+    # the same vocabulary-table scale trick as the BPE family: one
+    # corpus scan for word counts, then substring seeding, quantized
+    # integer costs (bit_length(total div freq) — exact both engines,
+    # monotone in -log p), hard-EM Viterbi segmentation, count-
+    # weighted re-estimation and frequency pruning — all on the
+    # distinct-word vocabulary. Output: the final segmented vocab
+    # (word, cnt, pieces, n_pieces, seg_cost), bpe_vocab_segments'
+    # sibling. Oracle: the full chained replay — the Viterbi DP
+    # unrolls as 32 MATERIALIZED levels per EM round (the waterfill/
+    # GD unroll pattern), tie-break (cost, np, parts) identical to
+    # the Python tuple compare. Divergences from full SentencePiece
+    # (hard-EM, quantized costs, frequency pruning) are documented in
+    # operators/unigram.py.
+    _unigram_oracle_sql(),
+)
+def q_unigram_vocab_segments(spark, sf_dir):
+    from pippin_spark.operators import unigram as UNI
+
+    docs = _t(spark, sf_dir, "documents").df
+    return UNI.unigram_train_segments(docs, "text")
+
+
 @_q(
     "collocations_pmi",
     # PMI-ranked collocations over adjacent word pairs (min support 5):
@@ -10037,6 +10173,42 @@ def q_pack_bins_docs(spark, sf_dir):
     )
 
 
+def _waterfill_rounds_sql(rounds: int, carry: str) -> str:
+    """The unrolled saturate-and-redistribute water-fill rounds shared
+    by every water-fill oracle (token_budget_waterfill,
+    repeat_epochs_plan, training_manifest_e2e, pack_on_bpe_e2e):
+    requires CTEs ``r0`` ({carry} + sat) with ``avail``/``wt`` among
+    the carried columns and ``b`` (bud); emits a0..a{{rounds-1}} and
+    r1..r{{rounds}}.
+
+    Every round is AS MATERIALIZED: DuckDB INLINES plain CTEs, and
+    each r{{i+1}} references r{{i}} twice (directly and through
+    a{{i}}), so an inlined chain duplicates r0's whole upstream 2^N
+    times — harmless when r0 is one cheap scan (the original
+    n_chars oracles) but catastrophic when r0 chains the BPE replay
+    (pack_on_bpe_e2e hit the process fd limit on documents.parquet
+    opens). Materializing pins each round to one evaluation."""
+    out = []
+    for i in range(rounds):
+        out.append(
+            f"""
+    a{i} AS MATERIALIZED (
+      SELECT CAST(COALESCE(SUM(CASE WHEN sat THEN avail END), 0) AS BIGINT) AS sa,
+             CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT) AS uw
+      FROM r{i}
+    ),
+    r{i + 1} AS MATERIALIZED (
+      SELECT {carry},
+             CASE WHEN sat THEN TRUE
+                  WHEN a{i}.uw > 0
+                       AND wt * (b.bud - a{i}.sa) // a{i}.uw >= avail
+                  THEN TRUE ELSE FALSE END AS sat
+      FROM r{i} CROSS JOIN a{i} CROSS JOIN b
+    )"""
+        )
+    return ",".join(out)
+
+
 def _waterfill_oracle(
     rounds: int = 8,
     cap_mult: int = 1,
@@ -10071,23 +10243,7 @@ def _waterfill_oracle(
     b AS (SELECT CAST({budget_sql} AS BIGINT) AS bud FROM documents),
     r0 AS (SELECT lang, tavail, avail, wt, FALSE AS sat FROM w)"""
     ]
-    for i in range(rounds):
-        parts.append(
-            f"""
-    a{i} AS (
-      SELECT CAST(COALESCE(SUM(CASE WHEN sat THEN avail END), 0) AS BIGINT) AS sa,
-             CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT) AS uw
-      FROM r{i}
-    ),
-    r{i + 1} AS (
-      SELECT lang, tavail, avail, wt,
-             CASE WHEN sat THEN TRUE
-                  WHEN a{i}.uw > 0
-                       AND wt * (b.bud - a{i}.sa) // a{i}.uw >= avail
-                  THEN TRUE ELSE FALSE END AS sat
-      FROM r{i} CROSS JOIN a{i} CROSS JOIN b
-    )"""
-        )
+    parts.append(_waterfill_rounds_sql(rounds, "lang, tavail, avail, wt"))
     last = f"r{rounds}"
     alloc = f"""CASE WHEN sat THEN avail
                 WHEN af.uw > 0 THEN wt * (b.bud - af.sa) // af.uw
@@ -11072,6 +11228,159 @@ def q_sft_manifest_e2e(spark, sf_dir):
     return parts[0].unionByName(parts[1])
 
 
+def _pack_on_bpe_oracle() -> str:
+    """One SQL statement chaining the three replay families end-to-end
+    (VERDICT r10 #1): the BPE training CTEs (_bpe_oracle_sql — merge
+    table + segmented vocab), the per-doc piece counts
+    (bpe_encode_docs' final join), the water-fill rounds
+    (_waterfill_rounds_sql) over PIECE availability, and the
+    permuted-selection + global-offset packing windows."""
+    bpe_chain = _bpe_oracle_sql(3).rsplit("\nSELECT 1 AS step", 1)[0]
+    return f"""{bpe_chain}
+    , dw AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    ), dp AS (
+      SELECT doc_id, CAST(SUM(len(v.s)) AS BIGINT) AS n_pieces
+      FROM dw JOIN seq_3 v USING (word)
+      GROUP BY 1
+    ), dl AS (
+      SELECT d.doc_id, d.lang, p.n_pieces
+      FROM documents d JOIN dp p ON d.doc_id = p.doc_id
+    ), by_l AS (
+      SELECT lang, CAST(SUM(n_pieces) AS BIGINT) AS avail FROM dl GROUP BY 1
+    ), cn AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ), sq AS (
+      SELECT lang, {SMP.ISQRT_SQL.format(n='n')} AS s FROM cn
+    ), tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM sq),
+    w AS (
+      SELECT by_l.lang, by_l.avail,
+             CAST(sq.s * 1000000 // tot.t AS BIGINT) AS wt
+      FROM by_l JOIN sq USING (lang) CROSS JOIN tot
+    ),
+    b AS MATERIALIZED (
+      SELECT CAST(SUM(n_pieces) * 2 // 5 AS BIGINT) AS bud FROM dp),
+    r0 AS MATERIALIZED (SELECT lang, avail, wt, FALSE AS sat FROM w),
+    {_waterfill_rounds_sql(8, "lang, avail, wt")},
+    af AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN sat THEN avail END), 0) AS BIGINT) AS sa,
+             CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT) AS uw
+      FROM r8
+    ), alloc_t AS (
+      SELECT lang,
+             CASE WHEN sat THEN avail
+                  WHEN af.uw > 0 THEN wt * (b.bud - af.sa) // af.uw
+                  ELSE 0 END AS alloc
+      FROM r8 CROSS JOIN af CROSS JOIN b
+    ), sel AS (
+      SELECT dl.doc_id, dl.lang, dl.n_pieces
+      FROM dl JOIN alloc_t USING (lang)
+      QUALIFY SUM(n_pieces) OVER (
+        PARTITION BY dl.lang
+        ORDER BY md5('pob42:' || CAST(doc_id AS VARCHAR)), doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= alloc
+    ), ranked AS (
+      SELECT doc_id, lang, n_pieces,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('pobg42:0:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS rank
+      FROM sel
+    )
+    SELECT doc_id, lang, n_pieces, rank,
+           CAST(SUM(n_pieces) OVER (ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_pieces
+             AS BIGINT) AS start_off,
+           CAST((SUM(n_pieces) OVER (ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_pieces)
+             // 512 AS BIGINT) AS seq_id
+    FROM ranked
+    """
+
+
+@_q(
+    "pack_on_bpe_e2e",
+    # the LEARNED-tokenizer loader manifest (VERDICT r10 #1 — the last
+    # gap between the manifest family and what a production loader
+    # consumes): until now the packing/manifest compositions budgeted
+    # in chars or the regex token proxy, which mis-sizes sequences the
+    # moment the tokenizer is real. This chains the three operators
+    # end-to-end IN TOKEN UNITS: train the 3 BPE merges and cost every
+    # document under them (bpe_doc_piece_counts — corpus scanned
+    # twice, merges on the vocab table), water-fill a 40% PIECE budget
+    # across languages under sqrt-temperature weights
+    # (waterfill_allocate's exact-integer fold on piece availability),
+    # select each language's share in a deterministic md5 permutation
+    # (cum pieces <= alloc), then emit the global shuffled-stream
+    # packing offsets (shuffle_order -> pack_stream_offsets,
+    # target 512 pieces): (doc_id, lang, n_pieces, rank, start_off,
+    # seq_id) is exactly the sequence map a loader replays. Scale: the
+    # BPE vocab trick (merges never touch the corpus), a #langs-row
+    # waterfill artifact, per-lang keyed selection windows, and the
+    # bucketed two-phase global prefix — no full-corpus single
+    # partition anywhere. Oracle: _pack_on_bpe_oracle chains the BPE
+    # replay CTEs into the waterfill rounds and the packing windows in
+    # one statement.
+    _pack_on_bpe_oracle(),
+)
+def q_pack_on_bpe_e2e(spark, sf_dir):
+    from pippin_spark.operators import bpe as BPE
+    from pippin_spark.operators.packing import pack_stream_offsets
+
+    docs = _t(spark, sf_dir, "documents").df
+    pieces = BPE.bpe_doc_piece_counts(docs, "text", rounds=3)
+    # (doc_id, lang, n_pieces) feeds three consumers (availability agg,
+    # budget collect, selection); persist so the doc->word explode and
+    # vocab join run once
+    d = (
+        docs.select("doc_id", "lang")
+        .join(
+            pieces.select(
+                "doc_id", F.col("n_bpe_pieces").alias("n_pieces")
+            ),
+            "doc_id",
+        )
+        .persist()
+    )
+    avail = d.groupBy("lang").agg(
+        F.sum("n_pieces").cast("long").alias("avail")
+    )
+    w = SMP.sqrt_temperature_weights(docs, ["lang"]).select(
+        "lang", F.col("weight_ppm").alias("weight")
+    )
+    domains = avail.join(w, "lang")
+    budget = d.agg(F.expr("sum(n_pieces) * 2 div 5").alias("b")).collect()[0][
+        "b"
+    ]
+    filled = SMP.waterfill_allocate(
+        domains, "lang", "avail", "weight", int(budget)
+    )
+    key = F.md5(F.concat(F.lit("pob42:"), F.col("doc_id").cast("string")))
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(key, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = (
+        d.join(F.broadcast(filled.select("lang", "alloc")), "lang")
+        .withColumn("__cum__", F.sum("n_pieces").over(win))
+        .filter(F.col("__cum__") <= F.col("alloc"))
+        .drop("alloc", "__cum__")
+    )
+    ranked = SMP.shuffle_order(sel, "doc_id", seed="pobg42", rank_col="rank")
+    packed = pack_stream_offsets(ranked, "n_pieces", "rank", target_len=512)
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_pieces",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("start_off").cast("bigint").alias("start_off"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+    )
+
+
 @_q(
     "contrastive_pairs_e2e",
     # contrastive training-pair construction: per anchor, the exact
@@ -11922,6 +12231,8 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # --emit; tests/test_oracle.py asserts the list stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
     "ann_index_retrain_e2e",
+    "pack_on_bpe_e2e",
+    "unigram_vocab_segments",
     "sink_jsonl_roundtrip",
     "sink_compacted_parquet",
     "source_from_orc",

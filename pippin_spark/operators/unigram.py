@@ -1,0 +1,238 @@
+"""Unigram-LM (SentencePiece-style) tokenizer induction — the second
+of the two dominant real tokenizer families (Kudo 2018; BPE is the
+other, operators/bpe.py), re-expressed with the same vocabulary-table
+scale trick and exact-integer cross-engine parity.
+
+Reference scope note: the reference engine (n0rdy/pippin) has no
+tokenizer induction; this extends the LLM-pipeline surface the same
+way bpe.py does (SURVEY.md north-star extensions).
+
+Faithful-but-exact simplifications, documented divergences from full
+SentencePiece:
+- HARD-EM (Viterbi) instead of forward-backward soft-EM: the E-step
+  segments every distinct word with the current piece costs; the
+  M-step re-estimates piece frequencies from those segmentations
+  (count-weighted) — the classic hard-EM variant of the algorithm.
+- QUANTIZED integer costs instead of float -log p: cost(piece) =
+  bit_length(total div freq) — i.e. floor(log2(total/freq)) + 1, an
+  exact integer both engines compute identically (Python
+  int.bit_length == DuckDB length(format('{:b}', x))), monotone in
+  the true negative log-probability. Float log costs would make the
+  Viterbi argmin engine-dependent at ties/ulp boundaries — the same
+  reason collocations_pmi ranks by an integer transform.
+- Pruning keeps the top-K multi-char pieces by re-estimated frequency
+  (ties to the lexicographically smaller piece) instead of the exact
+  loss-delta ranking; single-char pieces are never pruned (coverage:
+  every word must remain segmentable).
+
+Determinism contract (what makes the DuckDB oracle exact): seed
+selection, costs, and the Viterbi tie-break are all total orders on
+integers and ASCII strings. The Viterbi argmin compares
+(cost, n_pieces, space-joined pieces) — and because ' ' sorts below
+every piece character, the joined-string comparison equals the
+piece-tuple comparison, so both engines pick the identical
+segmentation.
+
+Scale shape (the BPE trick, unchanged): the corpus is scanned ONCE
+(word counts); the substring seed, both Viterbi passes and the
+recount all run on the distinct-word VOCABULARY (~10^7 rows at
+100 TB). The seed/cost tables are bounded driver artifacts
+(seed_size + alphabet rows — the merge-table/codebook pattern);
+segmentation is one Arrow pass over the vocab per EM round with the
+cost dict in the closure."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pippin_spark.operators.bpe import word_counts
+from pippin_spark.operators.util import local_table
+
+# words longer than this would need deeper Viterbi unrolling in the
+# SQL oracle; the Spark side raises rather than silently diverging
+MAXLEN = 32
+
+
+def _bitlen_cost(tot: int, freq: int) -> int:
+    """cost = bit_length(tot div freq): exact integer, monotone in
+    -log2(freq/tot); DuckDB mirror is length(format('{:b}', t // f))."""
+    return (tot // freq).bit_length()
+
+
+def _viterbi_pdf_iter(costs: dict, max_piece: int):
+    """Arrow-batched Viterbi over (word, cnt) rows: per word the
+    minimum-(cost, n_pieces, joined-parts) segmentation under the
+    integer piece costs. O(len·max_piece) per word, pure function of
+    (word, costs) — partition-layout invariant."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            words, cnts, parts_out, np_out, cost_out = [], [], [], [], []
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                n = len(word)
+                if n > MAXLEN:
+                    raise ValueError(
+                        f"unigram: word of length {n} exceeds MAXLEN="
+                        f"{MAXLEN} (the oracle's Viterbi unroll depth)"
+                    )
+                D = [(0, 0, "")] + [None] * n
+                for k in range(1, n + 1):
+                    best = None
+                    for pl in range(1, min(max_piece, k) + 1):
+                        prev = D[k - pl]
+                        if prev is None:
+                            continue
+                        piece = word[k - pl:k]
+                        c = costs.get(piece)
+                        if c is None:
+                            continue
+                        joined = (
+                            piece if prev[2] == "" else prev[2] + " " + piece
+                        )
+                        cand = (prev[0] + c, prev[1] + 1, joined)
+                        if best is None or cand < best:
+                            best = cand
+                    D[k] = best
+                fin = D[n]
+                words.append(word)
+                cnts.append(int(cnt))
+                cost_out.append(fin[0])
+                np_out.append(fin[1])
+                parts_out.append(fin[2])
+            yield pd.DataFrame(
+                {
+                    "word": words,
+                    "cnt": cnts,
+                    "pieces": parts_out,
+                    "n_pieces": np_out,
+                    "seg_cost": cost_out,
+                }
+            )
+
+    return run
+
+
+def _segment(words: DataFrame, costs: dict, max_piece: int) -> DataFrame:
+    return words.select("word", "cnt").mapInPandas(
+        _viterbi_pdf_iter(costs, max_piece),
+        "word string, cnt long, pieces string, n_pieces int, seg_cost int",
+    )
+
+
+def unigram_train_segments(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece: int = 4,
+    seed_size: int = 300,
+    prune_keep: int = 150,
+) -> DataFrame:
+    """Train the unigram-LM vocabulary and return the final segmented
+    vocabulary: (word, cnt, pieces, n_pieces, seg_cost) with pieces
+    space-joined — bpe_vocab_after's sibling under the other tokenizer
+    family.
+
+    Algorithm (each step mirrored 1:1 by the chained-CTE SQL oracle):
+    1. SEED: every substring of length 1..max_piece of every distinct
+       word, frequency = count-weighted occurrences; keep ALL
+       single-char pieces (coverage) + the top ``seed_size``
+       multi-char pieces by (freq DESC, piece ASC).
+    2. E-STEP 1: Viterbi-segment the vocabulary under
+       cost = bit_length(total div freq) over the seed.
+    3. M-STEP + PRUNE: re-count piece frequencies from the
+       segmentations (count-weighted, distributed agg); keep singles +
+       top ``prune_keep`` multi-char by (freq DESC, piece ASC); an
+       unused single keeps coverage at the defined worst cost
+       bit_length(total2) + 1.
+    4. E-STEP 2: re-segment under the pruned, re-estimated costs.
+    """
+    spark = docs.sparkSession
+    words = word_counts(docs, text_col).persist()
+    # 1. substring seed (vocab-sized explode: len·max_piece per word)
+    subs = (
+        words.selectExpr(
+            "cnt",
+            "explode(flatten(transform(sequence(1, length(word)), i -> "
+            f"transform(sequence(1, least({int(max_piece)}, "
+            "length(word) - i + 1)), l -> substring(word, i, l))))) AS piece",
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+    )
+    singles = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(int(seed_size))
+    )
+    seed_rows = singles.unionByName(multi).collect()
+    seed = {r["piece"]: int(r["freq"]) for r in seed_rows}
+    tot = sum(seed.values())
+    cost0 = {p: _bitlen_cost(tot, f) for p, f in seed.items()}
+    # 2. E-step 1 (one Arrow pass over the vocab)
+    seg1 = _segment(words, cost0, max_piece)
+    # 3. M-step: count-weighted piece recount (distributed, vocab-sized)
+    freq2_rows = (
+        seg1.select("cnt", F.explode(F.split("pieces", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+        .collect()
+    )
+    freq2 = {r["piece"]: int(r["freq"]) for r in freq2_rows}
+    kept_multi = sorted(
+        ((p, f) for p, f in freq2.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[: int(prune_keep)]
+    kept = {p: freq2.get(p, 0) for p in seed if len(p) == 1}
+    kept.update(dict(kept_multi))
+    tot2 = sum(kept.values())
+    worst = tot2.bit_length() + 1
+    cost2 = {
+        p: (_bitlen_cost(tot2, f) if f > 0 else worst) for p, f in kept.items()
+    }
+    # 4. E-step 2
+    out = _segment(words, cost2, max_piece)
+    words.unpersist()
+    return out
+
+
+def unigram_seed_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece: int = 4,
+    seed_size: int = 300,
+) -> DataFrame:
+    """The seed vocabulary as a table (piece, freq, cost) — the
+    driver-sized training artifact (merge-table analog), exposed for
+    inspection/tests."""
+    seg = unigram_train_segments  # noqa: F841  (doc anchor)
+    spark = docs.sparkSession
+    words = word_counts(docs, text_col)
+    subs = (
+        words.selectExpr(
+            "cnt",
+            "explode(flatten(transform(sequence(1, length(word)), i -> "
+            f"transform(sequence(1, least({int(max_piece)}, "
+            "length(word) - i + 1)), l -> substring(word, i, l))))) AS piece",
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+    )
+    singles = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(int(seed_size))
+    )
+    rows = singles.unionByName(multi).collect()
+    tot = sum(int(r["freq"]) for r in rows)
+    return local_table(
+        spark,
+        [
+            (r["piece"], int(r["freq"]), _bitlen_cost(tot, int(r["freq"])))
+            for r in sorted(rows, key=lambda r: r["piece"])
+        ],
+        "piece string, freq long, cost int",
+    )

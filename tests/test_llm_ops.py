@@ -1161,6 +1161,47 @@ def test_bpe_pairs_run_dry_preserves_vocab(spark):
     ]
 
 
+def test_unigram_segments_cover_exactly(spark):
+    # the coverage + bookkeeping invariants of the unigram trainer:
+    # pieces concatenate back to the word exactly, n_pieces matches,
+    # no piece exceeds max_piece, and every word longer than max_piece
+    # is genuinely segmented (singles always available, so the DP is
+    # total). Value-level parity with DuckDB is the declared-query
+    # gate (unigram_vocab_segments); this pins the algebra.
+    from pippin_spark.operators import unigram as UNI
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = UNI.unigram_train_segments(docs, "text").collect()
+    assert len(rows) > 0
+    saw_multi = False
+    for r in rows:
+        parts = r["pieces"].split(" ")
+        assert "".join(parts) == r["word"]
+        assert len(parts) == r["n_pieces"]
+        assert all(1 <= len(p) <= 4 for p in parts)
+        saw_multi = saw_multi or r["n_pieces"] > 1
+    assert saw_multi  # words longer than max_piece must split
+    # the seed artifact is bounded and fully positive-cost
+    seed = UNI.unigram_seed_table(docs, "text").collect()
+    assert 0 < len(seed) <= 300 + 64
+    assert all(s["cost"] >= 1 and s["freq"] >= 1 for s in seed)
+
+
+def test_unigram_raises_past_unroll_depth(spark):
+    # the SQL oracle unrolls the Viterbi DP MAXLEN levels deep; the
+    # Spark side must fail loudly (not silently diverge) on longer
+    # words
+    import pytest as _pt
+
+    from pippin_spark.operators import unigram as UNI
+
+    docs = spark.createDataFrame(
+        [(0, "a" * 40)], "doc_id long, text string"
+    )
+    with _pt.raises(Exception, match="MAXLEN"):
+        UNI.unigram_train_segments(docs, "text").collect()
+
+
 def test_winnowing_null_text_excluded_not_crash(spark):
     docs = spark.createDataFrame(
         [(0, None), (1, "x" * 40)], "doc_id long, text string"
