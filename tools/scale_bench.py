@@ -296,6 +296,20 @@ def main() -> None:
         "bpe_encode_docs": lambda spark, d: ENTRY_QUERIES[
             "bpe_encode_docs"
         ](spark, d),
+        # round-11 rows: the retrain cycle's corpus-linear terms are
+        # the re-encode + two appends; pack_on_bpe routes the corpus
+        # through BPE costing + waterfill + two global windows;
+        # unigram trains entirely on the vocab table (sublinear corpus
+        # term is the single word-count scan)
+        "ann_index_retrain_e2e": lambda spark, d: ENTRY_QUERIES[
+            "ann_index_retrain_e2e"
+        ](spark, d),
+        "pack_on_bpe_e2e": lambda spark, d: ENTRY_QUERIES[
+            "pack_on_bpe_e2e"
+        ](spark, d),
+        "unigram_vocab_segments": lambda spark, d: ENTRY_QUERIES[
+            "unigram_vocab_segments"
+        ](spark, d),
         "triangle_count_parts": triangles,
         "pagerank_trade_graph": pagerank,
         "dedup_sorted_neighborhood": sorted_neighborhood,
