@@ -178,6 +178,8 @@ HEADLINE = [
     "ann_index_retrain_e2e",  # PQ gate fires -> codebook retrain cycle
     "pack_on_bpe_e2e",  # learned-tokenizer token-budget loader manifest
     "unigram_vocab_segments",  # unigram-LM (SentencePiece-style) induction
+    "corpus_datacard",  # grouping-sets release report w/ exact dup rates
+    "tokenizer_fertility",  # per-lang learned-vs-proxy tokenizer cost
 ]
 
 # ---------------------------------------------------------------------
@@ -787,6 +789,9 @@ def main() -> None:
         # seed/cost collects + the EM recount collect run at
         # construction
         "unigram_vocab_segments",
+        # BPE merge training (driver argmax rounds) at construction —
+        # same reason as bpe_encode_docs, which it composes
+        "tokenizer_fertility",
     }
 
     timings: dict[str, float] = {}

@@ -12211,6 +12211,158 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
     """
 
 
+_DATACARD_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@_q(
+    "corpus_datacard",
+    # the release data card in ONE aggregation: docs / chars /
+    # whitespace tokens / exact-duplicate counts / source breadth at
+    # four granularities — per language, per source, per (language,
+    # source) cell, and the corpus total — via explicit GROUPING SETS.
+    # The dup-rate column is the datacard's headline number (exact:
+    # COUNT(*) - COUNT(DISTINCT normalized-text fingerprint)), and
+    # computing it per grouping set is what a plain groupBy cannot do
+    # (texts duplicate ACROSS sources, so per-source partials don't
+    # merge into the per-lang or corpus answers). Scale: the corpus is
+    # scanned once and only the 5-column projection (lang, source,
+    # n_chars, token count, 32-char fingerprint — never text) rides
+    # Catalyst's Expand; the x|sets| x|distinct-groups| replication is
+    # the documented price of exact multi-granularity distincts in one
+    # shuffle, and the sketch family (agg_hll_by_group /
+    # agg_approx_distinct_count) is the stated approx path when 100 TB
+    # makes exact expansion the bottleneck.
+    f"""
+    SELECT lang, source,
+           GROUPING(lang, source) AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS ws_tokens,
+           CAST(COUNT(DISTINCT {_DATACARD_FP}) AS BIGINT) AS distinct_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT {_DATACARD_FP}) AS BIGINT)
+             AS dup_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS chars_per_doc
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+    """,
+)
+def q_corpus_datacard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    base = docs.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        TXT.token_count(F.col("text")).cast("long").alias("n_tok"),
+        TXT.fingerprint(F.col("text")).alias("fp"),
+    )
+    rep = REL.grouping_sets_agg(
+        base,
+        [["lang"], ["source"], ["lang", "source"], []],
+        ["lang", "source"],
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_tok").alias("ws_tokens"),
+        F.countDistinct("fp").alias("distinct_texts"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return rep.select(
+        "lang",
+        "source",
+        "grouping_id",
+        "n_docs",
+        "chars",
+        "ws_tokens",
+        "distinct_texts",
+        (F.col("n_docs") - F.col("distinct_texts")).alias("dup_docs"),
+        "n_sources",
+        F.expr("chars div n_docs").alias("chars_per_doc"),
+    )
+
+
+@_q(
+    "tokenizer_fertility",
+    # per-language tokenizer cost comparison — the number that decides
+    # whether a language's mixture share is budgeted in whitespace
+    # tokens, regex-proxy pieces, or LEARNED-tokenizer pieces (they
+    # diverge exactly where it matters: morphology-heavy languages
+    # inflate fertility = learned pieces per whitespace token, and a
+    # budget computed in the wrong unit mis-allocates the mixture —
+    # the pack_on_bpe_e2e lesson, reported per language). Chains
+    # bpe_doc_piece_counts (training on the distinct-word vocab, one
+    # word-keyed join back to the doc explode) into a per-lang
+    # aggregate alongside the two cheap unit systems computed straight
+    # off the corpus scan. Integer-ppm ratios keep the row
+    # engine-exact. Scale: two corpus scans total (word counts + the
+    # doc->word explode), merges on the vocab table, and the final
+    # join meets #langs-row aggregates.
+    _bpe_oracle_sql(3).rsplit("\nSELECT 1 AS step", 1)[0]
+    + f"""
+    , dw AS (
+      SELECT lang,
+             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    ), per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+             CAST(SUM(len(v.s)) AS BIGINT) AS bpe_pieces
+      FROM dw JOIN seq_3 v USING (word) GROUP BY 1
+    ), px AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(SUM(len(regexp_extract_all(text, '{TXT.BPE_PATTERN}')))
+               AS BIGINT) AS proxy_pieces
+      FROM documents GROUP BY 1
+    )
+    SELECT lang, n_docs, chars, ws_tokens, proxy_pieces, bpe_pieces,
+           bpe_pieces * 1000000 // ws_tokens AS fertility_ppm,
+           chars * 1000000 // bpe_pieces AS chars_per_piece_ppm
+    FROM px JOIN per USING (lang)
+    """,
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    from pippin_spark.operators import bpe as BPE
+
+    docs = _t(spark, sf_dir, "documents").df
+    px = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars"),
+        F.sum(TXT.bpe_token_count(F.col("text")).cast("long")).alias(
+            "proxy_pieces"
+        ),
+    )
+    pieces = BPE.bpe_doc_piece_counts(docs, "text", rounds=3)
+    per = (
+        docs.select("doc_id", "lang")
+        .join(
+            pieces.select(
+                "doc_id",
+                F.col("n_words").cast("long").alias("n_words"),
+                F.col("n_bpe_pieces").cast("long").alias("n_pieces"),
+            ),
+            "doc_id",
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("ws_tokens"),
+            F.sum("n_pieces").alias("bpe_pieces"),
+        )
+    )
+    return px.join(per, "lang").select(
+        "lang",
+        "n_docs",
+        "chars",
+        "ws_tokens",
+        "proxy_pieces",
+        "bpe_pieces",
+        F.expr("bpe_pieces * 1000000 div ws_tokens").alias("fertility_ppm"),
+        F.expr("chars * 1000000 div bpe_pieces").alias(
+            "chars_per_piece_ppm"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-gate registration order (round-8 rotation)
 # ---------------------------------------------------------------------------
@@ -12230,6 +12382,8 @@ ENTRY_ORACLES["quality_rank_fusion"] = f"""
 # sweeps cover the gap every round. Built by tools/next_window.py
 # --emit; tests/test_oracle.py asserts the list stays exhaustive.
 _DRIVER_ROW_PRIORITY = [
+    "corpus_datacard",
+    "tokenizer_fertility",
     "ann_index_retrain_e2e",
     "pack_on_bpe_e2e",
     "unigram_vocab_segments",

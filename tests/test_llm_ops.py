@@ -2586,3 +2586,63 @@ def test_pq_codebook_drift_gate_fires_where_centroid_gate_does_not(
     )
     pq4 = S.ann_index_pq_drift(spark, path).collect()[0]
     assert pq4["err_ratio"] < 1.5, pq4
+
+
+def test_corpus_datacard_grouping_sets_consistency(spark):
+    from pippin_spark.entry_queries import ENTRY_QUERIES
+
+    rows = ENTRY_QUERIES["corpus_datacard"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["grouping_id"], []).append(r)
+    # all four granularities present: (lang,source)=0, (lang)=1,
+    # (source)=2, ()=3
+    assert set(by_gid) == {0, 1, 2, 3}
+    total = by_gid[3][0]
+    # the corpus-total row reconciles with the per-lang slices
+    assert sum(r["n_docs"] for r in by_gid[1]) == total["n_docs"]
+    assert sum(r["chars"] for r in by_gid[1]) == total["chars"]
+    assert sum(r["ws_tokens"] for r in by_gid[2]) == total["ws_tokens"]
+    for r in rows:
+        # exact dup accounting on every row at every granularity
+        assert r["distinct_texts"] + r["dup_docs"] == r["n_docs"]
+        assert r["dup_docs"] >= 0
+        assert r["chars_per_doc"] == r["chars"] // r["n_docs"]
+    # a (lang, source) cell has exactly one source by construction
+    assert all(r["n_sources"] == 1 for r in by_gid[0])
+    # source breadth only aggregates upward
+    assert total["n_sources"] >= max(r["n_sources"] for r in by_gid[1])
+
+
+def test_tokenizer_fertility_units_reconcile(spark):
+    from pyspark.sql import functions as F
+
+    from pippin_spark.entry_queries import ENTRY_QUERIES
+    from pippin_spark.operators import bpe as BPE
+
+    sf = "/root/testdata/sf0.001"
+    out = ENTRY_QUERIES["tokenizer_fertility"](spark, sf)
+    rows = out.collect()
+    assert rows, "no languages"
+    for r in rows:
+        # every whitespace word costs >= 1 learned piece and >= 1
+        # regex-proxy piece, so both fertilities are >= 1.0 in ppm
+        assert r["bpe_pieces"] >= r["ws_tokens"] > 0
+        assert r["proxy_pieces"] >= r["ws_tokens"]
+        assert r["fertility_ppm"] >= 1_000_000
+        assert (
+            r["fertility_ppm"]
+            == r["bpe_pieces"] * 1_000_000 // r["ws_tokens"]
+        )
+    # the per-lang totals are exactly the per-doc learned costs
+    # (bpe_encode_docs) re-aggregated — composition loses nothing
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    per_doc = BPE.bpe_doc_piece_counts(docs, "text", rounds=3)
+    want = per_doc.agg(
+        F.sum("n_bpe_pieces").alias("p"), F.sum("n_words").alias("w")
+    ).collect()[0]
+    got_p = sum(r["bpe_pieces"] for r in rows)
+    got_w = sum(r["ws_tokens"] for r in rows)
+    assert (got_p, got_w) == (want["p"], want["w"])
