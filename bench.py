@@ -180,6 +180,7 @@ HEADLINE = [
     "unigram_vocab_segments",  # unigram-LM (SentencePiece-style) induction
     "corpus_datacard",  # grouping-sets release report w/ exact dup rates
     "tokenizer_fertility",  # per-lang learned-vs-proxy tokenizer cost
+    "wordpiece_train_merges",  # likelihood-gain induction (BERT builder)
 ]
 
 # ---------------------------------------------------------------------
@@ -330,6 +331,7 @@ HEADLINE_VARIANT_OF = {
     "token_freq_spectrum": "collocations_pmi",
     "vocab_coverage": "collocations_pmi",
     "bpe_vocab_segments": "bpe_train_merges",
+    "wordpiece_vocab_segments": "wordpiece_train_merges",
     # events / time series
     "event_transitions": "sessionize_events",
     "funnel_users": "sessionize_events",
@@ -792,6 +794,9 @@ def main() -> None:
         # BPE merge training (driver argmax rounds) at construction —
         # same reason as bpe_encode_docs, which it composes
         "tokenizer_fertility",
+        # WordPiece merge training (driver argmax rounds) at
+        # construction
+        "wordpiece_train_merges",
     }
 
     timings: dict[str, float] = {}

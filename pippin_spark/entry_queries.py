@@ -7208,12 +7208,18 @@ def q_text_lm_score(spark, sf_dir):
     )
 
 
-def _bpe_oracle_sql(rounds: int) -> str:
+def _bpe_oracle_sql(rounds: int, scoring: str = "count") -> str:
     """Chained-CTE DuckDB replay of BPE training. The merge application
     uses the windowed greedy rule instead of Spark's fold: within each
     maximal run of consecutive matching positions, merges happen at
     odd offsets (1st, 3rd, ...) — identical to left-to-right greedy
-    (overlap runs only arise when w1 = w2)."""
+    (overlap runs only arise when w1 = w2).
+
+    ``scoring="wordpiece"`` replays the WordPiece argmax instead
+    (operators/bpe.py _WP_SCORE): each round adds a symbol-count CTE
+    and ranks pairs by the exact per-trillion likelihood-gain integer
+    (HUGEINT product mirrors Spark's DECIMAL(38,0); both floor-divide
+    positive operands), with the same (w1, w2) tie-break."""
     parts = [
         """words AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -7229,16 +7235,30 @@ def _bpe_oracle_sql(rounds: int) -> str:
     ]
     for r in range(1, rounds + 1):
         q = r - 1
+        if scoring == "wordpiece":
+            best = f"""syms_{r} AS (
+      SELECT sym, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        SELECT cnt, UNNEST(s) AS sym FROM seq_{q}) GROUP BY 1
+    ), best_{r} AS (
+      SELECT p.w1, p.w2, p.total,
+             CAST(p.total::HUGEINT * 1000000000000 //
+                  (a.c::HUGEINT * b.c::HUGEINT) AS BIGINT) AS score
+      FROM pairs_{r} p JOIN syms_{r} a ON a.sym = p.w1
+                       JOIN syms_{r} b ON b.sym = p.w2
+      ORDER BY score DESC, p.w1, p.w2 LIMIT 1
+    )"""
+        else:
+            best = f"""best_{r} AS (
+      SELECT w1, w2, total FROM pairs_{r}
+      ORDER BY total DESC, w1, w2 LIMIT 1
+    )"""
         parts.append(f"""pairs_{r} AS (
       SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS total FROM (
         SELECT cnt, s[i] AS w1, s[i + 1] AS w2
         FROM (SELECT cnt, s, UNNEST(generate_series(1, len(s) - 1)) AS i
               FROM seq_{q})
       ) GROUP BY 1, 2
-    ), best_{r} AS (
-      SELECT w1, w2, total FROM pairs_{r}
-      ORDER BY total DESC, w1, w2 LIMIT 1
-    ), pos_{r} AS (
+    ), {best}, pos_{r} AS (
       -- LEFT JOIN ON TRUE (not CROSS JOIN): an empty best_{r} must
       -- pass sequences through unchanged, not wipe them
       SELECT word, cnt, s, i, s[i] AS c,
@@ -7268,9 +7288,10 @@ def _bpe_oracle_sql(rounds: int) -> str:
       SELECT word, cnt, list(sym ORDER BY i) AS s
       FROM emit_{r} GROUP BY word, cnt
     )""")
+    extra = ", score" if scoring == "wordpiece" else ""
     selects = [
         f"SELECT {r} AS step, w1, w2, w1 || w2 AS merged, total AS pair_count"
-        f" FROM best_{r}"
+        f"{extra} FROM best_{r}"
         for r in range(1, rounds + 1)
     ]
     return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL ".join(selects)
@@ -7702,6 +7723,46 @@ def q_bpe_vocab_segments(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").df
     return BPE.bpe_vocab_after(docs, "text", rounds=3)
+
+
+@_q(
+    "wordpiece_train_merges",
+    # WordPiece tokenizer induction (Schuster & Nakajima 2012, the
+    # BERT vocabulary builder) — completes the production tokenizer
+    # triad (BPE / unigram-LM / WordPiece): the same vocab-table merge
+    # loop as BPE, but each round's argmax is the LIKELIHOOD GAIN
+    # pair_count / (count(w1) * count(w2)), which downweights merges
+    # of individually-frequent symbols — on this fixture round 1 picks
+    # (q, u) (q nearly always precedes u) where BPE picks the raw
+    # count max. Score is exact per-trillion integer arithmetic
+    # (DECIMAL(38,0) / HUGEINT product), so the cross-engine argmax
+    # order is deterministic with the (w1, w2) tie-break. Scale: one
+    # corpus scan (word counts), then every round runs two vocab-sized
+    # aggregates (pairs + symbol counts) joined inside one 1-row
+    # TakeOrdered action.
+    _bpe_oracle_sql(3, scoring="wordpiece"),
+)
+def q_wordpiece_train_merges(spark, sf_dir):
+    from pippin_spark.operators import bpe as BPE
+
+    docs = _t(spark, sf_dir, "documents").df
+    return BPE.wordpiece_train_merges(docs, "text", rounds=3)
+
+
+@_q(
+    "wordpiece_vocab_segments",
+    # the segmented vocabulary AFTER the 3 learned WordPiece merges —
+    # bpe_vocab_segments' twin under the likelihood-gain criterion;
+    # checks greedy application of the differently-chosen merges
+    # across every distinct word
+    _bpe_oracle_sql(3, scoring="wordpiece").rsplit("\nSELECT 1 AS step", 1)[0]
+    + "\nSELECT word, cnt, array_to_string(s, ' ') AS pieces FROM seq_3",
+)
+def q_wordpiece_vocab_segments(spark, sf_dir):
+    from pippin_spark.operators import bpe as BPE
+
+    docs = _t(spark, sf_dir, "documents").df
+    return BPE.wordpiece_vocab_after(docs, "text", rounds=3)
 
 
 @_q(
@@ -12384,6 +12445,8 @@ def q_tokenizer_fertility(spark, sf_dir):
 _DRIVER_ROW_PRIORITY = [
     "corpus_datacard",
     "tokenizer_fertility",
+    "wordpiece_train_merges",
+    "wordpiece_vocab_segments",
     "ann_index_retrain_e2e",
     "pack_on_bpe_e2e",
     "unigram_vocab_segments",

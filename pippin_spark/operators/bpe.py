@@ -78,8 +78,33 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _train(docs: DataFrame, text_col: str, rounds: int):
+# WordPiece merge score (Schuster & Nakajima 2012; the BERT
+# vocabulary criterion): likelihood gain of merging = pair_count /
+# (count(w1) * count(w2)) under a unigram LM over current symbols.
+# Computed as exact integer per-trillion (DECIMAL(38,0) product, so
+# the 10^12-scaled numerator never overflows at any corpus size that
+# fits BIGINT counts) — cross-engine-deterministic argmax ordering,
+# unlike a double ratio. score <= 10^12 always (pair_count <=
+# min(c1, c2)), so the floor-divided result fits BIGINT.
+_WP_SCORE = (
+    "CAST(total AS DECIMAL(38,0)) * 1000000000000 div "
+    "(CAST(c1 AS DECIMAL(38,0)) * CAST(c2 AS DECIMAL(38,0)))"
+)
+
+
+def _train(docs: DataFrame, text_col: str, rounds: int, scoring: str = "count"):
     """Shared training loop: returns (merge rows, final seq).
+
+    ``scoring`` selects the per-round argmax criterion — ``"count"``
+    is BPE (raw weighted pair count, Sennrich et al. 2016);
+    ``"wordpiece"`` ranks by the likelihood-gain score ``_WP_SCORE``
+    (pair count over the product of the operand symbols' counts),
+    which downweights merges of individually-frequent symbols — the
+    classic divergence is (q, u) merging first under WordPiece while
+    BPE picks the raw-count max. Everything else (pair derivation,
+    greedy fold application, caching) is shared: WordPiece adds one
+    vocab-sized symbol-count aggregate per round, joined to the pair
+    table inside the same single action.
 
     The argmax pair is a 1-row TakeOrdered per round; collecting that
     single row (the merge table is a driver-sized vocab artifact by
@@ -102,12 +127,40 @@ def _train(docs: DataFrame, text_col: str, rounds: int):
             .groupBy("p.w1", "p.w2")
             .agg(F.sum("cnt").alias("total"))
         )
+        if scoring == "wordpiece":
+            syms = (
+                seq.select("cnt", F.explode("s").alias("sym"))
+                .groupBy("sym")
+                .agg(F.sum("cnt").alias("c"))
+            )
+            pairs = (
+                pairs.join(
+                    syms.select(
+                        F.col("sym").alias("w1"), F.col("c").alias("c1")
+                    ),
+                    "w1",
+                )
+                .join(
+                    syms.select(
+                        F.col("sym").alias("w2"), F.col("c").alias("c2")
+                    ),
+                    "w2",
+                )
+                .withColumn("score", F.expr(_WP_SCORE))
+            )
+            order = [F.desc("score"), F.asc("w1"), F.asc("w2")]
+        else:
+            order = [F.desc("total"), F.asc("w1"), F.asc("w2")]
         # the one action of the round: materializes seq off the
         # previous round's cache and returns the argmax pair
-        row = pairs.orderBy(F.desc("total"), "w1", "w2").limit(1).first()
+        row = pairs.orderBy(*order).limit(1).first()
         if row is None:
             break
-        merges.append((r, row["w1"], row["w2"], row["total"]))
+        merges.append(
+            (r, row["w1"], row["w2"], row["total"])
+            if scoring == "count"
+            else (r, row["w1"], row["w2"], row["total"], row["score"])
+        )
         lit_pair = F.struct(
             F.lit(row["w1"]).alias("w1"), F.lit(row["w2"]).alias("w2")
         )
@@ -142,6 +195,36 @@ def bpe_train_merges(
     builds its vocab from, in learned order."""
     merges, _ = _train(docs, text_col, rounds)
     return _merge_table(docs.sparkSession, merges)
+
+
+def wordpiece_train_merges(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """Learn the first ``rounds`` WordPiece merges (likelihood-gain
+    argmax, ``_WP_SCORE``); returns (step, w1, w2, merged, pair_count,
+    score) with the exact per-trillion integer score the round was
+    won at."""
+    merges, _ = _train(docs, text_col, rounds, scoring="wordpiece")
+    return local_table(
+        docs.sparkSession,
+        [
+            (r, w1, w2, w1 + w2, total, score)
+            for r, w1, w2, total, score in merges
+        ],
+        "step int, w1 string, w2 string, merged string,"
+        " pair_count bigint, score bigint",
+    )
+
+
+def wordpiece_vocab_after(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """The segmented vocabulary after ``rounds`` WordPiece merges —
+    bpe_vocab_after's twin under the likelihood-gain criterion."""
+    _, seq = _train(docs, text_col, rounds, scoring="wordpiece")
+    return seq.select(
+        "word", "cnt", F.array_join("s", " ").alias("pieces")
+    )
 
 
 def bpe_vocab_after(

@@ -2646,3 +2646,23 @@ def test_tokenizer_fertility_units_reconcile(spark):
     got_p = sum(r["bpe_pieces"] for r in rows)
     got_w = sum(r["ws_tokens"] for r in rows)
     assert (got_p, got_w) == (want["p"], want["w"])
+
+
+def test_wordpiece_diverges_from_bpe_and_scores_are_exact(spark):
+    from pippin_spark.operators import bpe as BPE
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wp = BPE.wordpiece_train_merges(docs, "text", rounds=3).collect()
+    bp = BPE.bpe_train_merges(docs, "text", rounds=3).collect()
+    assert len(wp) == 3 and len(bp) == 3
+    # the criteria genuinely diverge: WordPiece downweights merges of
+    # individually-frequent symbols (classic: (q, u) first)
+    assert (wp[0]["w1"], wp[0]["w2"]) != (bp[0]["w1"], bp[0]["w2"])
+    assert {(r["w1"], r["w2"]) for r in wp} != {
+        (r["w1"], r["w2"]) for r in bp
+    }
+    for r in wp:
+        # score = pair_count * 1e12 // (c1 * c2) with pair_count <=
+        # min(c1, c2) and c1, c2 >= 1 -> score in (0, 1e12]
+        assert 0 < r["score"] <= 10**12, r
+        assert r["merged"] == r["w1"] + r["w2"]
