@@ -310,6 +310,19 @@ def main() -> None:
         "unigram_vocab_segments": lambda spark, d: ENTRY_QUERIES[
             "unigram_vocab_segments"
         ](spark, d),
+        # corpus_datacard's corpus-linear term is the single Expand'd
+        # scan; tokenizer_fertility adds the doc->word explode + the
+        # per-lang rollup to the BPE costing path; wordpiece trains on
+        # the vocab table (two vocab-sized aggregates per round)
+        "corpus_datacard": lambda spark, d: ENTRY_QUERIES[
+            "corpus_datacard"
+        ](spark, d),
+        "tokenizer_fertility": lambda spark, d: ENTRY_QUERIES[
+            "tokenizer_fertility"
+        ](spark, d),
+        "wordpiece_train_merges": lambda spark, d: ENTRY_QUERIES[
+            "wordpiece_train_merges"
+        ](spark, d),
         "triangle_count_parts": triangles,
         "pagerank_trade_graph": pagerank,
         "dedup_sorted_neighborhood": sorted_neighborhood,
