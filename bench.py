@@ -181,6 +181,7 @@ HEADLINE = [
     "corpus_datacard",  # grouping-sets release report w/ exact dup rates
     "tokenizer_fertility",  # per-lang learned-vs-proxy tokenizer cost
     "wordpiece_train_merges",  # likelihood-gain induction (BERT builder)
+    "unigram_encode_docs",  # per-doc cost under the unigram-LM tokenizer
 ]
 
 # ---------------------------------------------------------------------
@@ -332,6 +333,9 @@ HEADLINE_VARIANT_OF = {
     "vocab_coverage": "collocations_pmi",
     "bpe_vocab_segments": "bpe_train_merges",
     "wordpiece_vocab_segments": "wordpiece_train_merges",
+    # identical plan shape to bpe_encode_docs (vocab-table training +
+    # the doc->word explode join), different merge literals
+    "wordpiece_encode_docs": "bpe_encode_docs",
     # events / time series
     "event_transitions": "sessionize_events",
     "funnel_users": "sessionize_events",
@@ -797,6 +801,8 @@ def main() -> None:
         # WordPiece merge training (driver argmax rounds) at
         # construction
         "wordpiece_train_merges",
+        # unigram seed/cost collects + EM recount run at construction
+        "unigram_encode_docs",
     }
 
     timings: dict[str, float] = {}

@@ -7765,6 +7765,40 @@ def q_wordpiece_vocab_segments(spark, sf_dir):
     return BPE.wordpiece_vocab_after(docs, "text", rounds=3)
 
 
+_DW_CTE = """
+    , dw AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    )"""
+
+
+@_q(
+    "wordpiece_encode_docs",
+    # per-document cost under the learned WORDPIECE tokenizer —
+    # bpe_encode_docs' twin under the likelihood-gain criterion, so a
+    # budget planner can price the corpus under either induction
+    # algorithm before committing to one. Same scale shape: vocab-
+    # table training, two corpus scans, one word-keyed join.
+    _bpe_oracle_sql(3, scoring="wordpiece").rsplit("\nSELECT 1 AS step", 1)[0]
+    + _DW_CTE
+    + """
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v.s)) AS BIGINT) AS n_wp_pieces
+    FROM dw JOIN seq_3 v USING (word)
+    GROUP BY 1
+    """,
+)
+def q_wordpiece_encode_docs(spark, sf_dir):
+    from pippin_spark.operators import bpe as BPE
+
+    docs = _t(spark, sf_dir, "documents").df
+    return BPE.wordpiece_doc_piece_counts(docs, "text", rounds=3)
+
+
+
+
 @_q(
     "bpe_encode_docs",
     # per-DOCUMENT cost under the LEARNED tokenizer (the loader-feed
@@ -7932,6 +7966,31 @@ def q_unigram_vocab_segments(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").df
     return UNI.unigram_train_segments(docs, "text")
+
+
+@_q(
+    "unigram_encode_docs",
+    # per-document cost under the learned UNIGRAM-LM tokenizer — the
+    # third leg of the per-doc costing triad (bpe_encode_docs /
+    # wordpiece_encode_docs). The Viterbi-segmented vocabulary's
+    # n_pieces meets the doc->word explode in one word-keyed join;
+    # training stays entirely on the vocab table.
+    _unigram_oracle_sql().rsplit("\n    SELECT word, cnt, parts AS pieces", 1)[
+        0
+    ]
+    + _DW_CTE
+    + """
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.np) AS BIGINT) AS n_uni_pieces
+    FROM dw JOIN finb v USING (word)
+    GROUP BY 1
+    """,
+)
+def q_unigram_encode_docs(spark, sf_dir):
+    from pippin_spark.operators import unigram as UNI
+
+    docs = _t(spark, sf_dir, "documents").df
+    return UNI.unigram_doc_piece_counts(docs, "text")
 
 
 @_q(
@@ -12447,6 +12506,8 @@ _DRIVER_ROW_PRIORITY = [
     "tokenizer_fertility",
     "wordpiece_train_merges",
     "wordpiece_vocab_segments",
+    "wordpiece_encode_docs",
+    "unigram_encode_docs",
     "ann_index_retrain_e2e",
     "pack_on_bpe_e2e",
     "unigram_vocab_segments",

@@ -260,6 +260,15 @@ def bpe_doc_piece_counts(
     shuffle join on a well-distributed key). Documents with zero
     words produce no row, matching the SQL oracle's inner join."""
     _, seq = _train(docs, text_col, rounds)
+    return _doc_piece_counts(docs, text_col, seq, "n_bpe_pieces")
+
+
+def _doc_piece_counts(
+    docs: DataFrame, text_col: str, seq: DataFrame, out_col: str
+) -> DataFrame:
+    """Join a trained vocab's per-word piece counts back to the
+    doc→word explode: (doc_id, n_words, <out_col>) — the shared tail
+    of every *_encode_docs query."""
     vocab = seq.select("word", F.size("s").alias("__np__"))
     words = docs.select(
         "doc_id", F.explode(_ws_token_array(F.col(text_col))).alias("word")
@@ -269,9 +278,20 @@ def bpe_doc_piece_counts(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("__np__").cast("long").alias("n_bpe_pieces"),
+            F.sum("__np__").cast("long").alias(out_col),
         )
     )
+
+
+def wordpiece_doc_piece_counts(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """Per-document cost under the learned WORDPIECE tokenizer:
+    (doc_id, n_words, n_wp_pieces) — bpe_doc_piece_counts under the
+    likelihood-gain criterion; identical scale shape (two corpus
+    scans, vocab-table training, one word-keyed join)."""
+    _, seq = _train(docs, text_col, rounds, scoring="wordpiece")
+    return _doc_piece_counts(docs, text_col, seq, "n_wp_pieces")
 
 
 def bpe_segment(words: DataFrame, merge_table: DataFrame) -> DataFrame:

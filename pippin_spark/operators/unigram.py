@@ -198,6 +198,38 @@ def unigram_train_segments(
     return out
 
 
+def unigram_doc_piece_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece: int = 4,
+    seed_size: int = 300,
+    prune_keep: int = 150,
+) -> DataFrame:
+    """Per-document cost under the learned UNIGRAM-LM tokenizer:
+    (doc_id, n_words, n_uni_pieces) — bpe_doc_piece_counts' sibling.
+    Training runs entirely on the vocab table; the per-word n_pieces
+    come back to documents through one word-keyed join of the
+    segmented vocabulary (the same two-corpus-scan shape)."""
+    seg = unigram_train_segments(
+        docs, text_col, max_piece=max_piece,
+        seed_size=seed_size, prune_keep=prune_keep,
+    )
+    from pippin_spark.operators.text import _ws_token_array
+
+    vocab = seg.select("word", F.col("n_pieces").alias("__np__"))
+    words = docs.select(
+        "doc_id", F.explode(_ws_token_array(F.col(text_col))).alias("word")
+    )
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__np__").cast("long").alias("n_uni_pieces"),
+        )
+    )
+
+
 def unigram_seed_table(
     docs: DataFrame,
     text_col: str = "text",

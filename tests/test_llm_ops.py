@@ -2666,3 +2666,38 @@ def test_wordpiece_diverges_from_bpe_and_scores_are_exact(spark):
         # min(c1, c2) and c1, c2 >= 1 -> score in (0, 1e12]
         assert 0 < r["score"] <= 10**12, r
         assert r["merged"] == r["w1"] + r["w2"]
+
+
+def test_encode_docs_triad_reconciles(spark):
+    from pippin_spark.entry_queries import ENTRY_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bpe = {
+        r["doc_id"]: r
+        for r in ENTRY_QUERIES["bpe_encode_docs"](spark, sf).collect()
+    }
+    wp = {
+        r["doc_id"]: r
+        for r in ENTRY_QUERIES["wordpiece_encode_docs"](spark, sf).collect()
+    }
+    uni = {
+        r["doc_id"]: r
+        for r in ENTRY_QUERIES["unigram_encode_docs"](spark, sf).collect()
+    }
+    # all three tokenizers cost the same document set and agree on the
+    # whitespace word count — only the piece unit differs
+    assert set(bpe) == set(wp) == set(uni)
+    diverged = 0
+    for d in bpe:
+        assert (
+            bpe[d]["n_words"] == wp[d]["n_words"] == uni[d]["n_words"]
+        )
+        # every word costs >= 1 piece under every tokenizer
+        assert bpe[d]["n_bpe_pieces"] >= bpe[d]["n_words"]
+        assert wp[d]["n_wp_pieces"] >= wp[d]["n_words"]
+        assert uni[d]["n_uni_pieces"] >= uni[d]["n_words"]
+        if wp[d]["n_wp_pieces"] != bpe[d]["n_bpe_pieces"]:
+            diverged += 1
+    # the criteria chose different merges, so per-doc costs must
+    # actually differ somewhere
+    assert diverged > 0
