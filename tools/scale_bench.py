@@ -323,6 +323,9 @@ def main() -> None:
         "wordpiece_train_merges": lambda spark, d: ENTRY_QUERIES[
             "wordpiece_train_merges"
         ](spark, d),
+        "unigram_encode_docs": lambda spark, d: ENTRY_QUERIES[
+            "unigram_encode_docs"
+        ](spark, d),
         "triangle_count_parts": triangles,
         "pagerank_trade_graph": pagerank,
         "dedup_sorted_neighborhood": sorted_neighborhood,
