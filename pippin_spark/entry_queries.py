@@ -7297,6 +7297,19 @@ def _bpe_oracle_sql(rounds: int, scoring: str = "count") -> str:
     return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+# the doc_id-keyed doc→word explode shared by every oracle that joins
+# per-word piece counts back to documents (bpe/wordpiece/unigram
+# *_encode_docs, _pack_on_bpe_oracle) — ONE definition so a
+# tokenization-rule tweak cannot silently diverge the replays
+_DW_CTE = """
+    , dw AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS word
+      FROM documents
+    )"""
+
+
 @_q(
     "bpe_train_merges",
     # distributed BPE tokenizer induction (Sennrich et al.): 3 merge
@@ -7765,15 +7778,6 @@ def q_wordpiece_vocab_segments(spark, sf_dir):
     return BPE.wordpiece_vocab_after(docs, "text", rounds=3)
 
 
-_DW_CTE = """
-    , dw AS (
-      SELECT doc_id,
-             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
-                                t -> t <> '')) AS word
-      FROM documents
-    )"""
-
-
 @_q(
     "wordpiece_encode_docs",
     # per-document cost under the learned WORDPIECE tokenizer —
@@ -7812,13 +7816,8 @@ def q_wordpiece_encode_docs(spark, sf_dir):
     # Oracle: the same chained-CTE training replay, final select
     # re-derives doc words and joins the last seq state.
     _bpe_oracle_sql(3).rsplit("\nSELECT 1 AS step", 1)[0]
+    + _DW_CTE
     + """
-    , dw AS (
-      SELECT doc_id,
-             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
-                                t -> t <> '')) AS word
-      FROM documents
-    )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe_pieces
     FROM dw JOIN seq_3 v USING (word)
@@ -11356,13 +11355,7 @@ def _pack_on_bpe_oracle() -> str:
     (_waterfill_rounds_sql) over PIECE availability, and the
     permuted-selection + global-offset packing windows."""
     bpe_chain = _bpe_oracle_sql(3).rsplit("\nSELECT 1 AS step", 1)[0]
-    return f"""{bpe_chain}
-    , dw AS (
-      SELECT doc_id,
-             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
-                                t -> t <> '')) AS word
-      FROM documents
-    ), dp AS (
+    return f"""{bpe_chain}{_DW_CTE}, dp AS (
       SELECT doc_id, CAST(SUM(len(v.s)) AS BIGINT) AS n_pieces
       FROM dw JOIN seq_3 v USING (word)
       GROUP BY 1

@@ -774,6 +774,15 @@ def ann_index_write(
     it at the scan). ann_index_append extends the ledger per batch;
     ann_index_pq_drift reads it as the codebook-staleness rebuild
     gate (VERDICT r9 #4)."""
+    # reconcile-then-supersede (round-11 self-review): clearing parked
+    # dirs only AFTER the overwrite left a crash window — a kill
+    # between the parquet commit and the rmtree loop below would leave
+    # e.g. a crashed compact's assigned_old/cell=N next to the FRESH
+    # index, and the next writer's _recover_parked would rename those
+    # pre-rebuild rows (stale codes included) into it. Recovering
+    # FIRST merges any parked state into the old table this build is
+    # about to supersede, so no parked dir can outlive the rebuild.
+    _recover_parked(path)
     if train_on is not None:
         centroids, _ = ivf_build(
             train_on, vec_col, id_col, num_cells, train_iters,
@@ -845,11 +854,21 @@ def ann_index_write(
         # rows — the exact mixed-schema state this deletion prevents.
         for side in ("codebooks", "pq_stats"):
             _sh.rmtree(f"{path}/{side}", ignore_errors=True)
-    # a full rebuild supersedes every parked maintenance dir; clearing
-    # them here keeps a later _recover_parked from restoring a
-    # pre-rebuild cell into the fresh index
+    # a full rebuild supersedes every parked maintenance dir. The
+    # _recover_parked call at the TOP of this function already merged
+    # and cleared them before the overwrite (crash-safe ordering);
+    # this second sweep is belt-and-suspenders against dirs parked by
+    # an unrelated writer violating the single-writer contract
+    # mid-build.
     for parked in ("assigned_old", "assigned_retrain_old"):
         _sh.rmtree(f"{path}/{parked}", ignore_errors=True)
+    # a full rebuild writes books, codes and ledger from one
+    # generation, so any crashed-retrain mismatch marker is resolved
+    import contextlib as _ctx
+    import os as _os
+
+    with _ctx.suppress(FileNotFoundError):
+        _os.remove(f"{path}/retrain_inflight")
     if pq is not None:
         # base quantization-error ledger row, aggregated from the
         # WRITTEN table (one cheap scan of a single double column — no
@@ -1023,11 +1042,41 @@ def _write_codebooks(spark, books, path: str, residual: bool = False) -> None:
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
-def _read_codebooks(spark, path: str):
+def _check_retrain_complete(path: str) -> None:
+    """Refuse to consume codebook-paired state while a crashed retrain
+    may have left codebooks and stored codes from DIFFERENT
+    generations (round-11 self-review): ann_index_retrain_codebooks
+    drops a ``retrain_inflight`` marker before committing the new
+    books and removes it only after the re-encoded table and ledger
+    land. Between those points the mismatch is unavoidable (two
+    directories cannot swap atomically) but it must never be consumed
+    SILENTLY — a probe decoding old codes with new books returns
+    wrong neighbors with no error. Recovery is re-running retrain
+    (deterministic, converges; see its crash contract)."""
+    import os
+
+    if os.path.exists(f"{path}/retrain_inflight"):
+        raise RuntimeError(
+            f"{path}: retrain_inflight marker present — a codebook "
+            "retrain crashed between committing the new codebooks and "
+            "the re-encoded table/ledger, so codebooks and codes may "
+            "be from different generations. Re-run "
+            "ann_index_retrain_codebooks(spark, path) to converge, or "
+            "rebuild with ann_index_write."
+        )
+
+
+def _read_codebooks(spark, path: str, allow_inflight: bool = False):
     """Returns (books ndarray, residual flag). Pre-residual indexes
-    (no ``residual`` column) read as residual=False."""
+    (no ``residual`` column) read as residual=False.
+
+    ``allow_inflight=True`` is for ann_index_retrain_codebooks itself,
+    which only reads the geometry (m, k) — identical across
+    generations — and retrains the contents from scratch."""
     import numpy as np
 
+    if not allow_inflight:
+        _check_retrain_complete(path)
     df = spark.read.parquet(f"{path}/codebooks")
     rows = sorted(df.collect(), key=lambda r: (r["s"], r["c"]))
     m = max(r["s"] for r in rows) + 1
@@ -1208,6 +1257,9 @@ def ann_index_compact(spark, path: str, max_files: int = 1) -> list:
     import shutil
 
     _recover_parked(path)
+    # compacting a books/codes generation mismatch would persist the
+    # stale codes into fresh files; force the retrain re-run first
+    _check_retrain_complete(path)
     old_root = f"{path}/assigned_old"
 
     hot = []
@@ -1305,6 +1357,7 @@ def ann_index_pq_drift(spark, path: str) -> DataFrame:
     in-distribution appends measure ~1.0, the shifted-flood pytest
     fixture >2. Scale: the ledger has #appends+1 rows; nothing else
     is read."""
+    _check_retrain_complete(path)
     stats = spark.read.parquet(f"{path}/pq_stats")
     agg = (
         stats.filter(F.col("n") > 0)
@@ -1369,6 +1422,7 @@ def ann_index_repair_ledger(spark, path: str) -> None:
     ledger. If the base row itself is missing there is nothing to
     anchor the relative gate to — raises, since the only honest reset
     is a rebuild or retrain (both write a fresh in-sample base)."""
+    _check_retrain_complete(path)
     stats = spark.read.parquet(f"{path}/pq_stats")
     base = (
         stats.filter(F.col("phase") == "base")
@@ -1437,9 +1491,13 @@ def ann_index_retrain_codebooks(
     window — and the recovery procedure is RE-RUNNING RETRAIN, which
     converges because training is deterministic (hash-predicate
     sample + seeded Lloyd over the same vectors reproduces the same
-    books; the cv column never changes). The new books are
-    deliberately committed BEFORE the re-encode so the tmp encode and
-    any recovery encode read identical books. The assigned swap uses
+    books; the cv column never changes). The window is FENCED by the
+    ``retrain_inflight`` marker (written before the codebook commit,
+    removed after the ledger lands): while it exists, every
+    codebook-paired consumer — probes via _read_codebooks, pq_drift,
+    repair_ledger, compact — raises instead of silently decoding old
+    codes with new books (round-11 self-review); only the retrain
+    re-run or a full rebuild clears it. The assigned swap uses
     the compact pattern (displaced table parks at
     ``{path}/assigned_retrain_old``; the recovery pass below restores
     it if a crash left ``assigned`` missing), so no crash point loses
@@ -1455,7 +1513,9 @@ def ann_index_retrain_codebooks(
     old_root = f"{path}/assigned_retrain_old"
 
     centroids, assigned = ann_index_read(spark, path)
-    old_books, residual = _read_codebooks(spark, path)
+    # allow_inflight: a recovery re-run reads only the geometry (m, k)
+    # from the possibly-new books — identical across generations
+    old_books, residual = _read_codebooks(spark, path, allow_inflight=True)
     m, kk = int(old_books.shape[0]), int(old_books.shape[1])
     # keep every stored column (extra_cols like a hard-negative label
     # ride along); only the stale codes/qerr are regenerated
@@ -1472,6 +1532,15 @@ def ann_index_retrain_codebooks(
             corpus, "cv", "id", m=m, codebook_k=kk, train_iters=train_iters
         )
         resid = None
+    # MISMATCH-WINDOW MARKER (round-11 self-review): from the codebook
+    # commit below until the re-encoded table + ledger land, books and
+    # stored codes are from different generations. The marker makes
+    # every consumer (_read_codebooks, pq_drift, repair_ledger,
+    # compact) refuse the index instead of silently decoding old codes
+    # with new books; only a retrain re-run (which converges — see the
+    # crash contract) or a full rebuild clears it.
+    with open(f"{path}/retrain_inflight", "w") as fh:
+        fh.write("retrain in flight; re-run ann_index_retrain_codebooks\n")
     _write_codebooks(spark, books, path, residual=residual)
     encoded = pq_encode_codes(corpus, books, resid=resid, with_error=True)
     is_cells = os.path.isdir(f"{path}/assigned") and any(
@@ -1506,6 +1575,9 @@ def ann_index_retrain_codebooks(
         .write.mode("overwrite")
         .parquet(f"{path}/pq_stats")
     )
+    # generations consistent again: books, codes, and ledger all from
+    # this retrain
+    os.remove(f"{path}/retrain_inflight")
 
 
 def random_hyperplanes(dim: int, num_tables: int, num_planes: int, seed: int = 7):

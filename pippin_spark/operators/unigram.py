@@ -60,6 +60,34 @@ def _bitlen_cost(tot: int, freq: int) -> int:
     return (tot // freq).bit_length()
 
 
+def _seed_pieces(
+    words: DataFrame, max_piece: int, seed_size: int
+) -> DataFrame:
+    """Substring seed vocabulary: every substring of length
+    1..max_piece of every distinct word, count-weighted; ALL
+    single-char pieces (coverage) + the top ``seed_size`` multi-char
+    by (freq DESC, piece ASC). One definition shared by training and
+    the exposed seed-table artifact — the SQL oracle's subs/seed CTEs
+    mirror exactly this."""
+    subs = (
+        words.selectExpr(
+            "cnt",
+            "explode(flatten(transform(sequence(1, length(word)), i -> "
+            f"transform(sequence(1, least({int(max_piece)}, "
+            "length(word) - i + 1)), l -> substring(word, i, l))))) AS piece",
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+    )
+    singles = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(int(seed_size))
+    )
+    return singles.unionByName(multi)
+
+
 def _viterbi_pdf_iter(costs: dict, max_piece: int):
     """Arrow-batched Viterbi over (word, cnt) rows: per word the
     minimum-(cost, n_pieces, joined-parts) segmentation under the
@@ -148,26 +176,9 @@ def unigram_train_segments(
        bit_length(total2) + 1.
     4. E-STEP 2: re-segment under the pruned, re-estimated costs.
     """
-    spark = docs.sparkSession
     words = word_counts(docs, text_col).persist()
     # 1. substring seed (vocab-sized explode: len·max_piece per word)
-    subs = (
-        words.selectExpr(
-            "cnt",
-            "explode(flatten(transform(sequence(1, length(word)), i -> "
-            f"transform(sequence(1, least({int(max_piece)}, "
-            "length(word) - i + 1)), l -> substring(word, i, l))))) AS piece",
-        )
-        .groupBy("piece")
-        .agg(F.sum("cnt").cast("long").alias("freq"))
-    )
-    singles = subs.filter(F.length("piece") == 1)
-    multi = (
-        subs.filter(F.length("piece") >= 2)
-        .orderBy(F.desc("freq"), F.asc("piece"))
-        .limit(int(seed_size))
-    )
-    seed_rows = singles.unionByName(multi).collect()
+    seed_rows = _seed_pieces(words, max_piece, seed_size).collect()
     seed = {r["piece"]: int(r["freq"]) for r in seed_rows}
     tot = sum(seed.values())
     cost0 = {p: _bitlen_cost(tot, f) for p, f in seed.items()}
@@ -192,10 +203,15 @@ def unigram_train_segments(
     cost2 = {
         p: (_bitlen_cost(tot2, f) if f > 0 else worst) for p, f in kept.items()
     }
-    # 4. E-step 2
-    out = _segment(words, cost2, max_piece)
-    words.unpersist()
-    return out
+    # 4. E-step 2. The word-count cache deliberately stays alive: the
+    # returned plan is LAZY and still reads it — an eager unpersist
+    # here made every later evaluation re-run the corpus-wide
+    # doc→word explode, i.e. a silent extra full corpus scan per
+    # consumer (round-11 self-review). Same persist-without-unpersist
+    # convention as the entry-query compositions (q_pack_on_bpe_e2e);
+    # the cache is vocab-sized and the session evicts it under
+    # pressure.
+    return _segment(words, cost2, max_piece)
 
 
 def unigram_doc_piece_counts(
@@ -238,27 +254,12 @@ def unigram_seed_table(
 ) -> DataFrame:
     """The seed vocabulary as a table (piece, freq, cost) — the
     driver-sized training artifact (merge-table analog), exposed for
-    inspection/tests."""
-    seg = unigram_train_segments  # noqa: F841  (doc anchor)
+    inspection/tests. Shares ``_seed_pieces`` with
+    unigram_train_segments so the exposed artifact cannot drift from
+    what training actually used."""
     spark = docs.sparkSession
     words = word_counts(docs, text_col)
-    subs = (
-        words.selectExpr(
-            "cnt",
-            "explode(flatten(transform(sequence(1, length(word)), i -> "
-            f"transform(sequence(1, least({int(max_piece)}, "
-            "length(word) - i + 1)), l -> substring(word, i, l))))) AS piece",
-        )
-        .groupBy("piece")
-        .agg(F.sum("cnt").cast("long").alias("freq"))
-    )
-    singles = subs.filter(F.length("piece") == 1)
-    multi = (
-        subs.filter(F.length("piece") >= 2)
-        .orderBy(F.desc("freq"), F.asc("piece"))
-        .limit(int(seed_size))
-    )
-    rows = singles.unionByName(multi).collect()
+    rows = _seed_pieces(words, max_piece, seed_size).collect()
     tot = sum(int(r["freq"]) for r in rows)
     return local_table(
         spark,

@@ -2701,3 +2701,87 @@ def test_encode_docs_triad_reconciles(spark):
     # the criteria chose different merges, so per-doc costs must
     # actually differ somewhere
     assert diverged > 0
+
+
+def test_retrain_inflight_marker_fences_mismatched_index(spark, tmp_path):
+    # round-11 self-review: a retrain that crashes between committing
+    # the NEW codebooks and swapping the re-encoded table leaves books
+    # and codes from different generations. The retrain_inflight
+    # marker must make every codebook-paired consumer refuse the
+    # index (a probe would silently decode old codes with new books),
+    # and the documented recovery — re-running retrain — must clear
+    # it and converge.
+    import os
+
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "pq_ivf")
+    S.ann_index_write(
+        emb, "embedding", "vec_id", path, num_cells=8, train_iters=2,
+        layout="cells", pq=(4, 16, 2),
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    clean = S.ivfpq_topk_prebuilt(
+        spark, path, q, "embedding", "vec_id", k=3, nprobe=3
+    ).collect()
+    # simulate the crash window: marker present, generations suspect
+    with open(f"{path}/retrain_inflight", "w") as fh:
+        fh.write("crash\n")
+    with pytest.raises(RuntimeError, match="retrain_inflight"):
+        S.ivfpq_topk_prebuilt(
+            spark, path, q, "embedding", "vec_id", k=3, nprobe=3
+        )
+    with pytest.raises(RuntimeError, match="retrain_inflight"):
+        S.ann_index_append(
+            spark, path, emb.limit(3), "embedding", "vec_id"
+        )
+    with pytest.raises(RuntimeError, match="retrain_inflight"):
+        S.ann_index_pq_drift(spark, path).collect()
+    with pytest.raises(RuntimeError, match="retrain_inflight"):
+        S.ann_index_compact(spark, path)
+    # recovery 1: re-running retrain converges and clears the fence
+    S.ann_index_retrain_codebooks(spark, path)
+    assert not os.path.exists(f"{path}/retrain_inflight")
+    after = S.ivfpq_topk_prebuilt(
+        spark, path, q, "embedding", "vec_id", k=3, nprobe=3
+    ).collect()
+    assert len(after) == len(clean)
+    assert S.ann_index_pq_drift(spark, path).collect()[0]["n_appended"] == 0
+    # recovery 2: a full rebuild also resolves the marker
+    with open(f"{path}/retrain_inflight", "w") as fh:
+        fh.write("crash\n")
+    S.ann_index_write(
+        emb, "embedding", "vec_id", path, num_cells=8, train_iters=2,
+        layout="cells", pq=(4, 16, 2),
+    )
+    assert not os.path.exists(f"{path}/retrain_inflight")
+
+
+def test_ann_index_write_recovers_parked_before_overwrite(spark, tmp_path):
+    # round-11 self-review: a rebuild that crashed AFTER the parquet
+    # commit but BEFORE the old post-write parked-dir sweep used to
+    # leave assigned_old/cell=N beside the fresh index; the next
+    # writer's _recover_parked would then resurrect pre-rebuild rows
+    # into it. The reconcile pass at the TOP of ann_index_write must
+    # consume parked state before the overwrite so it cannot outlive
+    # the rebuild.
+    import glob
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "rebuild_ivf")
+    S.ann_index_write(
+        emb, "embedding", "vec_id", path, num_cells=8, train_iters=2,
+        layout="cells",
+    )
+    cdir = sorted(glob.glob(f"{path}/assigned/cell=*"))[0]
+    os.makedirs(f"{path}/assigned_old", exist_ok=True)
+    os.rename(cdir, f"{path}/assigned_old/{os.path.basename(cdir)}")
+    S.ann_index_write(
+        emb, "embedding", "vec_id", path, num_cells=8, train_iters=2,
+        layout="cells",
+    )
+    assert not os.path.exists(f"{path}/assigned_old")
+    _, assigned = S.ann_index_read(spark, path)
+    assert assigned.count() == emb.count()
