@@ -2785,3 +2785,73 @@ def test_ann_index_write_recovers_parked_before_overwrite(spark, tmp_path):
     assert not os.path.exists(f"{path}/assigned_old")
     _, assigned = S.ann_index_read(spark, path)
     assert assigned.count() == emb.count()
+
+
+def _ref_wordpiece(word_counts, rounds):
+    # plain-python WordPiece (Schuster & Nakajima): per round, symbol
+    # counts over current sequences, score = pair_cnt * 10^12 //
+    # (c1 * c2) (exact integer, mirroring _WP_SCORE), argmax by
+    # (score DESC, (w1, w2) lexicographic ASC), greedy left-to-right
+    # merge application — identical application rule to BPE
+    from collections import Counter
+
+    seqs = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs, syms = Counter(), Counter()
+        for w, c in word_counts.items():
+            s = seqs[w]
+            for sym in s:
+                syms[sym] += c
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        scored = {
+            p: cnt * 10**12 // (syms[p[0]] * syms[p[1]])
+            for p, cnt in pairs.items()
+        }
+        top = max(scored.values())
+        a, b = min(p for p, sc in scored.items() if sc == top)
+        merges.append((r, a, b, a + b, pairs[(a, b)], scored[(a, b)]))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (a, b):
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_wordpiece_matches_reference(spark):
+    from collections import Counter
+
+    from pippin_spark.operators import bpe as B
+
+    corpus = [
+        "low low low lower lowest",
+        "new newer newest newer",
+        "wide wider widest low new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["w1"], r["w2"], r["merged"], r["pair_count"],
+         r["score"])
+        for r in B.wordpiece_train_merges(docs, rounds=5)
+        .orderBy("step")
+        .collect()
+    ]
+    wc = Counter(w for t in corpus for w in t.lower().split())
+    exp, ref_seqs = _ref_wordpiece(wc, 5)
+    assert got == exp
+    segs = {
+        r["word"]: r["pieces"]
+        for r in B.wordpiece_vocab_after(docs, rounds=5).collect()
+    }
+    assert segs == {w: " ".join(s) for w, s in ref_seqs.items()}

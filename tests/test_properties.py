@@ -476,3 +476,33 @@ def test_corpus_manifest_property(spark, docs, parts):
     for b, n, _, lo, hi in base:
         members = [d for d, _ in docs if d % 4 == b]
         assert (n, lo, hi) == (len(members), min(members), max(members))
+
+
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                      min_size=1, max_size=4))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_wordpiece_merge_table_property(spark, texts):
+    # same adversarial regime as the BPE property (tiny alphabet →
+    # heavy ties and overlap runs), but the likelihood-gain argmax
+    # additionally exercises the integer score floor-division ties
+    from collections import Counter
+
+    from pippin_spark.operators import bpe as B
+    from tests.test_llm_ops import _ref_wordpiece
+
+    wc = Counter(w for t in texts for w in t.lower().split())
+    if not wc:
+        return
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["w1"], r["w2"], r["merged"], r["pair_count"],
+         r["score"])
+        for r in B.wordpiece_train_merges(docs, rounds=3)
+        .orderBy("step")
+        .collect()
+    ]
+    exp, _ = _ref_wordpiece(wc, 3)
+    assert got == exp
