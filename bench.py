@@ -182,6 +182,7 @@ HEADLINE = [
     "tokenizer_fertility",  # per-lang learned-vs-proxy tokenizer cost
     "wordpiece_train_merges",  # likelihood-gain induction (BERT builder)
     "unigram_encode_docs",  # per-doc cost under the unigram-LM tokenizer
+    "bpe_encode_prebuilt",  # frozen-tokenizer encode (no training jobs)
 ]
 
 # ---------------------------------------------------------------------
@@ -803,6 +804,9 @@ def main() -> None:
         "wordpiece_train_merges",
         # unigram seed/cost collects + EM recount run at construction
         "unigram_encode_docs",
+        # merge-table read (driver-sized collect) at construction;
+        # artifact build runs once (build-if-missing) outside the reps
+        "bpe_encode_prebuilt",
     }
 
     timings: dict[str, float] = {}

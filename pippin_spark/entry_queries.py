@@ -7803,6 +7803,18 @@ def q_wordpiece_encode_docs(spark, sf_dir):
 
 
 
+_BPE_ENCODE_ORACLE = (
+    _bpe_oracle_sql(3).rsplit("\nSELECT 1 AS step", 1)[0]
+    + _DW_CTE
+    + """
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe_pieces
+    FROM dw JOIN seq_3 v USING (word)
+    GROUP BY 1
+    """
+)
+
+
 @_q(
     "bpe_encode_docs",
     # per-DOCUMENT cost under the LEARNED tokenizer (the loader-feed
@@ -7815,20 +7827,50 @@ def q_wordpiece_encode_docs(spark, sf_dir):
     # per-word piece counts meet documents in ONE word-keyed join.
     # Oracle: the same chained-CTE training replay, final select
     # re-derives doc words and joins the last seq state.
-    _bpe_oracle_sql(3).rsplit("\nSELECT 1 AS step", 1)[0]
-    + _DW_CTE
-    + """
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(len(v.s)) AS BIGINT) AS n_bpe_pieces
-    FROM dw JOIN seq_3 v USING (word)
-    GROUP BY 1
-    """,
+    _BPE_ENCODE_ORACLE,
 )
 def q_bpe_encode_docs(spark, sf_dir):
     from pippin_spark.operators import bpe as BPE
 
     docs = _t(spark, sf_dir, "documents").df
     return BPE.bpe_doc_piece_counts(docs, "text", rounds=3)
+
+
+def _bpe_merges_path(sf_dir: str) -> str:
+    # deterministic per-fixture tokenizer-artifact location, keyed by
+    # the documents file's mtime (the _ann_index_path pattern) so a
+    # driver-regenerated fixture can never serve stale merges
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    mt = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    return f"/tmp/pippin_bpe_merges_{base}_{mt}"
+
+
+@_q(
+    "bpe_encode_prebuilt",
+    # query-many half of the tokenizer artifact contract (the
+    # ann_topk_ivf_prebuilt analog): encode the corpus against the
+    # PERSISTED merge table — build-if-missing, then zero training
+    # actions; the merges ride in as plan literals over the
+    # distinct-word segmentation and the counts meet documents in the
+    # same one word-keyed join. Training is deterministic and the
+    # driver-sized artifact round-trips parquet exactly, so the result
+    # EQUALS the fresh-train bpe_encode_docs (same oracle; exact
+    # equality pytest-pinned) — which is how a production loader
+    # prices a corpus under a frozen tokenizer.
+    _BPE_ENCODE_ORACLE,
+)
+def q_bpe_encode_prebuilt(spark, sf_dir):
+    import os
+
+    from pippin_spark.operators import bpe as BPE
+
+    docs = _t(spark, sf_dir, "documents").df
+    path = _bpe_merges_path(sf_dir)
+    if not os.path.exists(path):
+        BPE.bpe_write_merges(docs, path, "text", rounds=3)
+    return BPE.bpe_doc_piece_counts_prebuilt(spark, path, docs, "text")
 
 
 def _unigram_viterbi_levels_sql(
@@ -12501,6 +12543,7 @@ _DRIVER_ROW_PRIORITY = [
     "wordpiece_vocab_segments",
     "wordpiece_encode_docs",
     "unigram_encode_docs",
+    "bpe_encode_prebuilt",
     "ann_index_retrain_e2e",
     "pack_on_bpe_e2e",
     "unigram_vocab_segments",

@@ -294,6 +294,66 @@ def wordpiece_doc_piece_counts(
     return _doc_piece_counts(docs, text_col, seq, "n_wp_pieces")
 
 
+def bpe_write_merges(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    rounds: int = 3,
+    scoring: str = "count",
+) -> None:
+    """Build-once half of the tokenizer artifact contract (the
+    ann_index_write analog): train ``rounds`` merges and persist the
+    merge table as parquet at ``path``. The artifact is driver-sized
+    (one row per merge), and training is deterministic, so encoding
+    against the persisted table equals encoding against a fresh train
+    EXACTLY (pytest-pinned)."""
+    merges, _ = _train(docs, text_col, rounds, scoring=scoring)
+    spark = docs.sparkSession
+    if scoring == "wordpiece":
+        table = local_table(
+            spark,
+            [
+                (r, w1, w2, w1 + w2, total, score)
+                for r, w1, w2, total, score in merges
+            ],
+            "step int, w1 string, w2 string, merged string,"
+            " pair_count bigint, score bigint",
+        )
+    else:
+        table = _merge_table(spark, merges)
+    table.write.mode("overwrite").parquet(path)
+
+
+def bpe_doc_piece_counts_prebuilt(
+    spark, path: str, docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Query-many half: per-document piece counts against the
+    PERSISTED merge table — zero training actions, which is how a
+    production loader prices a corpus under a frozen tokenizer.
+    Reads the driver-sized merge table, replays it over the corpus's
+    distinct words (bpe_segment — merges ride as plan literals), and
+    joins the per-word counts back through the doc→word explode:
+    same (doc_id, n_words, n_bpe_pieces) as bpe_doc_piece_counts,
+    same two corpus scans, no argmax jobs."""
+    merge_table = spark.read.parquet(path)
+    words = docs.select(
+        F.explode(_ws_token_array(F.col(text_col))).alias("word")
+    ).distinct()
+    seg = bpe_segment(words, merge_table)
+    vocab = seg.select("word", F.size("pieces").alias("__np__"))
+    dw = docs.select(
+        "doc_id", F.explode(_ws_token_array(F.col(text_col))).alias("word")
+    )
+    return (
+        dw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__np__").cast("long").alias("n_bpe_pieces"),
+        )
+    )
+
+
 def bpe_segment(words: DataFrame, merge_table: DataFrame) -> DataFrame:
     """Apply a learned merge table to segment words: replays the merges
     in order with the same greedy fold. Returns (word, pieces).

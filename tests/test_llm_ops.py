@@ -2855,3 +2855,34 @@ def test_wordpiece_matches_reference(spark):
         for r in B.wordpiece_vocab_after(docs, rounds=5).collect()
     }
     assert segs == {w: " ".join(s) for w, s in ref_seqs.items()}
+
+
+def test_bpe_prebuilt_encode_equals_fresh(spark, tmp_path):
+    from pippin_spark.operators import bpe as B
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "merges")
+    B.bpe_write_merges(docs, path, "text", rounds=3)
+    fresh = {
+        (r["doc_id"], r["n_words"], r["n_bpe_pieces"])
+        for r in B.bpe_doc_piece_counts(docs, "text", rounds=3).collect()
+    }
+    pre = {
+        (r["doc_id"], r["n_words"], r["n_bpe_pieces"])
+        for r in B.bpe_doc_piece_counts_prebuilt(
+            spark, path, docs, "text"
+        ).collect()
+    }
+    assert pre == fresh
+    # the artifact round-trips the merge table exactly, in order
+    stored = [
+        (r["step"], r["w1"], r["w2"])
+        for r in spark.read.parquet(path).orderBy("step").collect()
+    ]
+    trained = [
+        (r["step"], r["w1"], r["w2"])
+        for r in B.bpe_train_merges(docs, "text", rounds=3)
+        .orderBy("step")
+        .collect()
+    ]
+    assert stored == trained
