@@ -326,6 +326,9 @@ def main() -> None:
         "unigram_encode_docs": lambda spark, d: ENTRY_QUERIES[
             "unigram_encode_docs"
         ](spark, d),
+        "bpe_encode_prebuilt": lambda spark, d: ENTRY_QUERIES[
+            "bpe_encode_prebuilt"
+        ](spark, d),
         "triangle_count_parts": triangles,
         "pagerank_trade_graph": pagerank,
         "dedup_sorted_neighborhood": sorted_neighborhood,
