@@ -20,7 +20,7 @@ pass (measured 3×+ end-to-end on knn_join_ivf at 10× bench scale).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from pippin_spark.operators.dedup import cosine_similarity
@@ -825,6 +825,18 @@ def ann_index_write(
             )
             _write_codebooks(corpus.sparkSession, books, path)
             assigned = pq_encode_codes(assigned, books, with_error=True)
+    ledger_obs = None
+    if pq is not None:
+        # the base ledger row (count, Σqerr) rides the assigned WRITE
+        # itself via observe() instead of a post-write re-scan of the
+        # table — one O(index) pass removed per build; the observed
+        # rows are by construction exactly the rows the write landed
+        ledger_obs = Observation()
+        assigned = assigned.observe(
+            ledger_obs,
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qerr").alias("sum_qerr"),
+        )
     writer = assigned.repartition("cell").sortWithinPartitions("cell").write
     if layout == "cells":
         # static overwrite of a partitioned dataset wipes the whole
@@ -870,20 +882,16 @@ def ann_index_write(
     with _ctx.suppress(FileNotFoundError):
         _os.remove(f"{path}/retrain_inflight")
     if pq is not None:
-        # base quantization-error ledger row, aggregated from the
-        # WRITTEN table (one cheap scan of a single double column — no
-        # re-encode pass); overwrite resets any prior build's ledger
+        # base quantization-error ledger row from the observe() metrics
+        # the assigned write just accumulated (zero extra scans);
+        # overwrite resets any prior build's ledger
         spark = corpus.sparkSession
-        (
-            spark.read.parquet(f"{path}/assigned")
-            .agg(
-                F.lit("base").alias("phase"),
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("qerr").alias("sum_qerr"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{path}/pq_stats")
-        )
+        row = ledger_obs.get
+        local_table(
+            spark,
+            [("base", int(row["n"]), row["sum_qerr"])],
+            "phase string, n long, sum_qerr double",
+        ).write.mode("overwrite").parquet(f"{path}/pq_stats")
 
 
 def ann_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -1193,12 +1201,18 @@ def ann_index_append(
         assigned_new = pq_encode_codes(
             assigned_new, books, resid=resid, with_error=True
         )
-        # the batch feeds TWO actions (data write + ledger aggregate):
-        # persist so the assign join and Arrow encode run ONCE, and the
-        # ledger row is computed from the very rows the write landed
-        # (re-evaluation of a non-deterministic source would otherwise
-        # skew the drift signal)
-        assigned_new = assigned_new.persist()
+        # the ledger row (count, Σqerr) rides the data write itself via
+        # observe(): the assign join and Arrow encode run ONCE, in the
+        # one write action, and the observed metrics are by
+        # construction computed from the very rows the write landed —
+        # no persist, no second job (formerly persist + a separate
+        # aggregate action per batch)
+        ledger_obs = Observation()
+        assigned_new = assigned_new.observe(
+            ledger_obs,
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qerr").alias("sum_qerr"),
+        )
     (
         assigned_new.repartition("cell")
         .sortWithinPartitions("cell")
@@ -1210,16 +1224,12 @@ def ann_index_append(
         # extend the quantization-error ledger with this batch — the
         # PQ-codebook drift signal (ann_index_pq_drift); O(new), never
         # O(index)
-        (
-            assigned_new.agg(
-                F.lit("appended").alias("phase"),
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("qerr").alias("sum_qerr"),
-            )
-            .write.mode("append")
-            .parquet(f"{path}/pq_stats")
-        )
-        assigned_new.unpersist()
+        row = ledger_obs.get
+        local_table(
+            spark,
+            [("appended", int(row["n"]), row["sum_qerr"])],
+            "phase string, n long, sum_qerr double",
+        ).write.mode("append").parquet(f"{path}/pq_stats")
 
 
 def ann_index_compact(spark, path: str, max_files: int = 1) -> list:
@@ -1543,6 +1553,15 @@ def ann_index_retrain_codebooks(
         fh.write("retrain in flight; re-run ann_index_retrain_codebooks\n")
     _write_codebooks(spark, books, path, residual=residual)
     encoded = pq_encode_codes(corpus, books, resid=resid, with_error=True)
+    # fresh ledger base row (count, Σqerr) collected by observe()
+    # during the re-encode write below — removes the former second
+    # O(index) scan of the swapped-in table
+    ledger_obs = Observation()
+    encoded = encoded.observe(
+        ledger_obs,
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qerr").alias("sum_qerr"),
+    )
     is_cells = os.path.isdir(f"{path}/assigned") and any(
         e.startswith("cell=") for e in os.listdir(f"{path}/assigned")
     )
@@ -1565,16 +1584,12 @@ def ann_index_retrain_codebooks(
     os.rename(f"{path}/assigned", old_root)
     os.rename(tmp, f"{path}/assigned")
     shutil.rmtree(old_root)
-    (
-        spark.read.parquet(f"{path}/assigned")
-        .agg(
-            F.lit("base").alias("phase"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("qerr").alias("sum_qerr"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{path}/pq_stats")
-    )
+    row = ledger_obs.get
+    local_table(
+        spark,
+        [("base", int(row["n"]), row["sum_qerr"])],
+        "phase string, n long, sum_qerr double",
+    ).write.mode("overwrite").parquet(f"{path}/pq_stats")
     # generations consistent again: books, codes, and ledger all from
     # this retrain
     os.remove(f"{path}/retrain_inflight")
@@ -1878,6 +1893,7 @@ def knn_join_blocked(
     k: int = 5,
     overfetch: int = 8,
     anti_col: str = None,
+    rerank_df: DataFrame = None,
 ) -> DataFrame:
     """Corpus-to-corpus k-nearest-neighbors within a blocking key (a
     label, an IVF cell, an LSH bucket): for every vector, the top-k
@@ -1914,7 +1930,17 @@ def knn_join_blocked(
     mining (a row's own anti value equals itself, so self-pairs stay
     excluded too). With masking, a row can have fewer than
     k+overfetch eligible candidates; the non-finite-cut guard below
-    (the hard_negative_topk convention) then takes every finite one."""
+    (the hard_negative_topk convention) then takes every finite one.
+
+    ``rerank_df``: optional cheaper source of the SAME
+    (id_col, vec_col) rows for the re-rank's two vector-fetch joins.
+    When ``df`` is itself an expensive derived subtree (e.g. the IVF
+    assignment pass — a full-corpus Arrow stage), the naive plan
+    evaluates that subtree three times (candidates + both joins);
+    passing the pre-derivation frame here lets the joins read the raw
+    vectors directly (the block/cell column is irrelevant to them), so
+    the expensive stage runs exactly once. Values are identical by
+    contract: the caller guarantees id→vector is the same mapping."""
     nk = int(k + overfetch)
 
     def gen(pdf):
@@ -1984,8 +2010,9 @@ def knn_join_blocked(
         .groupBy("__b__")
         .applyInPandas(gen, "id long, neighbor_id long")
     )
-    a = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__va__"))
-    b = df.select(
+    vecs = rerank_df if rerank_df is not None else df
+    a = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__va__"))
+    b = vecs.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb__")
     )
     scored = (
@@ -2078,15 +2105,28 @@ def knn_join_ivf(
     extra = (anti_col,) if anti_col else ()
     if index is not None:
         centroids, assigned = index
+        # prebuilt path: assigned is a parquet scan — the re-rank
+        # joins read (id, cv) from it directly (column-pruned)
+        rerank = assigned.select("id", "cv")
     else:
         centroids, assigned = ivf_build(
             df, vec_col, id_col, num_cells, train_iters, train_mode="sample",
             extra_cols=extra,
         )
+        # fresh path: `assigned` is the corpus + a broadcast-centroid
+        # Arrow assignment pass. The re-rank's two vector-fetch joins
+        # need only id→vector, which the assignment passes through
+        # verbatim — source them from the RAW corpus projection so the
+        # full-corpus assignment stage runs once (the candidate
+        # subtree), not three times (guide: don't recompute opaque
+        # stages the optimizer can't dedupe)
+        rerank = df.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
+        )
     if nprobe <= 1:
         return knn_join_blocked(
             assigned, "cv", "id", "cell", k=k, overfetch=overfetch,
-            anti_col=anti_col,
+            anti_col=anti_col, rerank_df=rerank,
         )
     import numpy as np
     import pandas as _pd
@@ -2115,8 +2155,16 @@ def knn_join_ivf(
         probe_fields += (
             f", {anti_col} {assigned.schema[anti_col].dataType.simpleString()}"
         )
+    probe_fields += ", __q__ boolean"
 
     def probe_gen(batches):
+        # ONE pass emits BOTH sides of the cell join: each vector's
+        # p_eff probe copies (__q__=True) AND its single home-member
+        # row (__q__=False, the stored `cell` value — no recompute).
+        # The former probes-UNION-assigned shape evaluated the whole
+        # `assigned` subtree (full-corpus assignment pass on the fresh
+        # path, index scan on the prebuilt path) twice; shuffle volume
+        # is unchanged at (nprobe+1) rows per vector.
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -2140,18 +2188,22 @@ def knn_join_ivf(
             )
             if anti_col:
                 out[anti_col] = pdf[anti_col].to_numpy()[rep]
-            yield out
+            out["__q__"] = True
+            member = _pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cv": pdf["cv"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                }
+            )
+            if anti_col:
+                member[anti_col] = pdf[anti_col].to_numpy()
+            member["__q__"] = False
+            yield _pd.concat([out, member], ignore_index=True)
 
-    probes = assigned.mapInPandas(probe_gen, probe_fields)
     side_cols = ["id", "cv"] + ([anti_col] if anti_col else [])
-    both = probes.select(
-        F.col("cell").alias("__b__"), *side_cols, F.lit(True).alias("__q__")
-    ).unionByName(
-        assigned.select(
-            F.col("cell").alias("__b__"),
-            *side_cols,
-            F.lit(False).alias("__q__"),
-        )
+    both = assigned.mapInPandas(probe_gen, probe_fields).select(
+        F.col("cell").alias("__b__"), *side_cols, "__q__"
     )
     nk = int(k + overfetch)
 
@@ -2211,8 +2263,12 @@ def knn_join_ivf(
     cands = both.groupBy("__b__").applyInPandas(
         gen, "id long, neighbor_id long"
     )
-    a = assigned.select(F.col("id"), F.col("cv").alias("__va__"))
-    b = assigned.select(
+    # vector-fetch joins read from `rerank` (raw corpus projection /
+    # pruned index scan), not `assigned` — see the fresh-path comment
+    # above: this keeps the full-corpus assignment stage out of two of
+    # the three consumers of `assigned`
+    a = rerank.select(F.col("id"), F.col("cv").alias("__va__"))
+    b = rerank.select(
         F.col("id").alias("neighbor_id"), F.col("cv").alias("__vb__")
     )
     scored = (
@@ -2543,6 +2599,12 @@ def ivfpq_topk(
         )
     spark = corpus.sparkSession
     a = assigned  # (id, cv, cell)
+    # survivors' exact re-rank fetches (id, cv) from the RAW corpus
+    # projection: `a` embeds the full-corpus assignment Arrow stage,
+    # which the fetch join does not need (same id→vector mapping)
+    rerank = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
+    )
 
     chunk_results: list[DataFrame] = []
     buf_ids: list[int] = []
@@ -2569,6 +2631,7 @@ def ivfpq_topk(
                 int(k + overfetch),
                 resid_cn=Cn if by_residual else None,
                 probe_cols=probe_cols if by_residual else None,
+                rerank=rerank,
             )
         )
         buf_ids.clear()
@@ -2820,12 +2883,16 @@ def _residual_query_tables(Qn, books, Cn, probe_cols, cell_ids):
 
 def _ivfpq_chunk(
     sub, spark, q_ids, Q, books, cell_ids, probed, k: int, nk: int,
-    resid_cn=None, probe_cols=None,
+    resid_cn=None, probe_cols=None, rerank=None,
 ) -> DataFrame:
     """One ivfpq_topk query chunk: cell-masked ADC scan over the
     probed-cell subset + batch pruning + exact cosine re-rank.
     ``resid_cn`` (normalized centroid matrix) switches both the encode
-    and the query tables to the residual space."""
+    and the query tables to the residual space. ``rerank`` optionally
+    supplies the survivors' (id, cv) rows from a cheaper frame than
+    ``sub`` — on the fresh path ``sub`` embeds the full-corpus
+    assignment Arrow stage, which the survivor join does not need
+    (same id→vector mapping by construction)."""
     import numpy as np
 
     d = books.shape[2]
@@ -2916,9 +2983,11 @@ def _ivfpq_chunk(
         [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
         "query_id long, qv array<double>",
     )
+    vec_src = rerank if rerank is not None else sub
     scored = (
         survivors.join(
-            sub.select(F.col("id").alias("neighbor_id"), "cv"), "neighbor_id"
+            vec_src.select(F.col("id").alias("neighbor_id"), "cv"),
+            "neighbor_id",
         )
         .join(F.broadcast(qdf), "query_id")
         .select(
