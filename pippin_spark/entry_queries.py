@@ -10890,17 +10890,29 @@ def q_streaming_corpus_manifest(spark, sf_dir):
         .parquet(sf_dir)
     )
     man = TXT.corpus_manifest(stream, "text", "doc_id", num_buckets=64)
-    q = (
-        man.writeStream.format("memory")
-        .queryName("pippin_stream_manifest")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="pippin_ckpt_manifest_"),
+    # size the stateful agg's state stores to the bounded feed (the
+    # _stream_parts rationale — see streaming_ivf_cell_route); the
+    # per-bucket manifest rows are partition-invariant
+    import os as _os
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    size = _os.path.getsize(f"{sf_dir}/documents.parquet")
+    spark.conf.set(key, str(max(4, min(int(prev), size // (32 << 20) + 1))))
+    try:
+        q = (
+            man.writeStream.format("memory")
+            .queryName("pippin_stream_manifest")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="pippin_ckpt_manifest_"),
+            )
+            .start()
         )
-        .start()
-    )
+    finally:
+        spark.conf.set(key, prev)
     _drain(q)
     return spark.table("pippin_stream_manifest")
 
@@ -11902,14 +11914,26 @@ def q_streaming_ivf_cell_route(spark, sf_dir):
         cents,
     )
     agg = routed.groupBy("cell").agg(F.count(F.lit(1)).alias("n_s"))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("pippin_stream_ivf_route")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _stream_ckpt("pippin_ckpt_ivfroute_"))
-        .start()
-    )
+    # size the stateful agg's state-store partitioning to the bounded
+    # feed, like every streaming-module row (_stream_parts rationale:
+    # each state partition is a store instance with per-batch
+    # open/commit cost); pinned into the offset log at start, restored
+    # after — the per-cell counts are partition-invariant
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    size = os.path.getsize(f"{sf_dir}/embeddings.parquet")
+    spark.conf.set(key, str(max(4, min(int(prev), size // (32 << 20) + 1))))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("pippin_stream_ivf_route")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _stream_ckpt("pippin_ckpt_ivfroute_"))
+            .start()
+        )
+    finally:
+        spark.conf.set(key, prev)
     _drain(q)
     sc = spark.table("pippin_stream_ivf_route")
     bc = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_b"))

@@ -251,7 +251,10 @@ def shingle_hashes(df: DataFrame, text_col: str, n: int = 3, out_col: str = "hs"
 
     sh = sh.asNondeterministic()  # collapse barrier (see minhash_signatures)
     others = [c for c in df.columns if c != text_col]
-    return df.select(*others, sh(text_col).alias(out_col))
+    # spread the Arrow hash pass across the cluster first — a compact
+    # single-split input otherwise runs the whole corpus UDF on one
+    # task (same guard as text_minhash_signatures); no-op at scale
+    return ensure_parallelism(df).select(*others, sh(text_col).alias(out_col))
 
 
 def text_minhash_signatures(
@@ -668,9 +671,11 @@ def dedup_ngram_jaccard(
     # Jaccard over injectively-hashed shingles equals Jaccard over the
     # strings, the interpreted shingle-HOF never runs, and the bucket
     # shuffle moves long arrays instead of string arrays.
-    pre = ensure_parallelism(df.select(*[F.col(c) for c in needed])).select(
+    pre = df.select(*[F.col(c) for c in needed]).select(
         F.col(id_col).alias("id"), block.alias("blk"), F.col(text_col).alias("__text__")
     )
+    # shingle_hashes applies the ensure_parallelism guard itself now —
+    # wrapping here too would evaluate the partition probe twice
     docs = shingle_hashes(pre, "__text__", n, out_col="sh")
     # groupBy-bucket, not a blocked self-join: the self-join would run
     # the shingle pass twice; this shuffles each shingle array once.
@@ -1357,7 +1362,12 @@ def dedup_span_stats(
             F.lit(stride),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    wins = df.select(
+    # the window-digest pass md5-hashes every grid position of every
+    # doc — spread a compact single-split input across the cluster
+    # first (no-op at scale; the same guard as shingle_hashes)
+    wins = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("__id__"),
         F.explode(grid).alias("__p__"),
         F.col(text_col).alias("__t__"),
@@ -1568,9 +1578,16 @@ def set_similarity_join(
     or a blanket ``spark.catalog.clearCache()`` clears it.
     """
     sets = (
-        df.select(
-            F.col(id_col).alias("__id__"),
-            F.array_distinct(F.col(set_col)).alias("__sh__"),
+        # spread the cached sets across the cluster before persisting:
+        # a single-split input (one compact parquet file) otherwise
+        # pins BOTH cache-fed explode passes (frequency, prefix) to
+        # one task — measured 2×1.5 s serial stages at sf0.1; no-op
+        # at scale where the scan already has enough splits
+        ensure_parallelism(
+            df.select(
+                F.col(id_col).alias("__id__"),
+                F.array_distinct(F.col(set_col)).alias("__sh__"),
+            )
         )
         .filter(F.size("__sh__") > 0)
         .persist()
@@ -1719,7 +1736,12 @@ def dedup_span_scrub(
             F.lit(stride),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    wins = df.select(
+    # the window-digest pass md5-hashes every grid position of every
+    # doc — spread a compact single-split input across the cluster
+    # first (no-op at scale; the same guard as shingle_hashes)
+    wins = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("__id__"),
         F.explode(grid).alias("__p__"),
         F.col(text_col).alias("__t__"),

@@ -3024,10 +3024,15 @@ def random_projection(
     rounding), scaled to integer nanounits and summed as BIGINT (order
     insensitive), divided back once — identical in any engine.
 
-    Scale: one narrow map stage, zero shuffle, zero UDF; the sign
-    matrix rides in the plan as out_dim literal arrays (in_dim floats
-    each), never broadcast or joined. Output is long form
-    (id, j, val) — pivot to arrays downstream if needed.
+    Scale: one narrow map stage, zero UDF; the sign matrix rides in
+    the plan as out_dim literal arrays (in_dim floats each), never
+    broadcast or joined. The out_dim interpreted zip_with/aggregate
+    folds are the per-row cost (~0.5 ms/row at 64→16), so a compact
+    single-split input is first spread across the cluster
+    (ensure_parallelism — a round-robin exchange locally, a no-op at
+    scale where the scan has enough splits); past that guard the
+    stage is shuffle-free. Output is long form (id, j, val) — pivot
+    to arrays downstream if needed.
     """
     import hashlib
 
@@ -3048,4 +3053,6 @@ def random_projection(
                 (tot.cast("double") / F.lit(1e9)).alias("val"),
             )
         )
-    return df.select(F.col(id_col), F.inline(F.array(*entries)))
+    return ensure_parallelism(df).select(
+        F.col(id_col), F.inline(F.array(*entries))
+    )

@@ -782,14 +782,33 @@ def test_random_projection_preserves_relative_distance(spark):
 
 
 def test_random_projection_plan_is_narrow(spark):
-    # one map stage: no exchange, no Python eval — the sign matrix
-    # rides in the plan as literals
+    # one map stage: no Python eval, and no KEYED exchange — the sign
+    # matrix rides in the plan as literals. The only exchange allowed
+    # is the ensure_parallelism round-robin spread guard for compact
+    # single-split inputs (absent once the input already has enough
+    # partitions, as at scale).
     from pippin_spark.operators.similarity import random_projection
 
     df = spark.createDataFrame([(0, [1.0] * 16)], "vec_id long, embedding array<float>")
     out = random_projection(df, in_dim=16, out_dim=4)
     p = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
-    assert "Exchange" not in p and "EvalPython" not in p
+    import re
+
+    def n_exchanges(plan: str) -> int:
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    assert "EvalPython" not in p and "hashpartitioning" not in p
+    assert n_exchanges(p) <= 1  # the spread guard only
+    # an input that already has enough partitions keeps the pure
+    # narrow plan: no exchange beyond the explicit repartition below
+    wide = spark.createDataFrame(
+        [(i, [1.0] * 16) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    ).repartition(spark.sparkContext.defaultParallelism)
+    out2 = random_projection(wide, in_dim=16, out_dim=4)
+    p2 = out2._sc._jvm.PythonSQLUtils.explainString(out2._jdf.queryExecution(), "formatted")
+    assert "EvalPython" not in p2
+    assert n_exchanges(p2) <= 1  # the explicit repartition above
 
 
 def test_lm_score_matches_plain_python(spark):
