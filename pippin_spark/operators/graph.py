@@ -56,6 +56,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ranked = edges.join(du, "u").join(dv, "v")
     # orient src -> dst by (degree, id): total order, so every
     # triangle has exactly one wedge-apex (its minimum node)
+    # Pin the oriented table's partitioning to (cluster width, s)
+    # BEFORE caching: the wedge join's fanout (Σ outdeg² rows) is
+    # generated post-exchange, and AQE's byte-based coalescing sizes
+    # that exchange by the oriented table's few MB — at bench scale it
+    # coalesced to ~5 partitions (minPartitionSize floor) and the
+    # whole wedge enumeration + closure probe ran on 5 of 32 cores.
+    # An explicit hash repartition on the wedge key is exempt from
+    # coalescing, keeps the self-join co-partitioned (no wedge-side
+    # exchange), and is scale-adaptive by construction: on a real
+    # cluster defaultParallelism is the core count, and at 100 TB AQE
+    # would keep at least that many partitions anyway. Interleaved
+    # A/B at sf0.1: 14.7/12.6, 11.3/9.7, 10.6/8.0 s (v0/v1 pairs).
     oriented = ranked.select(
         F.when(
             (F.col("du") < F.col("dv"))
@@ -64,7 +76,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
         .alias("e")
-    ).select("e.s", "e.d").persist()
+    ).select("e.s", "e.d").repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, "s"
+    ).persist()
     w1 = oriented.select(F.col("s"), F.col("d").alias("b"))
     w2 = oriented.select(F.col("s"), F.col("d").alias("c"))
     wedges = w1.join(w2, "s").filter(F.col("b") < F.col("c"))

@@ -446,36 +446,102 @@ def kmeans_centroids(
     Means are rounded to 9 decimals each round so float partial-sum
     ordering cannot leak nondeterminism into assignments. Empty cells
     keep their previous centroid. Returns a (cell, centroid) DataFrame
-    ready for ``ivf_build``/``_assign_cells``."""
+    ready for ``ivf_build``/``_assign_cells``.
+
+    Each iteration is ONE Arrow pass emitting per-batch per-cell
+    PARTIAL SUMS (cell, n, Σv) — #batches·C rows instead of the whole
+    corpus — followed by a tiny (C·dim)-row aggregate. The former
+    shape (per-row assignment back through Arrow, then a corpus·dim
+    posexplode partial aggregate) shipped every vector across the
+    Python boundary twice per round and hashed corpus·dim rows; the
+    scoring rule is byte-identical to _assign_cells and the mean is
+    the same round-9 ``Σval / n`` (partial-sum order differs at the
+    1e-13 level, exactly the class of variation round-9 exists to
+    absorb — Spark's own partial-aggregate order was never fixed
+    either). The projected vector table is persisted across the
+    seed + ``iters`` scans and released before returning."""
+    import numpy as np
+    import pandas as _pd
+
     spark = corpus.sparkSession
-    vecs = corpus.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
-    )
-    seed_rows = (
-        vecs.orderBy(F.col("id").asc()).limit(num_cells)
-        .select("cv").collect()
-    )
-    cents = {i + 1: list(r["cv"]) for i, r in enumerate(seed_rows)}
-    for _ in range(max(0, iters)):
-        cdf = local_table(
-            spark,
-            [(c, v) for c, v in sorted(cents.items())],
-            "cell int, centroid array<double>",
+    vecs = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
         )
-        new = (
-            _assign_cells(vecs, cdf, metric)
-            .select("cell", F.posexplode("cv").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("val"), 9).alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("centroid")
+    ).persist()
+    try:
+        seed_rows = (
+            vecs.orderBy(F.col("id").asc()).limit(num_cells)
+            .select("cv").collect()
+        )
+        cents = {i + 1: list(r["cv"]) for i, r in enumerate(seed_rows)}
+        for _ in range(max(0, iters)):
+            cent_items = sorted(cents.items())
+            cell_ids = np.array([c for c, _ in cent_items], dtype=np.int64)
+            C = np.stack(
+                [np.asarray(v, dtype=np.float64) for _, v in cent_items]
             )
-            .collect()
-        )
-        cents.update({r["cell"]: list(r["centroid"]) for r in new})
+            if metric != "l2":
+                cn = np.linalg.norm(C, axis=1)
+                cn[cn == 0.0] = 1.0
+            c_sq = (C * C).sum(axis=1)
+
+            def gen(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    V = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+                    )
+                    if metric == "l2":
+                        S = (
+                            2.0 * (V @ C.T)
+                            - (V * V).sum(axis=1)[:, None]
+                            - c_sq[None, :]
+                        )
+                    else:
+                        vn = np.linalg.norm(V, axis=1)
+                        zero = vn == 0.0
+                        vn[zero] = 1.0
+                        S = (V @ C.T) / vn[:, None] / cn[None, :]
+                        if zero.any():
+                            S[zero, :] = 0.0
+                    idx = np.argmax(S, axis=1)
+                    out_cell, out_n, out_s = [], [], []
+                    for j in range(len(cell_ids)):
+                        mask = idx == j
+                        n = int(mask.sum())
+                        if n:
+                            out_cell.append(int(cell_ids[j]))
+                            out_n.append(n)
+                            out_s.append(
+                                [float(x) for x in V[mask].sum(axis=0)]
+                            )
+                    yield _pd.DataFrame(
+                        {"cell": out_cell, "n": out_n, "s": out_s}
+                    )
+
+            parts = vecs.mapInPandas(
+                gen, "cell int, n long, s array<double>"
+            )
+            new = (
+                parts.select(
+                    "cell", "n", F.posexplode("s").alias("pos", "ps")
+                )
+                .groupBy("cell", "pos")
+                .agg(F.round(F.sum("ps") / F.sum("n"), 9).alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("centroid")
+                )
+                .collect()
+            )
+            cents.update({r["cell"]: list(r["centroid"]) for r in new})
+    finally:
+        vecs.unpersist()
     return local_table(
         spark,
         [(c, v) for c, v in sorted(cents.items())],
@@ -783,6 +849,43 @@ def ann_index_write(
     # FIRST merges any parked state into the old table this build is
     # about to supersede, so no parked dir can outlive the rebuild.
     _recover_parked(path)
+    # The build re-reads `corpus` once per pass: centroid seed, every
+    # distributed-Lloyd iteration, the final assignment, the PQ
+    # codebook training sample, and (train_on arms aside) the encode.
+    # When the corpus is anything but a bare parquet scan — the
+    # maintenance rigs synthesize it with a per-row mapInPandas pass —
+    # each re-read replays that upstream compute. Persist it for the
+    # duration of the build (the write is an action, so the cache is
+    # fully consumed — and released — before this function returns;
+    # guide-§5 caching rule: reused AND expensive to recompute).
+    # Interleaved A/B at sf0.1 (clustered rig, 8 cells, 3 Lloyd
+    # iters, pq=(8,16,2)): 7.53 s -> 4.82 s per build.
+    corpus = corpus.persist()
+    try:
+        _ann_index_write_body(
+            corpus, vec_col, id_col, path, num_cells, train_iters,
+            train_mode, extra_cols, layout, train_on, pq, pq_residual,
+            pq_train_on,
+        )
+    finally:
+        corpus.unpersist()
+
+
+def _ann_index_write_body(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    num_cells: int,
+    train_iters: int,
+    train_mode: str,
+    extra_cols: tuple,
+    layout: str,
+    train_on: DataFrame,
+    pq: tuple,
+    pq_residual: bool,
+    pq_train_on: DataFrame,
+) -> None:
     if train_on is not None:
         centroids, _ = ivf_build(
             train_on, vec_col, id_col, num_cells, train_iters,
