@@ -226,29 +226,98 @@ def logreg_train(
             shaped.count()
             feat.unpersist()
             feat = shaped
+        # The trajectory is exact int64 arithmetic end to end — z,
+        # prob, err, X^T·err, and the truncating weight update are all
+        # integers, so gradients are order-free sums and the result is
+        # bit-identical however the rows are batched (the bit-parity
+        # pytest pins it against the SQL replay). That licenses two
+        # shapes, both numpy (the former per-round plan evaluated
+        # three interpreted array HOFs per row plus a dim-row
+        # posexplode — ~0.53 s/round at sf0.1):
+        # - single-partition cache (the coalesce above lands here
+        #   whenever n fits one ~20k-row partition, i.e. every local
+        #   run): the ENTIRE iters-round loop runs inside ONE task —
+        #   the task holds the full batch, so each round's gradient is
+        #   already global. 8 rounds collapse from 8 driver-scheduled
+        #   jobs (~0.25-0.45 s scheduling floor each) to 1.
+        # - multi-partition (the 100 TB shape): one Arrow pass per
+        #   round emitting per-batch partial gradients (dim rows per
+        #   batch), summed exactly on the driver.
+        # Magnitude bounds (dim=64, x <= SCALE_X, |w| bounded by the
+        # truncating update): every product stays far inside int64.
+        import numpy as _np
+        import pandas as pd
+
+        def _trunc_div(a, b: int):
+            return _np.where(a >= 0, a // b, -((-a) // b))
+
+        def _round(X, y, w_arr):
+            z = _trunc_div(X @ w_arr, SCALE_X)
+            prob = HALF_W + _trunc_div(
+                z * SCALE_W, 2 * (SCALE_W + _np.abs(z))
+            )
+            err = prob - y * SCALE_W
+            return X.T @ err
+
+        n_parts = feat.rdd.getNumPartitions()
+        if n_parts == 1 and n <= 200_000:
+            iters_, lrn, lrd, n_ = iters, lr_num, lr_den, n
+
+            def gen_all(batches):
+                Xs, ys = [], []
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    Xs.append(
+                        _np.stack(
+                            [_np.asarray(x, dtype=_np.int64) for x in pdf["x"]]
+                        )
+                    )
+                    ys.append(pdf["y"].to_numpy().astype(_np.int64))
+                X = _np.vstack(Xs)
+                y = _np.concatenate(ys)
+                w = _np.zeros(dim, dtype=_np.int64)
+                for _ in range(iters_):
+                    g = _round(X, y, w)
+                    w = w - _trunc_div(g * lrn, n_ * SCALE_X * lrd)
+                yield pd.DataFrame(
+                    {"j": _np.arange(dim, dtype=_np.int64), "w": w}
+                )
+
+            rows = feat.select("x", "y").mapInPandas(
+                gen_all, "j long, w long"
+            ).collect()
+            weights = [0] * dim
+            for r in rows:
+                weights[int(r["j"])] = int(r["w"])
+            return weights
+
         weights = [0] * dim
         for _ in range(iters):
-            scored = _scored(feat, weights, via_table=True).select("x", "err")
-            # gradient as posexplode -> dim-group aggregate: same exact
-            # long sums as a dim-column wide aggregate, but the plan
-            # has 5 expressions instead of `dim` sum columns, so the
-            # per-iteration Catalyst analysis cost stays flat in dim
-            # (measured ~20% faster per iteration at dim=64; the
-            # exchange carries at most dim rows per partition)
-            rows = (
-                scored.select(
-                    F.posexplode(
-                        F.expr("transform(x, v -> v * err)")
-                    ).alias("j", "gv")
-                )
-                .groupBy("j")
-                .agg(F.sum("gv").alias("g"))
-                .collect()
-            )
-            grad = {int(r["j"]): int(r["g"]) for r in rows}
+            w_arr = _np.array(weights, dtype=_np.int64)
+
+            def gen(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = _np.stack(
+                        [_np.asarray(x, dtype=_np.int64) for x in pdf["x"]]
+                    )
+                    y = pdf["y"].to_numpy().astype(_np.int64)
+                    g = _round(X, y, w_arr)
+                    yield pd.DataFrame(
+                        {"j": _np.arange(dim, dtype=_np.int64), "g": g}
+                    )
+
+            rows = feat.select("x", "y").mapInPandas(
+                gen, "j long, g long"
+            ).collect()
+            grad = [0] * dim
+            for r in rows:  # exact int partial sums, order-free
+                grad[int(r["j"])] += int(r["g"])
             weights = [
                 weights[j]
-                - tdiv(grad.get(j, 0) * lr_num, n * SCALE_X * lr_den)
+                - tdiv(grad[j] * lr_num, n * SCALE_X * lr_den)
                 for j in range(dim)
             ]
         return weights
