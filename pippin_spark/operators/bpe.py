@@ -78,6 +78,73 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Local-training guard: when the distinct-word vocabulary fits the
+# driver comfortably (every local/bench run; the corpus-scale shape
+# is ~10^7 words and falls through to the distributed rounds), the
+# whole merge loop runs in plain Python over the collected vocab —
+# R driver-scheduled vocab jobs (~0.1-0.25 s scheduling floor each)
+# collapse to one cached collect. The merge table is a driver-sized
+# artifact by design (the distributed loop already collects one row
+# per round), and the collected vocab is bounded by this guard — the
+# same shape as logreg_train's single-partition fast path.
+_LOCAL_VOCAB_MAX = 100_000
+
+
+def _train_py(wc: dict, rounds: int, scoring: str):
+    """Pure-Python replica of the per-round argmax/merge loop,
+    bit-identical to the distributed plan: pair counts are exact
+    integer sums; the argmax order is (count|score DESC, w1 ASC,
+    w2 ASC) where Python str comparison equals Spark's UTF8 binary
+    order (UTF-8 byte order preserves codepoint order); the WordPiece
+    score is the exact per-trillion integer of _WP_SCORE (positive
+    DECIMAL div == Python floordiv); the merge application is the same
+    greedy left-to-right fold with overlap-skip. Pinned against the
+    distributed path by test_bpe_local_train_matches_distributed."""
+    seqs = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs: dict = {}
+        syms: dict = {}
+        for w, c in wc.items():
+            s = seqs[w]
+            if scoring == "wordpiece":
+                for sym in s:
+                    syms[sym] = syms.get(sym, 0) + c
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        if scoring == "wordpiece":
+            best = min(
+                pairs,
+                key=lambda p: (
+                    -(pairs[p] * 10**12 // (syms[p[0]] * syms[p[1]])),
+                    p,
+                ),
+            )
+            a, b = best
+            merges.append(
+                (r, a, b, pairs[best],
+                 pairs[best] * 10**12 // (syms[a] * syms[b]))
+            )
+        else:
+            best = min(pairs, key=lambda p: (-pairs[p], p))
+            a, b = best
+            merges.append((r, a, b, pairs[best]))
+        for w, s in seqs.items():
+            out, i, n = [], 0, len(s)
+            while i < n:
+                if s[i] == a and i + 1 < n and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
 # WordPiece merge score (Schuster & Nakajima 2012; the BERT
 # vocabulary criterion): likelihood gain of merging = pair_count /
 # (count(w1) * count(w2)) under a unigram LM over current symbols.
@@ -118,6 +185,20 @@ def _train(docs: DataFrame, text_col: str, rounds: int, scoring: str = "count"):
     runs dry before ``rounds`` (every word fully merged), training
     stops and the merge table simply has fewer rows."""
     words = word_counts(docs, text_col).persist()
+    # ONE corpus pass materializes the word-count cache; n decides the
+    # training shape (the count itself is the action every consumer
+    # previously paid inside round 1's job).
+    n_vocab = words.count()
+    if n_vocab <= _LOCAL_VOCAB_MAX:
+        wc = {r["word"]: int(r["cnt"]) for r in words.collect()}
+        words.unpersist()
+        merges, seqs = _train_py(wc, rounds, scoring)
+        seq = local_table(
+            docs.sparkSession,
+            [(w, wc[w], seqs[w]) for w in sorted(wc)],
+            "word string, cnt bigint, s array<string>",
+        )
+        return merges, seq
     seq = words.select("word", "cnt", F.expr(_CHARS).alias("s"))
     merges = []
     prev = None

@@ -2876,6 +2876,31 @@ def test_wordpiece_matches_reference(spark):
     assert segs == {w: " ".join(s) for w, s in ref_seqs.items()}
 
 
+def test_bpe_local_train_matches_distributed(spark, monkeypatch):
+    # the local-vocab fast path (_train_py, whole merge loop in driver
+    # Python off one cached collect) must be bit-identical to the
+    # distributed per-round argmax loop — merges AND the final
+    # segmented vocabulary, under both scoring criteria
+    from pippin_spark.operators import bpe as B
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for scoring in ("count", "wordpiece"):
+        local_merges, local_seq = B._train(docs, "text", 4, scoring)
+        monkeypatch.setattr(B, "_LOCAL_VOCAB_MAX", 0)
+        dist_merges, dist_seq = B._train(docs, "text", 4, scoring)
+        monkeypatch.undo()
+        assert local_merges == dist_merges
+        lv = {
+            r["word"]: (r["cnt"], list(r["s"]))
+            for r in local_seq.collect()
+        }
+        dv = {
+            r["word"]: (r["cnt"], list(r["s"]))
+            for r in dist_seq.collect()
+        }
+        assert lv == dv
+
+
 def test_bpe_prebuilt_encode_equals_fresh(spark, tmp_path):
     from pippin_spark.operators import bpe as B
 

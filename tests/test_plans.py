@@ -629,20 +629,30 @@ def test_pagerank_reuses_cached_edges(spark, qs):
         spark.catalog.clearCache()
 
 
-def test_bpe_rounds_read_cached_vocab_not_corpus(spark):
-    # each merge round must fold over the PREVIOUS round's cached
-    # vocab table; the corpus itself is scanned exactly once (inside
-    # the persisted word_counts) — the final sequence plan may print
-    # that one stored scan inside its InMemoryRelation but must not
-    # add parquet scans of its own
+def test_bpe_rounds_read_cached_vocab_not_corpus(spark, monkeypatch):
+    # DISTRIBUTED path (the 100 TB shape; forced by zeroing the
+    # local-vocab guard): each merge round must fold over the PREVIOUS
+    # round's cached vocab table; the corpus itself is scanned exactly
+    # once (inside the persisted word_counts) — the final sequence
+    # plan may print that one stored scan inside its InMemoryRelation
+    # but must not add parquet scans of its own
     from pippin_spark.operators import bpe
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     try:
+        monkeypatch.setattr(bpe, "_LOCAL_VOCAB_MAX", 0)
         _, seq = bpe._train(docs, "text", 2)
         p = plan(seq)
         assert count_nodes(p, "InMemoryTableScan") >= 1
         assert count_nodes(p, "Scan parquet") <= 1
+        # LOCAL path (every local run): the returned vocab is a
+        # driver-built Arrow table — pure JVM scan, no Python worker,
+        # no corpus re-scan
+        monkeypatch.undo()
+        _, seq_local = bpe._train(docs, "text", 2)
+        pl = plan(seq_local)
+        assert count_nodes(pl, "Scan parquet") == 0
+        assert "BatchEvalPython" not in pl
     finally:
         spark.catalog.clearCache()
 
