@@ -2583,6 +2583,27 @@ def _drain(q, timeout_sec: int = 120) -> None:
         )
 
 
+def _state_sized_start(spark, sf_dir, writer, table: str = "events"):
+    """Start a stateful stream with `spark.sql.shuffle.partitions`
+    pinned to the bounded feed for the duration of the .start() call
+    (the _stream_parts rationale: each state partition is a store
+    instance with per-batch open/commit cost, so a small feed wants
+    few; the conf is captured into the streaming query at start and
+    restored immediately — batch queries on the session are
+    untouched). Sized by input bytes, never by the local core count,
+    so the driver's low-core bench sees the same rule."""
+    import os as _os
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    size = _os.path.getsize(f"{sf_dir}/{table}.parquet")
+    spark.conf.set(key, str(max(4, min(int(prev), size // (32 << 20) + 1))))
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _stream_parts(spark, sf_dir) -> int:
     """State-store partition count sized to the bounded feed: one
     state partition per ~32 MB of input, clamped to [4, session
@@ -3120,7 +3141,11 @@ def q_streaming_dedup(spark, sf_dir):
     # starts empty — the run would return nothing
     import tempfile
 
-    q = (
+    # state stores sized to the bounded feed (dropDuplicates keeps
+    # per-key state on every shuffle partition)
+    q = _state_sized_start(
+        spark,
+        sf_dir,
         dedup.writeStream.format("memory")
         .queryName("pippin_stream_dedup")
         .outputMode("append")
@@ -3128,8 +3153,7 @@ def q_streaming_dedup(spark, sf_dir):
         .option(
             "checkpointLocation",
             tempfile.mkdtemp(prefix="pippin_ckpt_dedup_"),
-        )
-        .start()
+        ),
     )
     _drain(q)
     return (
@@ -3168,7 +3192,9 @@ def q_streaming_dedup_within_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")
     )
-    q = (
+    q = _state_sized_start(
+        spark,
+        sf_dir,
         dedup.writeStream.format("memory")
         .queryName("pippin_stream_dedup_ww")
         .outputMode("append")
@@ -3176,8 +3202,7 @@ def q_streaming_dedup_within_watermark(spark, sf_dir):
         .option(
             "checkpointLocation",
             tempfile.mkdtemp(prefix="pippin_ckpt_dedup_ww_"),
-        )
-        .start()
+        ),
     )
     _drain(q)
     return (
