@@ -761,6 +761,14 @@ def dedup_filter(
     return df.join(drops, df[id_col] == F.col("__drop__"), "left_anti")
 
 
+# dedup_clusters' small-graph guard: below this many (symmetrized,
+# distinct) edges the resolution runs as union-find inside one task —
+# the min-label fixpoint is unique, so the result is identical to the
+# converged propagation. Data-sized, not core-count-sized: corpus-scale
+# pair sets exceed it and run the distributed loop.
+_LOCAL_EDGES_MAX = 2_000_000
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -793,6 +801,56 @@ def dedup_clusters(
         .distinct()
     )
     e = e.localCheckpoint(eager=True)  # pairs subtree runs exactly once
+    n_edges = e.count()  # cheap: reads the checkpoint
+    if n_edges <= _LOCAL_EDGES_MAX:
+        # small-graph shape (every local run; near-dup pair sets at
+        # corpus scale exceed the guard and take the distributed loop
+        # below): the whole resolution runs inside ONE task via
+        # union-find. The min-label fixpoint is UNIQUE (cluster_id =
+        # min member id of each component), so the result is identical
+        # to however many propagation rounds would have converged —
+        # per-round jobs (join + agg + checkpoint + convergence count,
+        # 2 actions each) collapse to one narrow pass. Ids are opaque
+        # hashables; Python min over str equals Spark's UTF8 binary
+        # order, over ints trivially.
+        id_type = e.schema["u"].dataType.simpleString()
+
+        def _cc(batches):
+            import pandas as pd
+
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for pdf in batches:
+                for u, v in zip(pdf["u"], pdf["v"]):
+                    if u not in parent:
+                        parent[u] = u
+                    if v not in parent:
+                        parent[v] = v
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        parent[ru] = rv
+            roots: dict = {}
+            for x in parent:
+                r = find(x)
+                m = roots.get(r)
+                if m is None or x < m:
+                    roots[r] = x
+            ids = sorted(parent)
+            yield pd.DataFrame(
+                {"id": ids, "cluster_id": [roots[find(x)] for x in ids]}
+            )
+
+        return e.coalesce(1).mapInPandas(
+            _cc, f"id {id_type}, cluster_id {id_type}"
+        )
     labels = e.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("cluster_id")
     )

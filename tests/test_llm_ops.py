@@ -336,6 +336,32 @@ def test_dedup_clusters_long_chain(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_dedup_clusters_local_matches_distributed(spark, monkeypatch):
+    # the small-graph fast path (one-task union-find) must equal the
+    # distributed min-label propagation exactly — the min-label
+    # fixpoint is unique. Mixed chain + clique + singleton-pair graph,
+    # plus a string-id graph (Python min == Spark UTF8 order)
+    from pippin_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5), (10, 11), (11, 12), (10, 12), (7, 20)],
+        ["id_a", "id_b"],
+    )
+    spairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], ["id_a", "id_b"]
+    )
+    for p in (pairs, spairs):
+        local = {
+            (r["id"], r["cluster_id"]) for r in D.dedup_clusters(p).collect()
+        }
+        monkeypatch.setattr(D, "_LOCAL_EDGES_MAX", 0)
+        dist = {
+            (r["id"], r["cluster_id"]) for r in D.dedup_clusters(p).collect()
+        }
+        monkeypatch.undo()
+        assert local == dist
+
+
 def test_lsh_topk_subset_of_bruteforce_rerank(spark):
     import numpy as np
 
