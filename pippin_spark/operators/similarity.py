@@ -423,6 +423,77 @@ def _assign_cells(
     return ensure_parallelism(vectors).mapInPandas(gen, out_fields)
 
 
+# kmeans_centroids' local-training guard: when the corpus fits the
+# driver comfortably (every local/bench run; 100 TB corpora exceed it
+# and take the distributed per-round passes), the whole Lloyd loop
+# runs in numpy off ONE bounded collect — seed + per-round jobs
+# (~0.2-0.3 s scheduling floor each, over data this small) collapse
+# to a single action. Data-sized, not core-count-sized.
+_KMEANS_LOCAL_MAX = 65_536
+
+
+def _round9(x: float) -> float:
+    """Spark's round(double, 9) replica: BigDecimal.valueOf(d) parses
+    Double.toString's shortest decimal repr — Python repr(float) is the
+    same shortest-repr value — then setScale(9, HALF_UP). Decimal
+    HALF_UP == BigDecimal HALF_UP (away from zero on .5)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1E-9"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _kmeans_local(spark, rows, num_cells: int, iters: int, metric: str):
+    """Driver-numpy replica of the distributed Lloyd loop below —
+    identical seed rule (num_cells lowest-id vectors), byte-identical
+    argmax scoring (same matmul forms), identical empty-cell rule, and
+    the same round-9(Σv / n) mean (Σ order differs at the 1e-13 level
+    — exactly the class of variation round-9 exists to absorb; the
+    distributed path's own Σ order was never fixed either, it changes
+    with partition layout). Pinned against the forced-distributed path
+    by test_kmeans_local_matches_distributed."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r["id"])
+    X = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    cents = {i + 1: list(X[i]) for i in range(min(num_cells, len(rows)))}
+    for _ in range(max(0, iters)):
+        cent_items = sorted(cents.items())
+        cell_ids = [c for c, _ in cent_items]
+        C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cent_items])
+        c_sq = (C * C).sum(axis=1)
+        if metric == "l2":
+            S = (
+                2.0 * (X @ C.T)
+                - (X * X).sum(axis=1)[:, None]
+                - c_sq[None, :]
+            )
+        else:
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0.0] = 1.0
+            vn = np.linalg.norm(X, axis=1)
+            zero = vn == 0.0
+            vn[zero] = 1.0
+            S = (X @ C.T) / vn[:, None] / cn[None, :]
+            if zero.any():
+                S[zero, :] = 0.0
+        idx = np.argmax(S, axis=1)
+        for j, cell in enumerate(cell_ids):
+            mask = idx == j
+            n = int(mask.sum())
+            if n:
+                s = X[mask].sum(axis=0)
+                cents[cell] = [_round9(v / n) for v in s]
+    return local_table(
+        spark,
+        [(c, v) for c, v in sorted(cents.items())],
+        "cell int, centroid array<double>",
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -464,11 +535,17 @@ def kmeans_centroids(
     import pandas as _pd
 
     spark = corpus.sparkSession
-    vecs = ensure_parallelism(
-        corpus.select(
-            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
-        )
-    ).persist()
+    proj = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    # bounded-collect probe: all rows when the corpus is small (the
+    # local-training shape — see _kmeans_local), an early-stopped
+    # partial take when it is not
+    probe = proj.limit(_KMEANS_LOCAL_MAX + 1).collect()
+    if len(probe) <= _KMEANS_LOCAL_MAX:
+        return _kmeans_local(spark, probe, num_cells, iters, metric)
+    del probe
+    vecs = ensure_parallelism(proj).persist()
     try:
         seed_rows = (
             vecs.orderBy(F.col("id").asc()).limit(num_cells)

@@ -98,6 +98,38 @@ def test_kmeans_centroids_shape_and_ivf_parity(spark):
     assert sorted(map(tuple, bf.collect())) == sorted(map(tuple, ivf.collect()))
 
 
+def test_kmeans_local_matches_distributed(spark, monkeypatch):
+    # the local-corpus fast path (_kmeans_local: whole Lloyd loop in
+    # driver numpy off one bounded collect) must produce the identical
+    # centroid table to the distributed per-round loop, both metrics —
+    # same seed, same argmax scoring, same round-9 HALF_UP means
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.gauss(cx, 0.3), rnd.gauss(cy, 0.3), rnd.gauss(cx - cy, 0.3)])
+        for i in range(500)
+        for cx, cy in [[(0.0, 1.0), (1.0, 0.0), (0.7, 0.7), (-1.0, 0.2)][i % 4]]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for metric in ("cosine", "l2"):
+        local = [
+            (r["cell"], list(r["centroid"]))
+            for r in SIM.kmeans_centroids(
+                df, "embedding", "vec_id", 4, iters=3, metric=metric
+            ).collect()
+        ]
+        monkeypatch.setattr(SIM, "_KMEANS_LOCAL_MAX", 0)
+        dist = [
+            (r["cell"], list(r["centroid"]))
+            for r in SIM.kmeans_centroids(
+                df, "embedding", "vec_id", 4, iters=3, metric=metric
+            ).collect()
+        ]
+        monkeypatch.undo()
+        assert sorted(local) == sorted(dist)
+
+
 def test_assign_cells_l2_vs_cosine_metric(spark):
     # a vector can be cosine-closest to one centroid but L2-closest to
     # another (magnitude matters for L2, not for cosine): v = (3, 0.3)
