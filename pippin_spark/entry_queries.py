@@ -8873,10 +8873,79 @@ _RECURSIVE_REACH_SQL = """
 """
 
 
+# recursive_cte_reach's small-graph guard: the edge list is DISTINCT
+# (event_type, next_type) pairs — bounded by the categorical event-type
+# domain squared, not the corpus — so below this many edges the BFS
+# runs on the driver off the one collect. Data-sized, not
+# core-count-sized; a corpus whose type domain somehow exceeds it
+# takes the materialized-recursion fallback.
+_REACH_EDGES_MAX = 100_000
+
+
 @_q("recursive_cte_reach", _RECURSIVE_REACH_SQL)
 def q_recursive_cte_reach(spark, sf_dir):
-    _t(spark, sf_dir, "events").df.createOrReplaceTempView("events")
-    return spark.sql(_RECURSIVE_REACH_SQL)
+    # The one corpus-sized term is the EDGES derivation (full events
+    # window + distinct); Spark inlines non-recursive CTEs, so the
+    # recursive reference re-ran that whole subtree once per UnionLoop
+    # iteration (5× with depth < 4 — guide §2.4 duplicated subtrees /
+    # §3.3 materialize to truncate). Run it ONCE: collect the
+    # type-domain-bounded edge list and finish with driver BFS — the
+    # min-label point applies verbatim: MIN(depth) over the UNION ALL
+    # path enumeration IS the BFS first-reach depth (shortest path
+    # ≤ any path; depth ≤ 4 paths exist iff the shortest does), so
+    # the result is identical. Pinned against the SQL recursion by
+    # test_recursive_reach_local_matches_sql.
+    ev = _t(spark, sf_dir, "events").df
+    edges_df = (
+        ev.select(
+            "event_type",
+            F.lead("event_type")
+            .over(Window.partitionBy("user_id").orderBy("event_id"))
+            .alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .distinct()
+    )
+    rows = edges_df.limit(_REACH_EDGES_MAX + 1).collect()
+    if len(rows) <= _REACH_EDGES_MAX:
+        adj: dict = {}
+        for r in rows:
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        depth = {"signup": 0}
+        frontier = ["signup"]
+        for d in range(1, 5):
+            nxt = []
+            for node in frontier:
+                for m in adj.get(node, ()):
+                    if m not in depth:
+                        depth[m] = d
+                        nxt.append(m)
+            frontier = nxt
+        return local_table(
+            spark, sorted(depth.items()), "node string, min_depth long"
+        )
+    # type-domain larger than the guard: keep the recursion, but over
+    # the edges MATERIALIZED once (localCheckpoint truncates the
+    # window subtree out of every iteration)
+    edges_df.localCheckpoint(eager=True).createOrReplaceTempView(
+        "__reach_edges__"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, depth) AS (
+          SELECT 'signup' AS node, 0 AS depth
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN __reach_edges__ e ON e.src = r.node
+          WHERE r.depth < 4
+        )
+        SELECT node, CAST(MIN(depth) AS BIGINT) AS min_depth
+        FROM reach GROUP BY 1
+        """
+    )
 
 
 @_q(
@@ -11615,20 +11684,27 @@ def q_pack_on_bpe_e2e(spark, sf_dir):
     """,
 )
 def q_contrastive_pairs_e2e(spark, sf_dir):
+    # one fused corpus pass for both arms (hard_negative_topk
+    # mode="both" — guide §1.2: the pos and neg arms previously each
+    # streamed the corpus through their own Arrow stage and re-rank
+    # join; the anchor matmul now runs once, masked two ways). Each
+    # role's rows equal the old per-mode calls exactly: per-role rank
+    # is the same window, and the pos arm's k=1 is the rank<=1 slice
+    # of the same ordering.
     emb = _t(spark, sf_dir, "embeddings").df
     q = emb.filter(F.col("vec_id") < 25)
-    pos = SIM.hard_negative_topk(
-        emb, q, "embedding", "vec_id", "label", k=1, mode="same"
+    both = SIM.hard_negative_topk(
+        emb, q, "embedding", "vec_id", "label", k=3, mode="both"
     )
-    neg = SIM.hard_negative_topk(emb, q, "embedding", "vec_id", "label", k=3)
-    cols = lambda df, role: df.select(
+    return both.filter(
+        (F.col("role") == "neg") | (F.col("rank") <= 1)
+    ).select(
         "query_id",
         F.col("neighbor_id").alias("pair_id"),
         "cosine",
-        F.lit(role).alias("role"),
+        "role",
         "rank",
     )
-    return cols(pos, "pos").unionByName(cols(neg, "neg"))
 
 
 @_q(

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from pippin_spark.operators.text import _ws_token_array
 
-from pippin_spark.operators.util import local_table
+from pippin_spark.operators.util import local_table, sidecar_parquet_write
 
 _CHARS = (
     "array_append(transform(sequence(1, length(word)), "
@@ -402,7 +402,10 @@ def bpe_write_merges(
         )
     else:
         table = _merge_table(spark, merges)
-    table.write.mode("overwrite").parquet(path)
+    # the merge table is driver-sized (one row per merge) — land it
+    # via the driver writer, no Spark job; toArrow preserves the
+    # exact Spark schema for the read-back
+    sidecar_parquet_write(path, table.toArrow())
 
 
 def bpe_doc_piece_counts_prebuilt(

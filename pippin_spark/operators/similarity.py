@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from pippin_spark.operators.dedup import cosine_similarity
-from pippin_spark.operators.util import ensure_parallelism, local_table
+from pippin_spark.operators.util import (
+    ensure_parallelism,
+    local_table,
+    sidecar_parquet_write,
+)
 
 
 def _as_double(c: Column) -> Column:
@@ -101,11 +105,25 @@ def hard_negative_topk(
     ``mode="same"`` inverts the mask: top-k most-similar SAME-label
     neighbors (self-pairs excluded) — the positive-pair half of
     contrastive pair construction (see contrastive_pairs_e2e). Same
-    streaming shape, same exactness contract."""
+    streaming shape, same exactness contract.
+
+    ``mode="both"`` emits BOTH mask variants from ONE corpus pass
+    (guide §1.2: a pos + neg pair construction otherwise streams the
+    corpus, and re-rank-joins it, twice — the anchor matmul, the
+    dominant per-batch cost, runs once and is masked two ways). The
+    result carries a ``role`` column ('pos' = same-label, 'neg' =
+    cross-label) and ``rank`` runs per (query_id, role); each role's
+    rows are IDENTICAL to the corresponding single-mode call with the
+    same ``k`` (per-batch pruning keeps each role's own top
+    k+overfetch under the same total order, and the exact re-rank +
+    per-role rank window finish identically) — pinned by
+    test_hard_negative_both_matches_single_modes."""
     import numpy as np
 
-    if mode not in ("cross", "same"):
-        raise ValueError(f"mode must be 'cross' or 'same', got {mode!r}")
+    if mode not in ("cross", "same", "both"):
+        raise ValueError(
+            f"mode must be 'cross', 'same' or 'both', got {mode!r}"
+        )
 
     q_rows = (
         queries.select(
@@ -137,15 +155,19 @@ def hard_negative_topk(
             StructType,
         )
 
-        empty_schema = StructType(
-            [
-                StructField("query_id", queries.schema[id_col].dataType),
-                StructField("neighbor_id", corpus.schema[id_col].dataType),
-                StructField("cosine", DoubleType()),
-                StructField("rank", IntegerType(), nullable=False),
-            ]
+        from pyspark.sql.types import StringType
+
+        fields = [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+        if mode == "both":
+            fields.append(StructField("role", StringType(), nullable=False))
+        fields.append(StructField("rank", IntegerType(), nullable=False))
+        return corpus.sparkSession.createDataFrame(
+            [], StructType(fields)
         )
-        return corpus.sparkSession.createDataFrame([], empty_schema)
     order = sorted(range(len(q_rows)), key=lambda i: q_rows[i]["query_id"])
     q_ids = np.array([q_rows[i]["query_id"] for i in order], dtype=np.int64)
     q_labs = np.array([q_rows[i]["__qlab__"] for i in order])
@@ -172,42 +194,55 @@ def hard_negative_topk(
             # the re-rank's tie-break
             bo = np.argsort(ids, kind="stable")
             ids, labs, Vn = ids[bo], labs[bo], Vn[bo]
-            sims = np.round(Qn @ Vn.T, 6)  # anchors × batch
-            if mode == "same":
-                sims[q_labs[:, None] != labs[None, :]] = -np.inf  # cross label
-                sims[q_ids[:, None] == ids[None, :]] = -np.inf  # self pair
+            base = np.round(Qn @ Vn.T, 6)  # anchors × batch, matmul ONCE
+            if mode == "both":
+                roles = ("pos", "neg")
             else:
-                sims[q_labs[:, None] == labs[None, :]] = -np.inf  # same label
-            top = min(nk, sims.shape[1])
+                roles = ("pos",) if mode == "same" else ("neg",)
             out_q: list = []
             out_n: list = []
-            part = np.argpartition(-sims, top - 1, axis=1)
-            for r in range(sims.shape[0]):
-                row = sims[r]
-                cut = row[part[r, top - 1]]
-                if not np.isfinite(cut):
-                    cand = np.nonzero(np.isfinite(row))[0]
+            out_r: list = []
+            for role in roles:
+                sims = base.copy() if mode == "both" else base
+                if role == "pos":
+                    sims[q_labs[:, None] != labs[None, :]] = -np.inf  # cross label
+                    sims[q_ids[:, None] == ids[None, :]] = -np.inf  # self pair
                 else:
-                    cand = np.nonzero(row >= cut)[0]  # ids asc (row order)
-                if len(cand) == 0:
-                    continue
-                take = cand[np.argsort(-row[cand], kind="stable")][:top]
-                out_q.append(np.full(len(take), q_ids[r]))
-                out_n.append(ids[take])
+                    sims[q_labs[:, None] == labs[None, :]] = -np.inf  # same label
+                top = min(nk, sims.shape[1])
+                part = np.argpartition(-sims, top - 1, axis=1)
+                for r in range(sims.shape[0]):
+                    row = sims[r]
+                    cut = row[part[r, top - 1]]
+                    if not np.isfinite(cut):
+                        cand = np.nonzero(np.isfinite(row))[0]
+                    else:
+                        cand = np.nonzero(row >= cut)[0]  # ids asc (row order)
+                    if len(cand) == 0:
+                        continue
+                    take = cand[np.argsort(-row[cand], kind="stable")][:top]
+                    out_q.append(np.full(len(take), q_ids[r]))
+                    out_n.append(ids[take])
+                    if mode == "both":
+                        out_r.append(np.full(len(take), role, dtype=object))
             if out_q:
-                yield _pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                    }
-                )
+                batch_out = {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                }
+                if mode == "both":
+                    batch_out["role"] = np.concatenate(out_r)
+                yield _pd.DataFrame(batch_out)
 
     c = corpus.select(
         F.col(id_col).alias("__nid__"),
         F.col(label_col).alias("__nlab__"),
         _as_double(F.col(vec_col)).alias("__cv__"),
     )
-    cands = c.mapInPandas(gen, "query_id long, neighbor_id long")
+    cand_schema = "query_id long, neighbor_id long"
+    if mode == "both":
+        cand_schema += ", role string"
+    cands = c.mapInPandas(gen, cand_schema)
     qv = local_table(
         corpus.sparkSession,
         [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
@@ -216,6 +251,7 @@ def hard_negative_topk(
     nb = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
+    role_cols = ["role"] if mode == "both" else []
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(nb, "neighbor_id")
@@ -223,9 +259,10 @@ def hard_negative_topk(
             "query_id",
             "neighbor_id",
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            *role_cols,
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy("query_id", *role_cols).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -237,6 +274,7 @@ def hard_negative_topk(
         F.col("query_id").cast(queries.schema[id_col].dataType),
         F.col("neighbor_id").cast(corpus.schema[id_col].dataType),
         "cosine",
+        *role_cols,
         "rank",
     )
 
@@ -852,6 +890,31 @@ def _ivf_probe(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# driver-writer for the index sidecars (centroids, codebooks, the
+# pq_stats ledger — #cells / m·k / #appends+1 rows): see
+# util.sidecar_parquet_write. The maintenance writers' own markers
+# (retrain_inflight, parked dirs) cover the cross-table crash windows
+# exactly as before.
+_sidecar_write = sidecar_parquet_write
+
+
+def _ledger_table(rows):
+    """pq_stats ledger rows -> Arrow table with the exact schema the
+    Spark-written ledger had (phase string, n long, sum_qerr double)."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "phase": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([int(r[1]) for r in rows], pa.int64()),
+            "sum_qerr": pa.array(
+                [None if r[2] is None else float(r[2]) for r in rows],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def ann_index_write(
     corpus: DataFrame,
     vec_col: str,
@@ -982,7 +1045,12 @@ def _ann_index_write_body(
             corpus, vec_col, id_col, num_cells, train_iters,
             train_mode=train_mode, extra_cols=extra_cols,
         )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    # the centroid table is a driver-sized artifact (num_cells rows;
+    # _assign_cells collects it for broadcast anyway) — land it via
+    # the driver writer instead of a Spark job (see _sidecar_write);
+    # toArrow preserves the exact Spark schema, so the read-back
+    # types are unchanged
+    _sidecar_write(f"{path}/centroids", centroids.toArrow())
     if pq is not None:
         pq_m, pq_k, pq_iters = pq
         pq_corpus = pq_train_on if pq_train_on is not None else corpus
@@ -1065,13 +1133,11 @@ def _ann_index_write_body(
         # base quantization-error ledger row from the observe() metrics
         # the assigned write just accumulated (zero extra scans);
         # overwrite resets any prior build's ledger
-        spark = corpus.sparkSession
         row = ledger_obs.get
-        local_table(
-            spark,
-            [("base", int(row["n"]), row["sum_qerr"])],
-            "phase string, n long, sum_qerr double",
-        ).write.mode("overwrite").parquet(f"{path}/pq_stats")
+        _sidecar_write(
+            f"{path}/pq_stats",
+            _ledger_table([("base", row["n"], row["sum_qerr"])]),
+        )
 
 
 def ann_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -1220,14 +1286,24 @@ def pq_encode_codes(
 
 
 def _write_codebooks(spark, books, path: str, residual: bool = False) -> None:
-    rows = [
-        (int(s), int(c), [float(x) for x in books[s, c]], bool(residual))
-        for s in range(books.shape[0])
-        for c in range(books.shape[1])
-    ]
-    local_table(
-        spark, rows, "s int, c int, vec array<double>, residual boolean"
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # driver-sized (m·k rows) — written by the driver, no Spark job;
+    # explicit Arrow types match the former Spark write exactly
+    # (s int, c int, vec array<double>, residual boolean)
+    import pyarrow as pa
+
+    idx = [(s, c) for s in range(books.shape[0]) for c in range(books.shape[1])]
+    table = pa.table(
+        {
+            "s": pa.array([s for s, _ in idx], pa.int32()),
+            "c": pa.array([c for _, c in idx], pa.int32()),
+            "vec": pa.array(
+                [[float(x) for x in books[s, c]] for s, c in idx],
+                pa.list_(pa.float64()),
+            ),
+            "residual": pa.array([bool(residual)] * len(idx), pa.bool_()),
+        }
+    )
+    _sidecar_write(f"{path}/codebooks", table)
 
 
 def _check_retrain_complete(path: str) -> None:
@@ -1405,11 +1481,11 @@ def ann_index_append(
         # PQ-codebook drift signal (ann_index_pq_drift); O(new), never
         # O(index)
         row = ledger_obs.get
-        local_table(
-            spark,
-            [("appended", int(row["n"]), row["sum_qerr"])],
-            "phase string, n long, sum_qerr double",
-        ).write.mode("append").parquet(f"{path}/pq_stats")
+        _sidecar_write(
+            f"{path}/pq_stats",
+            _ledger_table([("appended", row["n"], row["sum_qerr"])]),
+            mode="append",
+        )
 
 
 def ann_index_compact(spark, path: str, max_files: int = 1) -> list:
@@ -1636,18 +1712,19 @@ def ann_index_repair_ledger(spark, path: str) -> None:
         )
         .collect()[0]
     )
-    local_table(
-        spark,
-        [
-            ("base", int(base["n"]), float(base["sum_qerr"])),
-            (
-                "appended",
-                int(total["n"] - base["n"]),
-                float(total["sum_qerr"] - base["sum_qerr"]),
-            ),
-        ],
-        "phase string, n long, sum_qerr double",
-    ).write.mode("overwrite").parquet(f"{path}/pq_stats")
+    _sidecar_write(
+        f"{path}/pq_stats",
+        _ledger_table(
+            [
+                ("base", base["n"], float(base["sum_qerr"])),
+                (
+                    "appended",
+                    total["n"] - base["n"],
+                    float(total["sum_qerr"] - base["sum_qerr"]),
+                ),
+            ]
+        ),
+    )
 
 
 def ann_index_retrain_codebooks(
@@ -1765,11 +1842,10 @@ def ann_index_retrain_codebooks(
     os.rename(tmp, f"{path}/assigned")
     shutil.rmtree(old_root)
     row = ledger_obs.get
-    local_table(
-        spark,
-        [("base", int(row["n"]), row["sum_qerr"])],
-        "phase string, n long, sum_qerr double",
-    ).write.mode("overwrite").parquet(f"{path}/pq_stats")
+    _sidecar_write(
+        f"{path}/pq_stats",
+        _ledger_table([("base", row["n"], row["sum_qerr"])]),
+    )
     # generations consistent again: books, codes, and ledger all from
     # this retrain
     os.remove(f"{path}/retrain_inflight")

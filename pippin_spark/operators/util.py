@@ -142,6 +142,52 @@ def arrow_conversion(spark):
                 conf.set(key, prev)
 
 
+def sidecar_parquet_write(dir_path: str, table, mode: str = "overwrite") -> None:
+    """Land a DRIVER-SIZED parquet artifact (index centroids/codebooks,
+    pq_stats ledgers, persisted tokenizer merge tables) without a
+    Spark job: each such table is by contract tiny, yet a
+    ``local_table(...).write.parquet`` pays a full driver-scheduled
+    job + commit protocol per write — measured 0.3-0.7 s each on this
+    box (guide §1.2: don't spend jobs on driver-sized artifacts).
+    ``table`` is a pyarrow Table (build it directly, or via
+    ``df.toArrow()`` to preserve an exact Spark schema); pyarrow
+    writes the same parquet bytes (float64/int/bool/utf8/list<double>
+    round-trip exactly), and Spark reads the directory back with the
+    identical schema.
+
+    Crash contract matches the Spark writer's guarantees at this
+    protocol's level: ``overwrite`` stages a fresh directory and swaps
+    it in (a kill mid-swap leaves either the old or the new sidecar,
+    or a loudly-missing directory — never a half-written file, since
+    dotfile temps are invisible to the reader); ``append`` publishes
+    one new file via an atomic same-dir rename."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as papq
+
+    fname = f"part-{uuid.uuid4().hex}.parquet"
+    if mode == "overwrite":
+        tmp = f"{dir_path}.tmp-{uuid.uuid4().hex}"
+        os.makedirs(tmp)
+        papq.write_table(table, os.path.join(tmp, fname))
+        old = f"{dir_path}.old-{uuid.uuid4().hex}"
+        if os.path.isdir(dir_path):
+            os.rename(dir_path, old)
+            os.rename(tmp, dir_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, dir_path)
+    elif mode == "append":
+        os.makedirs(dir_path, exist_ok=True)
+        tmp_f = os.path.join(dir_path, f".{fname}.tmp")
+        papq.write_table(table, tmp_f)
+        os.rename(tmp_f, os.path.join(dir_path, fname))
+    else:
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+
+
 def local_table(spark, rows, schema: str, num_partitions: int = 1) -> DataFrame:
     """A driver-built table the JVM can scan WITHOUT a Python worker.
 

@@ -2956,3 +2956,33 @@ def test_bpe_prebuilt_encode_equals_fresh(spark, tmp_path):
         .collect()
     ]
     assert stored == trained
+
+
+def test_hard_negative_both_matches_single_modes(spark):
+    # mode="both" (one fused corpus pass, two mask variants) must
+    # reproduce each single-mode call's rows exactly, per role, for
+    # the same k — pos = mode="same", neg = mode="cross"
+    import random
+
+    rng = random.Random(17)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(60)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"])
+    anchors = df.filter(F.col("vec_id") < 5)
+    both = S.hard_negative_topk(
+        df, anchors, "embedding", "vec_id", "label", k=3, mode="both"
+    ).collect()
+    for role, mode in (("pos", "same"), ("neg", "cross")):
+        got = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in both
+            if r["role"] == role
+        )
+        want = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in S.hard_negative_topk(
+                df, anchors, "embedding", "vec_id", "label", k=3, mode=mode
+            ).collect()
+        )
+        assert got == want

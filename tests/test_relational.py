@@ -529,3 +529,22 @@ def test_partsupp_derivation_invariants(spark):
     keep = {r[0] for r in part.filter(flt).select("p_partkey").collect()}
     b = sorted(t for t in map(tuple, ps.collect()) if t[0] in keep)
     assert a == b
+
+
+def test_recursive_reach_local_matches_sql(spark):
+    # the driver-BFS fast path (edges collected below _REACH_EDGES_MAX)
+    # must equal the SQL recursion exactly: MIN(depth) over the
+    # UNION ALL path enumeration is the BFS first-reach depth
+    from pippin_spark import entry_queries as EQ
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["node"], r["min_depth"])
+        for r in EQ.q_recursive_cte_reach(spark, sf).collect()
+    }
+    EQ._t(spark, sf, "events").df.createOrReplaceTempView("events")
+    exp = {
+        (r["node"], r["min_depth"])
+        for r in spark.sql(EQ._RECURSIVE_REACH_SQL).collect()
+    }
+    assert got == exp
