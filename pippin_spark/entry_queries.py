@@ -12064,6 +12064,69 @@ def _maint_index_path(sf_dir: str) -> str:
     return f"/tmp/pippin_maint_ivf_{base}_{mt}"
 
 
+# The maintenance rows' probe-equality arms compare FOUR probe results
+# that are each #queries·k rows (5 queries × k=5 here — the probe
+# workload is a bounded query set, never the corpus). The all-JVM
+# compare (full_outer join on the 4 result columns + two counts)
+# re-executes each lazy probe subtree 2-3×; collecting each probe ONCE
+# and set-comparing on the driver computes the identical mismatch
+# count from one execution per probe (guide §1.2: don't re-run what
+# you already computed; §5: a #queries·k collect is a bounded driver
+# artifact). False keeps the all-JVM compare — the equality pin
+# test_probe_mismatch_driver_matches_join runs both.
+_DRIVER_PROBE_CMP = True
+_PROBE_CMP_COLS = ["query_id", "neighbor_id", "cosine", "rank"]
+
+# guide §2.6 (overlap independent jobs): the from-scratch-rebuild arm
+# of each maintenance row depends ONLY on the row's inputs (corpus /
+# flood fixtures) and its own fresh_path — never on the maintained
+# index — so it runs on a second driver thread while the maintained
+# sequence (stream append, compact, gates, probes: many small
+# scheduling-floor-bound jobs that leave most cores idle) proceeds;
+# Spark's FIFO scheduler back-fills the idle capacity. Results are
+# unchanged: the same jobs run, only their wall-clock overlaps.
+# False = run the arm inline at the point .result() is called (the
+# exact pre-batch sequential order), the A/B baseline.
+_OVERLAP_FRESH_ARM = True
+
+
+def _fresh_arm(fn):
+    """Future for the independent rebuild arm: a real worker thread
+    under _OVERLAP_FRESH_ARM, else a deferred inline call."""
+    if _OVERLAP_FRESH_ARM:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(fn)
+        pool.shutdown(wait=False)
+        return fut
+
+    class _Deferred:
+        def result(self):
+            return fn()
+
+    return _Deferred()
+
+
+def _probe_set(df):
+    """One probe result as a set of (query_id, neighbor_id, cosine,
+    rank) tuples — the exact row identity the all-JVM full_outer join
+    compares on (doubles collect as the same IEEE bits Spark joins on;
+    probe output has no NULLs and is unique per (query_id, rank))."""
+    return {tuple(r) for r in df.select(*_PROBE_CMP_COLS).collect()}
+
+
+def _n_mismatch_join(a, b):
+    """The all-JVM compare: |a ∪ b| − |a| over the 4-column row
+    identity (0 iff the two probe results are row-identical)."""
+    return (
+        a.select(*_PROBE_CMP_COLS)
+        .join(b.select(*_PROBE_CMP_COLS), _PROBE_CMP_COLS, "full_outer")
+        .count()
+        - a.count()
+    )
+
+
 @_q(
     "ann_index_maintain_e2e",
     # the compose-and-verify step VERDICT r8 #3 asked for, upgraded in
@@ -12117,6 +12180,30 @@ def q_ann_index_maintain_e2e(spark, sf_dir):
         f: os.path.getsize(f)
         for f in glob.glob(f"{path}/assigned/cell=*/*.parquet")
     }
+    # the from-scratch-rebuild arm depends only on (emb, base,
+    # fresh_path) — kick it off now so it overlaps the whole
+    # maintained sequence below (guide §2.6; _fresh_arm)
+    qdf = emb.filter(F.col("vec_id") < 5)
+    fresh_path = f"{path}_fresharm"
+
+    def _fresh_arm_run():
+        shutil.rmtree(fresh_path, ignore_errors=True)
+        SIM.ann_index_write(
+            emb, "embedding", "vec_id", fresh_path, num_cells=16,
+            train_iters=3, layout="cells", train_on=base,
+            pq=(8, 16, 2), pq_train_on=base,
+        )
+        fr = SIM.ivf_topk_prebuilt(
+            spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
+        )
+        frq = SIM.ivfpq_topk_prebuilt(
+            spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
+        )
+        if _DRIVER_PROBE_CMP:
+            return _probe_set(fr), _probe_set(frq)
+        return fr, frq
+
+    fresh_fut = _fresh_arm(_fresh_arm_run)
     # ingest half: the streamed 20% routed and APPENDED to the live
     # index — streaming_ivf_cell_route's assignment driven into
     # ann_index_append via foreachBatch
@@ -12146,47 +12233,38 @@ def q_ann_index_maintain_e2e(spark, sf_dir):
         and len(post_append) > len(pre)
     )
     _, assigned = SIM.ann_index_read(spark, path)
-    n_indexed = assigned.count()
-    n_appended = assigned.filter(F.col("id") % 10 >= 8).count()
+    # one aggregate job for both counts (total + appended-share) —
+    # two .count() actions would scan the assigned table twice
+    cnt = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("id") % 10 >= 8, F.lit(1))).alias("na"),
+    ).collect()[0]
+    n_indexed, n_appended = cnt["n"], cnt["na"]
     rows_before = n_indexed
     SIM.ann_index_compact(spark, path)
     _, assigned2 = SIM.ann_index_read(spark, path)
     compact_preserved = int(assigned2.count() == rows_before)
     # probe equality: maintained index vs from-scratch rebuild on the
-    # augmented corpus against the SAME base-trained centroids
-    qdf = emb.filter(F.col("vec_id") < 5)
+    # augmented corpus against the SAME base-trained centroids; the
+    # codes-only probe must ALSO agree exactly (same base-trained
+    # codebooks on both arms, codes round-trip parquet losslessly)
     maint = SIM.ivf_topk_prebuilt(
         spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
     )
-    fresh_path = f"{path}_fresharm"
-    shutil.rmtree(fresh_path, ignore_errors=True)
-    SIM.ann_index_write(
-        emb, "embedding", "vec_id", fresh_path, num_cells=16,
-        train_iters=3, layout="cells", train_on=base,
-        pq=(8, 16, 2), pq_train_on=base,
-    )
-    fresh = SIM.ivf_topk_prebuilt(
-        spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
-    )
-    cols = ["query_id", "neighbor_id", "cosine", "rank"]
-
-    def _n_mismatch(a, b):
-        return (
-            a.select(*cols).join(b.select(*cols), cols, "full_outer").count()
-            - a.count()
-        )
-
-    n_mismatch = _n_mismatch(maint, fresh)
-    # the codes-only probe must ALSO agree exactly: same base-trained
-    # codebooks on both arms, codes round-trip parquet losslessly
     maint_pq = SIM.ivfpq_topk_prebuilt(
         spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
     )
-    fresh_pq = SIM.ivfpq_topk_prebuilt(
-        spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
-    )
-    n_mismatch_pq = _n_mismatch(maint_pq, fresh_pq)
-    probe_pairs = maint.count()
+    if _DRIVER_PROBE_CMP:
+        sm, smq = _probe_set(maint), _probe_set(maint_pq)
+        sfr, sfq = fresh_fut.result()
+        n_mismatch = len(sm | sfr) - len(sm)
+        n_mismatch_pq = len(smq | sfq) - len(smq)
+        probe_pairs = len(sm)
+    else:
+        fresh, fresh_pq = fresh_fut.result()
+        n_mismatch = _n_mismatch_join(maint, fresh)
+        n_mismatch_pq = _n_mismatch_join(maint_pq, fresh_pq)
+        probe_pairs = maint.count()
     max_drift = (
         SIM.ann_index_drift(spark, path)
         .agg(F.max("drift").alias("d"))
@@ -12324,6 +12402,37 @@ def q_ann_index_retrain_e2e(spark, sf_dir):
     n_base = spark.read.parquet(f"{path}/assigned").count()
     # 1. shifted flood: PQ gate must fire, centroid gate must not
     flood = _retrain_shift_flood(spark, path)
+    # the from-scratch-rebuild arm depends only on (base, flood,
+    # batch3, fresh_path) — all defined/derivable here — so it runs on
+    # a second driver thread under the whole maintained sequence
+    # (append → gates → retrain → append → gates → probes), guide
+    # §2.6 / _fresh_arm. batch3/qdf are plan-only definitions.
+    batch3 = _clustered_embeddings(
+        emb_ids.filter(F.col("vec_id") % 10 >= 8), salt=3,
+        id_offset=20_000_000,
+    )
+    qdf = _clustered_embeddings(emb_ids.filter(F.col("vec_id") < 5), salt=1)
+    fresh_path = f"{path}_fresharm"
+
+    def _fresh_arm_run():
+        shutil.rmtree(fresh_path, ignore_errors=True)
+        SIM.ann_index_write(
+            base.unionByName(flood).unionByName(batch3), "embedding",
+            "vec_id", fresh_path, num_cells=8, train_iters=3,
+            layout="cells", train_on=base, pq=(8, 16, 2),
+            pq_train_on=base.unionByName(flood),
+        )
+        fr = SIM.ivf_topk_prebuilt(
+            spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
+        )
+        frq = SIM.ivfpq_topk_prebuilt(
+            spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
+        )
+        if _DRIVER_PROBE_CMP:
+            return _probe_set(fr), _probe_set(frq)
+        return fr, frq
+
+    fresh_fut = _fresh_arm(_fresh_arm_run)
     SIM.ann_index_append(spark, path, flood, "embedding", "vec_id")
     gate_before = SIM.ann_index_pq_drift(spark, path).collect()[0]
     max_drift = (
@@ -12344,44 +12453,29 @@ def q_ann_index_retrain_e2e(spark, sf_dir):
         gate_reset["base_mqerr"] < gate_before["appended_mqerr"]
     )
     # 3. post-retrain in-distribution traffic measures ~1 again
-    batch3 = _clustered_embeddings(
-        emb_ids.filter(F.col("vec_id") % 10 >= 8), salt=3,
-        id_offset=20_000_000,
-    )
     SIM.ann_index_append(spark, path, batch3, "embedding", "vec_id")
     gate_after = SIM.ann_index_pq_drift(spark, path).collect()[0]
     n_post = gate_after["n_appended"]
     n_final = spark.read.parquet(f"{path}/assigned").count()
     # 4. probe equality vs a from-scratch rebuild: same base-trained
     # centroids, codebooks trained on the retrain-time contents
-    qdf = _clustered_embeddings(emb_ids.filter(F.col("vec_id") < 5), salt=1)
     maint = SIM.ivf_topk_prebuilt(
         spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
     )
     maint_pq = SIM.ivfpq_topk_prebuilt(
         spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
     )
-    fresh_path = f"{path}_fresharm"
-    shutil.rmtree(fresh_path, ignore_errors=True)
-    SIM.ann_index_write(
-        base.unionByName(flood).unionByName(batch3), "embedding", "vec_id",
-        fresh_path, num_cells=8, train_iters=3, layout="cells",
-        train_on=base, pq=(8, 16, 2),
-        pq_train_on=base.unionByName(flood),
-    )
-    fresh = SIM.ivf_topk_prebuilt(
-        spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
-    )
-    fresh_pq = SIM.ivfpq_topk_prebuilt(
-        spark, fresh_path, qdf, "embedding", "vec_id", k=5, nprobe=4
-    )
-    cols = ["query_id", "neighbor_id", "cosine", "rank"]
-
-    def _n_mismatch(a, b):
-        return (
-            a.select(*cols).join(b.select(*cols), cols, "full_outer").count()
-            - a.count()
-        )
+    if _DRIVER_PROBE_CMP:
+        sm, smq = _probe_set(maint), _probe_set(maint_pq)
+        sfr, sfq = fresh_fut.result()
+        probe_pairs = len(sm)
+        n_mismatch = len(sm | sfr) - len(sm)
+        n_mismatch_pq = len(smq | sfq) - len(smq)
+    else:
+        fresh, fresh_pq = fresh_fut.result()
+        probe_pairs = maint.count()
+        n_mismatch = _n_mismatch_join(maint, fresh)
+        n_mismatch_pq = _n_mismatch_join(maint_pq, fresh_pq)
 
     return local_table(
         spark,
@@ -12390,14 +12484,14 @@ def q_ann_index_retrain_e2e(spark, sf_dir):
             n_flood,
             n_post,
             n_final,
-            maint.count(),
+            probe_pairs,
             int(max_drift < 0.2),
             int(gate_before["err_ratio"] > 2.0),
             ledger_reset,
             flood_in_sample,
             int(gate_after["err_ratio"] < 1.5),
-            _n_mismatch(maint, fresh),
-            _n_mismatch(maint_pq, fresh_pq),
+            n_mismatch,
+            n_mismatch_pq,
         )],
         "n_base long, n_flood long, n_post_appended long, "
         "n_indexed_final long, probe_pairs long, "

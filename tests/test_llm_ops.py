@@ -2986,3 +2986,26 @@ def test_hard_negative_both_matches_single_modes(spark):
             ).collect()
         )
         assert got == want
+
+
+def test_probe_mismatch_driver_matches_join(spark):
+    # batch-12 equality pin: the driver-side set compare the
+    # maintenance rows use (_probe_set / len-union arithmetic) counts
+    # EXACTLY what the all-JVM full_outer-join compare counts, on
+    # overlapping, disjoint and identical probe results — including a
+    # double column, where join equality is IEEE-bit equality, the
+    # same identity tuple() preserves through collect()
+    from pippin_spark.entry_queries import _n_mismatch_join, _probe_set
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, cosine double, rank int"
+        )
+
+    a = df([(1, 10, 0.5, 1), (1, 11, 0.25, 2), (2, 10, 1.0, 1)])
+    same = df([(2, 10, 1.0, 1), (1, 10, 0.5, 1), (1, 11, 0.25, 2)])
+    b = df([(1, 10, 0.5, 1), (1, 12, 0.25, 2), (2, 10, 0.75, 1)])
+    empty = df([]).limit(0)
+    for x, y in [(a, same), (a, b), (a, empty), (empty, a), (a, a)]:
+        sx, sy = _probe_set(x), _probe_set(y)
+        assert len(sx | sy) - len(sx) == _n_mismatch_join(x, y)
