@@ -12333,8 +12333,11 @@ def _retrain_shift_flood(spark, path: str, per_cell: int = 20):
     centroid-table budget."""
     import numpy as np
 
+    from pippin_spark.operators.util import sidecar_parquet_rows
+
+    # centroid sidecar: driver pyarrow read, zero Spark jobs
     cents = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
+        sidecar_parquet_rows(f"{path}/centroids"),
         key=lambda r: r["cell"],
     )
     C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cents])

@@ -419,7 +419,12 @@ def bpe_doc_piece_counts_prebuilt(
     joins the per-word counts back through the doc→word explode:
     same (doc_id, n_words, n_bpe_pieces) as bpe_doc_piece_counts,
     same two corpus scans, no argmax jobs."""
-    merge_table = spark.read.parquet(path)
+    # the merge table is a driver-written sidecar — load it as a
+    # LocalRelation (zero Spark jobs; the merges are collected into
+    # plan literals anyway)
+    from pippin_spark.operators.util import sidecar_parquet_df
+
+    merge_table = sidecar_parquet_df(spark, path)
     words = docs.select(
         F.explode(_ws_token_array(F.col(text_col))).alias("word")
     ).distinct()

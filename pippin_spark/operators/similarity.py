@@ -27,6 +27,7 @@ from pippin_spark.operators.dedup import cosine_similarity
 from pippin_spark.operators.util import (
     ensure_parallelism,
     local_table,
+    sidecar_parquet_rows,
     sidecar_parquet_write,
 )
 
@@ -470,18 +471,23 @@ def _assign_cells(
 _KMEANS_LOCAL_MAX = 65_536
 
 
-def _round9(x: float) -> float:
-    """Spark's round(double, 9) replica: BigDecimal.valueOf(d) parses
-    Double.toString's shortest decimal repr — Python repr(float) is the
-    same shortest-repr value — then setScale(9, HALF_UP). Decimal
-    HALF_UP == BigDecimal HALF_UP (away from zero on .5)."""
+def _round_half_up(x: float, scale: int) -> float:
+    """Spark's round(double, scale) replica: BigDecimal.valueOf(d)
+    parses Double.toString's shortest decimal repr — Python
+    repr(float) is the same shortest-repr value — then
+    setScale(scale, HALF_UP). Decimal HALF_UP == BigDecimal HALF_UP
+    (away from zero on .5)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(
         Decimal(repr(float(x))).quantize(
-            Decimal("1E-9"), rounding=ROUND_HALF_UP
+            Decimal(f"1E-{scale}"), rounding=ROUND_HALF_UP
         )
     )
+
+
+def _round9(x: float) -> float:
+    return _round_half_up(x, 9)
 
 
 def _kmeans_local(spark, rows, num_cells: int, iters: int, metric: str):
@@ -1140,12 +1146,24 @@ def _ann_index_write_body(
         )
 
 
+def _sidecar_df(spark, dir_path: str) -> DataFrame:
+    """util.sidecar_parquet_df — the read half of the sidecar-write
+    rule (guide §1.2): driver-sized artifacts load as LocalRelations,
+    zero Spark jobs."""
+    from pippin_spark.operators.util import sidecar_parquet_df
+
+    return sidecar_parquet_df(spark, dir_path)
+
+
 def ann_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a persisted IVF index (see ann_index_write): returns
     (centroids, assigned) ready for ``_ivf_probe`` /
-    ``ivf_topk_prebuilt``."""
+    ``ivf_topk_prebuilt``. The centroid table is a driver-written
+    sidecar, so it loads as a LocalRelation (zero jobs); the assigned
+    table stays a parquet scan (directory/row-group pruning is the
+    index's whole point)."""
     return (
-        spark.read.parquet(f"{path}/centroids"),
+        _sidecar_df(spark, f"{path}/centroids"),
         spark.read.parquet(f"{path}/assigned"),
     )
 
@@ -1341,17 +1359,18 @@ def _read_codebooks(spark, path: str, allow_inflight: bool = False):
 
     if not allow_inflight:
         _check_retrain_complete(path)
-    df = spark.read.parquet(f"{path}/codebooks")
-    rows = sorted(df.collect(), key=lambda r: (r["s"], r["c"]))
+    # driver-sized sidecar (m·k rows): pyarrow read, zero Spark jobs
+    rows = sorted(
+        sidecar_parquet_rows(f"{path}/codebooks"),
+        key=lambda r: (r["s"], r["c"]),
+    )
     m = max(r["s"] for r in rows) + 1
     kk = max(r["c"] for r in rows) + 1
     d = len(rows[0]["vec"])
     books = np.empty((m, kk, d), dtype=np.float64)
     for r in rows:
         books[r["s"], r["c"]] = np.asarray(r["vec"], dtype=np.float64)
-    residual = bool(
-        "residual" in df.columns and rows[0]["residual"]
-    )
+    residual = bool("residual" in rows[0] and rows[0]["residual"])
     return books, residual
 
 
@@ -1431,7 +1450,9 @@ def ann_index_append(
             "partitioned files into a flat dataset would silently mix "
             "layouts; rebuild with ann_index_write(..., layout='cells')"
         )
-    centroids = spark.read.parquet(f"{path}/centroids")
+    # the centroid sidecar loads as a LocalRelation — _assign_cells'
+    # collect and the residual matrix below cost zero Spark jobs
+    centroids = _sidecar_df(spark, f"{path}/centroids")
     assigned_new = _assign_cells(
         new_vectors.select(
             F.col(id_col).alias("id"),
@@ -1622,8 +1643,75 @@ def ann_index_pq_drift(spark, path: str) -> DataFrame:
     retrains codebooks when err_ratio crosses its threshold —
     in-distribution appends measure ~1.0, the shifted-flood pytest
     fixture >2. Scale: the ledger has #appends+1 rows; nothing else
-    is read."""
+    is read.
+
+    The ledger is a driver-written KB-scale sidecar, so the gate
+    computes ON THE DRIVER (pyarrow read + the exact Spark arithmetic:
+    NULL-skipping sums, NULL propagation through the means, HALF_UP
+    round-6 via _round_half_up, ANSI divide-by-zero raising) and
+    returns a LocalRelation — a maintenance loop polls this gate, and
+    a poll should cost zero Spark jobs. _LEDGER_DRIVER=False keeps the
+    Spark aggregation; test_pq_drift_driver_matches_spark pins both
+    paths row-equal on real build/append/repair ledgers."""
     _check_retrain_complete(path)
+    if not _LEDGER_DRIVER:
+        return _pq_drift_spark(spark, path)
+    rows = [
+        r
+        for r in sidecar_parquet_rows(f"{path}/pq_stats")
+        if r["n"] is not None and r["n"] > 0
+    ]
+
+    def _tot(phase):
+        # Spark SUM semantics: NULL-skipping fold, NULL when no rows;
+        # float addition in part-file order (ulp-level order effects
+        # sit 9 decimal digits below the round-6 the gate emits)
+        n = s = None
+        for r in rows:
+            if r["phase"] != phase:
+                continue
+            n = r["n"] if n is None else n + r["n"]
+            if r["sum_qerr"] is not None:
+                s = r["sum_qerr"] if s is None else s + r["sum_qerr"]
+        return n, s
+
+    n_base, base_sum = _tot("base")
+    n_app, app_sum = _tot("appended")
+    base_m = None if n_base is None or base_sum is None else base_sum / n_base
+    app_m = None if n_app is None or app_sum is None else app_sum / n_app
+    if n_app is None or n_app == 0:
+        ratio = 1.0
+    elif app_m is None or base_m is None:
+        ratio = None
+    elif base_m == 0.0:
+        # ANSI-mode parity: Spark's Divide raises on a zero divisor
+        raise ArithmeticError(
+            "[DIVIDE_BY_ZERO] pq_stats base_mqerr is exactly 0 — "
+            "repair the ledger (ann_index_repair_ledger) or rebuild"
+        )
+    else:
+        ratio = _round_half_up(app_m / base_m, 6)
+    return local_table(
+        spark,
+        [(
+            int(n_base) if n_base is not None else 0,
+            None if base_m is None else _round_half_up(base_m, 6),
+            int(n_app) if n_app is not None else 0,
+            None if app_m is None else _round_half_up(app_m, 6),
+            ratio,
+        )],
+        "n_base long, base_mqerr double, n_appended long, "
+        "appended_mqerr double, err_ratio double",
+    )
+
+
+# ann_index_pq_drift's Spark-aggregation arm: True computes the gate
+# on the driver from the sidecar ledger (zero jobs); False keeps the
+# Spark plan — the A/B + equality-pin baseline.
+_LEDGER_DRIVER = True
+
+
+def _pq_drift_spark(spark, path: str) -> DataFrame:
     stats = spark.read.parquet(f"{path}/pq_stats")
     agg = (
         stats.filter(F.col("n") > 0)
@@ -2949,10 +3037,12 @@ def ivfpq_topk_prebuilt(
     (codes round-trip parquet losslessly; pytest-pinned)."""
     import numpy as np
 
-    centroids = spark.read.parquet(f"{path}/centroids")
     books, residual = _read_codebooks(spark, path)
     assigned = spark.read.parquet(f"{path}/assigned")
-    cell_ids, Cn = _normalized_centroid_matrix(centroids.collect())
+    # centroid sidecar: driver pyarrow read, zero Spark jobs
+    cell_ids, Cn = _normalized_centroid_matrix(
+        sidecar_parquet_rows(f"{path}/centroids")
+    )
     if residual:
         query_chunk = min(query_chunk, 128)
 

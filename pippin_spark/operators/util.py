@@ -188,6 +188,48 @@ def sidecar_parquet_write(dir_path: str, table, mode: str = "overwrite") -> None
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
 
 
+def sidecar_parquet_read(dir_path: str):
+    """Driver-side read of a driver-sized parquet sidecar directory —
+    the read half of sidecar_parquet_write (guide §1.2: a KB-scale
+    artifact should cost zero Spark jobs to read, exactly as it costs
+    zero to write). Handles both layouts that exist in the wild:
+    sidecar-written dirs (part-<uuid>.parquet) and Spark-written dirs
+    (part-*.parquet + _SUCCESS; tests rewrite ledgers that way). Part
+    files are concatenated in sorted-name order; every consumer either
+    sorts rows by key or controls its own fold order. Values are
+    bit-identical to a Spark read (float64/int64/bool/utf8/
+    list<double> round-trip parquet exactly). Raises FileNotFoundError
+    on a missing/empty dir — as loud as Spark's PATH_NOT_FOUND."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    files = sorted(glob.glob(os.path.join(dir_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files in sidecar {dir_path}")
+    return pa.concat_tables([papq.read_table(f) for f in files], promote_options="default")
+
+
+def sidecar_parquet_rows(dir_path: str) -> list:
+    """sidecar_parquet_read as a list of plain dict rows (the shape
+    ``DataFrame.collect()`` consumers index by column name)."""
+    return sidecar_parquet_read(dir_path).to_pylist()
+
+
+def sidecar_parquet_df(spark, dir_path: str) -> DataFrame:
+    """A sidecar directory as a LocalRelation DataFrame: the
+    driver-sized rows load via pyarrow (zero Spark jobs) and every
+    downstream collect/broadcast/join treats them as a pure JVM local
+    table. Values and schema are bit-identical to a parquet scan of
+    the same dir (parquet → Arrow → LocalRelation preserves
+    float64/int64/utf8/list<double> exactly)."""
+    table = sidecar_parquet_read(dir_path)
+    with arrow_conversion(spark):
+        return spark.createDataFrame(table)
+
+
 def local_table(spark, rows, schema: str, num_partitions: int = 1) -> DataFrame:
     """A driver-built table the JVM can scan WITHOUT a Python worker.
 

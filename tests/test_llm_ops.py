@@ -3009,3 +3009,41 @@ def test_probe_mismatch_driver_matches_join(spark):
     for x, y in [(a, same), (a, b), (a, empty), (empty, a), (a, a)]:
         sx, sy = _probe_set(x), _probe_set(y)
         assert len(sx | sy) - len(sx) == _n_mismatch_join(x, y)
+
+
+def test_pq_drift_driver_matches_spark(spark, tmp_path):
+    # batch-14 equality pin: the driver-computed gate (pyarrow ledger
+    # read + replicated Spark arithmetic) returns the EXACT row the
+    # Spark aggregation computes — on a fresh build (no appends → the
+    # 1.0 pin), after appends, and after a ledger repair merge.
+    import pippin_spark.operators.similarity as SS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    path = str(tmp_path / "gate_ivfpq")
+    S.ann_index_write(
+        base, "embedding", "vec_id", path, num_cells=8, train_iters=3,
+        layout="cells", pq=(8, 16, 2),
+    )
+
+    def both():
+        a = S.ann_index_pq_drift(spark, path).collect()[0]
+        b = SS._pq_drift_spark(spark, path).collect()[0]
+        return a, b
+
+    a, b = both()
+    assert a == b and a["err_ratio"] == 1.0
+    S.ann_index_append(
+        spark, path, emb.filter(F.col("vec_id") >= 495), "embedding",
+        "vec_id",
+    )
+    S.ann_index_append(
+        spark, path,
+        emb.filter((F.col("vec_id") >= 490) & (F.col("vec_id") < 495)),
+        "embedding", "vec_id",
+    )
+    a, b = both()
+    assert a == b and a["n_appended"] == 10
+    S.ann_index_repair_ledger(spark, path)
+    a, b = both()
+    assert a == b
