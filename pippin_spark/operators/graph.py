@@ -15,6 +15,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Oriented-edge bound under which the wedge enumeration + closure runs
+# as ONE vectorized Arrow pass over the oriented table with the edge
+# set broadcast as sorted numpy arrays (~4 int64 arrays of |E| — 64 MB
+# at the bound). Above it the join-based path below runs unchanged —
+# the bound is data-sized (like dedup's _LOCAL_EDGES_MAX), never
+# core-count-sized, so the driver's low-core bench sees the same rule
+# and a 100 TB graph takes the distributed joins.
+_TRI_BCAST_EDGES_MAX = 2_000_000
+
 
 def undirected_edges(pairs: DataFrame, u_col: str, v_col: str) -> DataFrame:
     """Canonicalize to distinct undirected edges (u < v)."""
@@ -79,6 +88,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ).select("e.s", "e.d").repartition(
         edges.sparkSession.sparkContext.defaultParallelism, "s"
     ).persist()
+    local = _triangle_count_bcast(oriented)
+    if local is not None:
+        return local
     w1 = oriented.select(F.col("s"), F.col("d").alias("b"))
     w2 = oriented.select(F.col("s"), F.col("d").alias("c"))
     wedges = w1.join(w2, "s").filter(F.col("b") < F.col("c"))
@@ -87,3 +99,99 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     tri = wedges.join(closing, ["b", "c"])
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _triangle_count_bcast(oriented: DataFrame):
+    """Broadcast-edge-set triangle count below _TRI_BCAST_EDGES_MAX, or
+    None when the guard fails (non-integer node ids, or too many edges
+    — the join path is the scale shape).
+
+    Counts sum(|N+(u) ∩ N+(v)|) over oriented edges (u, v): a triangle
+    a→b, a→c, b→c is found exactly once, at its (a, b) edge with
+    witness c (the apex's two out-edges plus the oriented closure —
+    the same wedge set the self-join enumerates, wedge (b, c) ordered
+    by ORIENTATION instead of node id, which the closing semi-join
+    makes equivalent: both count each closed wedge once). The count is
+    an exact integer either way — pinned local == distributed by
+    tests/test_relational.py.
+
+    Why: the wedge self-join materializes Σ outdeg² JVM rows and
+    probes each against the closing join's hash relation (~1.4 µs per
+    wedge of codegen; 136 s of CPU at sf0.1's 3·10^8 wedges). The same
+    enumeration over int64 numpy arrays is a vectorized gather +
+    binary search (~10 ns per wedge): ONE Arrow pass over the already
+    cached+repartitioned oriented table, edge set shipped once per
+    executor via broadcast, one partial-count row per batch out."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import IntegralType
+
+    if not all(
+        isinstance(oriented.schema[c].dataType, IntegralType)
+        for c in ("s", "d")
+    ):
+        return None
+    # count() materializes the cached oriented table in one scan (the
+    # join path's first action would do the same work); the guard
+    # probe and the collect below are then cache-fed — a bare
+    # limit().toArrow() on the UNmaterialized cache would re-run the
+    # edge-derivation subtree once per incremental limit attempt
+    if oriented.count() > _TRI_BCAST_EDGES_MAX:
+        return None
+    probe = oriented.toArrow()
+    spark = oriented.sparkSession
+    if probe.num_rows == 0:
+        from pippin_spark.util import local_table
+
+        return local_table(spark, [(0,)], "n_triangles bigint")
+    s_raw = probe["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d_raw = probe["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # densify node ids so composite keys can't overflow int64: every id
+    # (source or destination) maps to its rank in the sorted id table
+    nodes = np.unique(np.concatenate([s_raw, d_raw]))
+    m = np.int64(len(nodes))
+    s_d = np.searchsorted(nodes, s_raw)
+    d_d = np.searchsorted(nodes, d_raw)
+    order = np.lexsort((d_d, s_d))
+    S = s_d[order]
+    D = d_d[order]
+    keys = S * m + D  # ascending — lexsort on (s, d) sorts the key
+    # CSR slice bounds per dense source id: N+(u) = D[indptr[u]:indptr[u+1]]
+    indptr = np.searchsorted(S, np.arange(len(nodes) + 1, dtype=np.int64))
+    bc = spark.sparkContext.broadcast((nodes, indptr, D, keys, int(m)))
+
+    def gen(batches):
+        nodes_b, indptr_b, D_b, keys_b, m_b = bc.value
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if tbl.num_rows == 0:
+                continue
+            u = np.searchsorted(
+                nodes_b, tbl["s"].to_numpy(zero_copy_only=False)
+            )
+            v = np.searchsorted(
+                nodes_b, tbl["d"].to_numpy(zero_copy_only=False)
+            )
+            start = indptr_b[u]
+            cnts = indptr_b[u + 1] - start
+            tot = int(cnts.sum())
+            if tot == 0:
+                continue
+            base = np.repeat(start, cnts)
+            offs = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(cnts) - cnts, cnts
+            )
+            w = D_b[base + offs]
+            wkeys = np.repeat(v, cnts) * np.int64(m_b) + w
+            pos = np.searchsorted(keys_b, wkeys)
+            pos_c = np.minimum(pos, len(keys_b) - 1)
+            n = int((keys_b[pos_c] == wkeys).sum())
+            yield pa.RecordBatch.from_pydict(
+                {"c": pa.array([n], type=pa.int64())}
+            )
+
+    partials = oriented.mapInArrow(gen, "c long")
+    return partials.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
+    )

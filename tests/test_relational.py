@@ -323,6 +323,42 @@ def test_triangle_count_matches_bruteforce(spark):
     assert got == brute == 5
 
 
+def test_triangle_count_bcast_matches_join_path(spark):
+    """The broadcast-edge-set Arrow pass (under _TRI_BCAST_EDGES_MAX)
+    must count exactly what the wedge-self-join path counts — the
+    guarded-collapse equality pin (same pattern as dedup_clusters /
+    kmeans local)."""
+    import random
+
+    from pippin_spark.operators import graph as G
+
+    rng = random.Random(11)
+    edges = [
+        (rng.randint(0, 400), rng.randint(0, 400)) for _ in range(3000)
+    ]
+    df = spark.createDataFrame(edges, "x long, y long")
+
+    und = G.undirected_edges(df, "x", "y")
+    got_bcast = G.triangle_count(und).collect()[0]["n_triangles"]
+    assert got_bcast > 0  # nontrivial fixture
+
+    old = G._TRI_BCAST_EDGES_MAX
+    G._TRI_BCAST_EDGES_MAX = 0  # force the distributed join path
+    try:
+        und2 = G.undirected_edges(df, "x", "y")
+        got_join = G.triangle_count(und2).collect()[0]["n_triangles"]
+    finally:
+        G._TRI_BCAST_EDGES_MAX = old
+    assert got_bcast == got_join
+
+    # string node ids fail the integer gate and take the join path
+    sdf = df.selectExpr("cast(x as string) x", "cast(y as string) y")
+    und3 = G.undirected_edges(sdf, "x", "y")
+    assert G._triangle_count_bcast(
+        und3.selectExpr("u as s", "v as d")
+    ) is None
+
+
 def test_skyline_2d_matches_bruteforce(spark):
     import random
 
