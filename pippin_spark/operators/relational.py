@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 
 from pippin_spark.operators.util import local_table
 
+# Row bound under which exact_kth_2pass selects on one bounded collect
+# (a few MB of scalars) instead of the two histogram passes; above it
+# the limit-probe early-stops and the distributed 2-pass runs
+# unchanged. Data-sized, never core-count-sized.
+_KTH_LOCAL_MAX = 262_144
+
 
 def top_k(
     df: DataFrame,
@@ -1148,8 +1154,32 @@ def exact_kth_2pass(
     to that one bucket (predicate pushed to the scan) and TakeOrdered
     selects the remainder rank; only bucket-sized data is ever
     ordered. Returns a 1-row (k, value) DataFrame.
+
+    Below ``_KTH_LOCAL_MAX`` rows the selection runs on ONE bounded
+    collect instead (the kmeans-probe pattern): the probe IS the data,
+    the k-th of a sorted collected column is the identical exact
+    integer, and the two histogram actions (4 AQE jobs each at bench
+    scale) collapse to one job. Above the guard the probe early-stops
+    and the 2-pass path runs unchanged — the guard is data-sized,
+    never core-count-sized.
     """
     v = F.col(value_col)
+    probe = (
+        df.select(v.alias("__v__")).limit(_KTH_LOCAL_MAX + 1).collect()
+    )
+    if len(probe) <= _KTH_LOCAL_MAX:
+        spark = df.sparkSession
+        vt = df.schema[value_col].dataType.simpleString()
+        if not probe:
+            # empty input: same convention as the distributed branch
+            return local_table(spark, [], f"k bigint, value {vt}")
+        vals = sorted(r["__v__"] for r in probe)
+        kk = (len(vals) + 1) // 2 if k is None else k
+        if kk < 1:
+            raise ValueError(f"k must be >= 1, got {kk}")
+        if kk > len(vals):
+            raise ValueError(f"k={kk} exceeds row count {len(vals)}")
+        return local_table(spark, [(kk, vals[kk - 1])], f"k bigint, value {vt}")
     hist = (
         df.select(F.expr(f"{value_col} div {bucket_width}").alias("__b__"))
         .groupBy("__b__")

@@ -429,6 +429,29 @@ def test_exact_kth_2pass_empty_input_returns_no_row(spark):
     assert R.exact_kth_2pass(df, "v", k=5).count() == 0
 
 
+def test_exact_kth_local_matches_distributed(spark):
+    """The bounded-collect path (under _KTH_LOCAL_MAX) must select the
+    identical (k, value) the 2-pass histogram path selects — the
+    guarded-collapse equality pin."""
+    import random
+
+    rng = random.Random(23)
+    vals = [rng.randint(0, 1 << 40) for _ in range(1500)]
+    vals += [0, 0, 7, 7, 7]  # duplicates at both ends
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+
+    old = R._KTH_LOCAL_MAX
+    try:
+        for k in [None, 1, 3, 700, len(vals)]:
+            R._KTH_LOCAL_MAX = 262_144
+            loc = R.exact_kth_2pass(df, "v", k=k).collect()[0]
+            R._KTH_LOCAL_MAX = 0  # force the 2-pass histogram path
+            dist = R.exact_kth_2pass(df, "v", k=k).collect()[0]
+            assert tuple(loc) == tuple(dist), k
+    finally:
+        R._KTH_LOCAL_MAX = old
+
+
 def test_cogroup_reconcile_matches_plain_python(spark):
     rows = [
         # (key, ts, tie, cents) — left if tie even
