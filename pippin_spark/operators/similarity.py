@@ -1588,50 +1588,17 @@ def ann_index_drift(spark, path: str) -> DataFrame:
     aggregation of the assigned table (per-cell vector sums — #cells
     rows cross the exchange) joined to the #cells centroid table;
     the corpus never moves."""
-    import numpy as np
-    import pandas as _pd
-
     centroids, assigned = ann_index_read(spark, path)
-    # per-cell mean without a UDF and without collecting vectors: ONE
-    # Arrow pass emits per-batch per-cell PARTIAL SUMS (cell, n, Σv) —
-    # #batches·C rows instead of corpus·dim exploded scalars (the
-    # kmeans_centroids partial-sum shape; the former posexplode form
-    # hashed corpus·dim rows through the exchange and planned as 6
-    # AQE jobs). Partials posexplode to #batches·C·dim scalars — still
-    # corpus-independent — and mean_i = Σx/Σn equals the former
-    # AVG(x) up to float partial-sum order (1e-13-level, absorbed by
-    # the round-6 the gate emits; Spark's own partial-agg order was
-    # never fixed either). n_vectors stays an exact long.
-    cell_t = assigned.schema["cell"].dataType.simpleString()
-
-    def gen(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cells = pdf["cell"].to_numpy()
-            V = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
-            )
-            uniq = np.unique(cells)
-            yield _pd.DataFrame(
-                {
-                    "cell": uniq,
-                    "n": [int((cells == c).sum()) for c in uniq],
-                    "psum": [
-                        V[cells == c].sum(axis=0).tolist() for c in uniq
-                    ],
-                }
-            )
-
-    partials = assigned.select("cell", "cv").mapInPandas(
-        gen, f"cell {cell_t}, n long, psum array<double>"
-    )
-    exploded = partials.select(
-        "cell", "n", F.posexplode(F.col("psum")).alias("i", "x")
+    # per-cell mean without a UDF and without collecting vectors:
+    # explode to (cell, i, x), average per (cell, i), regroup to an
+    # index-sorted array. One shuffle of corpus·dim scalars with full
+    # map-side partial aggregation — no single partition anywhere.
+    exploded = assigned.select(
+        "cell", F.posexplode(F.col("cv")).alias("i", "x")
     )
     means = (
         exploded.groupBy("cell", "i")
-        .agg((F.sum("x") / F.sum("n")).alias("m"), F.sum("n").alias("n"))
+        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n"))
         .groupBy("cell")
         .agg(
             F.array_agg(F.struct("i", "m")).alias("__im__"),
@@ -2792,7 +2759,7 @@ def pq_topk(
     n_seen = 0
     for r in queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).toLocalIterator():
+    ).toLocalIterator(prefetchPartitions=True):
         n_seen += 1
         if n_seen > max_queries:
             raise ValueError(
@@ -3017,7 +2984,7 @@ def ivfpq_topk(
     n_seen = 0
     for r in queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).toLocalIterator():
+    ).toLocalIterator(prefetchPartitions=True):
         n_seen += 1
         if n_seen > max_queries:
             raise ValueError(
@@ -3110,7 +3077,7 @@ def ivfpq_topk_prebuilt(
     n_seen = 0
     for r in queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).toLocalIterator():
+    ).toLocalIterator(prefetchPartitions=True):
         n_seen += 1
         if n_seen > max_queries:
             raise ValueError(
