@@ -882,65 +882,78 @@ def span_corrupt(
             < mask_pct,
         )
     )
-    # sentinel numbering: dense rank of the masked span within the doc
-    # (duplicate blk rows collapse, no distinct+join needed)
-    masked = marked.filter(F.col("__m__")).withColumn(
+    # sentinel numbering: dense rank of the masked span within the doc,
+    # computed WITHOUT a branch: the running count of masked-span
+    # STARTS (m AND wi=0) in idx order equals dense_rank-over-blk + 1
+    # for every masked row (block starts appear in idx order, and every
+    # block has its wi=0 row — idx is contiguous from 0). Same window
+    # partitioning as the row_number above, so no extra exchange.
+    wk = Window.partitionBy("__id__").orderBy("__idx__").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = marked.withColumn(
         "__k__",
-        F.dense_rank().over(Window.partitionBy("__id__").orderBy("__blk__")) - 1,
+        F.sum(
+            F.when(F.col("__m__") & (F.col("__wi__") == 0), 1).otherwise(0)
+        ).over(wk)
+        - 1,
     )
     sentinel = F.concat(
         F.lit("<extra_id_"), F.col("__k__").cast("string"), F.lit(">")
     )
     # order keys: token at idx → 2·idx; a span's sentinel sits just
     # before its first token (2·block·blk − 1) and after the previous
-    # span's last (≤ 2·block·blk − 2)
-    inp_pieces = marked.filter(~F.col("__m__")).select(
-        "__id__",
-        (F.col("__idx__") * 2).alias("__o__"),
-        F.col("__tok__").alias("__p__"),
-    ).unionByName(
-        masked.filter(F.col("__wi__") == 0).select(
-            "__id__",
-            (F.col("__idx__") * 2).alias("__o__"),
-            sentinel.alias("__p__"),
-        )
+    # span's last (≤ 2·block·blk − 2).
+    #
+    # ONE pass builds everything (formerly the marked subtree — explode
+    # + window shuffle — re-ran once per union branch and once for
+    # n_masked, 5× in all, then two groupBys and two joins stitched the
+    # texts back together; guide §2.4 duplicated subtrees): each row
+    # contributes its conditional pieces to per-column collect_lists
+    # (collect_list drops NULLs; piece multisets are exactly the former
+    # union branches'), and ONE groupBy(id) — partitioned like the
+    # window, so no extra exchange — sorts and joins both texts.
+    # Docs with no masked span collect empty target lists → "" exactly
+    # as the former left-join + coalesce.
+    is_start = F.col("__m__") & (F.col("__wi__") == 0)
+    inp_piece = F.when(
+        ~F.col("__m__"),
+        F.struct((F.col("__idx__") * 2).alias("__o__"),
+                 F.col("__tok__").alias("__p__")),
+    ).when(
+        is_start,
+        F.struct((F.col("__idx__") * 2).alias("__o__"),
+                 sentinel.alias("__p__")),
     )
-    tgt_pieces = masked.filter(F.col("__wi__") == 0).select(
-        "__id__",
-        (F.col("__blk__") * (2 * block) - 1).alias("__o__"),
-        sentinel.alias("__p__"),
-    ).unionByName(
-        masked.select(
-            "__id__",
-            (F.col("__idx__") * 2).alias("__o__"),
-            F.col("__tok__").alias("__p__"),
-        )
+    tgt_sent = F.when(
+        is_start,
+        F.struct((F.col("__blk__") * (2 * block) - 1).alias("__o__"),
+                 sentinel.alias("__p__")),
+    )
+    tgt_tok = F.when(
+        F.col("__m__"),
+        F.struct((F.col("__idx__") * 2).alias("__o__"),
+                 F.col("__tok__").alias("__p__")),
     )
 
-    def build(pieces: DataFrame, name: str) -> DataFrame:
-        return pieces.groupBy("__id__").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__o__", "__p__"))),
-                    lambda s: s["__p__"],
-                ),
-                " ",
-            ).alias(name)
+    def joined(col):
+        return F.array_join(
+            F.transform(F.array_sort(col), lambda s: s["__p__"]), " "
         )
 
-    nm = marked.groupBy("__id__").agg(
-        F.sum(F.when(F.col("__m__"), 1).otherwise(0)).cast("bigint").alias("n_masked")
-    )
-    return (
-        build(inp_pieces, "input_text")
-        .join(build(tgt_pieces, "target_text"), "__id__", "left")
-        .join(nm, "__id__")
-        .select(
-            F.col("__id__").alias(id_col),
-            "input_text",
-            F.coalesce("target_text", F.lit("")).alias("target_text"),
-            "n_masked",
-        )
+    return marked.groupBy("__id__").agg(
+        joined(F.collect_list(inp_piece)).alias("input_text"),
+        joined(
+            F.concat(F.collect_list(tgt_sent), F.collect_list(tgt_tok))
+        ).alias("target_text"),
+        F.sum(F.when(F.col("__m__"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_masked"),
+    ).select(
+        F.col("__id__").alias(id_col),
+        "input_text",
+        "target_text",
+        "n_masked",
     )
 
 
