@@ -1662,12 +1662,30 @@ def set_similarity_join(
         tok.join(freq, "__t__")
         .withColumn("__rn__", F.row_number().over(w))
         .filter(F.expr(f"__rn__ <= __n__ - {ceil_tau_n} + 1"))
-        .select("__id__", "__t__")
+        .select("__id__", "__n__", "__t__")
     )
     cand = (
-        prefix.select(F.col("__id__").alias("__ida__"), "__t__")
-        .join(prefix.select(F.col("__id__").alias("__idb__"), "__t__"), "__t__")
+        prefix.select(
+            F.col("__id__").alias("__ida__"), F.col("__n__").alias("__na__"),
+            "__t__",
+        )
+        .join(
+            prefix.select(
+                F.col("__id__").alias("__idb__"),
+                F.col("__n__").alias("__nb__"), "__t__",
+            ),
+            "__t__",
+        )
         .filter(F.col("__ida__") < F.col("__idb__"))
+        # PPJoin length filter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|), so
+        # any pair failing min·tau_den >= max·tau_num can never pass
+        # the exact verification below — row-local, prunes BEFORE the
+        # candidate-dedup exchange and the two set-fetch joins
+        # (measured: 431k -> 329k candidate rows at sf0.1, tau=1/2)
+        .filter(
+            F.least("__na__", "__nb__") * tau_den
+            >= F.greatest("__na__", "__nb__") * tau_num
+        )
         .select("__ida__", "__idb__")
         .distinct()
     )
