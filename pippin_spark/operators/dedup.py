@@ -1345,22 +1345,36 @@ def dedup_lines(
     )
     # lines below min_line_chars are EXEMPT from dedup (kept verbatim
     # in every document) — they are too short to be boilerplate
-    # evidence, and deleting them would mangle every doc's structure
-    short = lines.filter(F.length("__line__") < min_line_chars)
-    longl = lines.filter(F.length("__line__") >= min_line_chars)
-    keyed = longl.withColumn("__h__", F.md5(F.col("__line__")))
-    winners = keyed.groupBy("__h__").agg(
-        F.min(F.struct("__id__", "__pos__")).alias("__w__")
+    # evidence, and deleting them would mangle every doc's structure.
+    # ONE pass decides keep/drop (formerly: the explode ran 3× — the
+    # short branch, the winner aggregate, and the join-back side — and
+    # the winner set joined against the full exploded table; guide
+    # §2.4): every line rides one window keyed by its digest, the
+    # argmin winner is row_number()==1 under the same (id, pos) order,
+    # and exempt short lines get a per-occurrence second partition key
+    # (their own (id, pos)) so each is alone in its window partition —
+    # always rn 1, never skewing one NULL-keyed partition, and never
+    # grouped with a long line of equal digest. The digest shuffle the
+    # aggregate used to do is gone; the text-by-digest exchange this
+    # window does is the one the join-back side always paid.
+    w_keep = Window.partitionBy("__h__", "__exempt__").orderBy(
+        "__id__", "__pos__"
     )
-    kept = keyed.join(
-        winners,
-        (keyed["__h__"] == winners["__h__"])
-        & (keyed["__id__"] == winners["__w__"]["__id__"])
-        & (keyed["__pos__"] == winners["__w__"]["__pos__"]),
-    ).select("__id__", "__pos__", "__line__")
+    kept = (
+        lines.withColumn("__h__", F.md5(F.col("__line__")))
+        .withColumn(
+            "__exempt__",
+            F.when(
+                F.length("__line__") < min_line_chars,
+                F.struct("__id__", "__pos__"),
+            ),
+        )
+        .withColumn("__rn__", F.row_number().over(w_keep))
+        .filter(F.col("__rn__") == 1)
+        .select("__id__", "__pos__", "__line__")
+    )
     assembled = (
-        kept.unionByName(short)
-        .groupBy("__id__")
+        kept.groupBy("__id__")
         .agg(
             F.array_join(
                 F.transform(
