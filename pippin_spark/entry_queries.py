@@ -12108,6 +12108,32 @@ def _fresh_arm(fn):
     return _Deferred()
 
 
+# guide §2.6, same rationale as _OVERLAP_FRESH_ARM: once the
+# maintained index is FINAL (no writer left in the row), its tail
+# reads — the assigned recount, the exact-IVF probe, the codes-only
+# IVF-PQ probe, the drift aggregate — are independent scheduling-
+# floor-bound actions; running them from a small pool back-fills the
+# idle cores instead of paying four floors in sequence. False = the
+# sequential A/B baseline.
+_OVERLAP_TAIL = True
+
+# A/B toggle for _clustered_embeddings' pre-generator spread (the
+# guide-§2.5 single-split fix); False = the pre-r12 single-task gen.
+_SPREAD_GEN = True
+
+
+def _tail_reads(*thunks):
+    """Run independent read-only tail actions concurrently (or inline
+    when _OVERLAP_TAIL is False) and return their results in order."""
+    if _OVERLAP_TAIL and len(thunks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+            futs = [pool.submit(t) for t in thunks]
+            return [f.result() for f in futs]
+    return [t() for t in thunks]
+
+
 def _probe_set(df):
     """One probe result as a set of (query_id, neighbor_id, cosine,
     rank) tuples — the exact row identity the all-JVM full_outer join
@@ -12243,33 +12269,52 @@ def q_ann_index_maintain_e2e(spark, sf_dir):
     rows_before = n_indexed
     SIM.ann_index_compact(spark, path)
     _, assigned2 = SIM.ann_index_read(spark, path)
-    compact_preserved = int(assigned2.count() == rows_before)
     # probe equality: maintained index vs from-scratch rebuild on the
     # augmented corpus against the SAME base-trained centroids; the
     # codes-only probe must ALSO agree exactly (same base-trained
-    # codebooks on both arms, codes round-trip parquet losslessly)
-    maint = SIM.ivf_topk_prebuilt(
-        spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
-    )
-    maint_pq = SIM.ivfpq_topk_prebuilt(
-        spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
-    )
+    # codebooks on both arms, codes round-trip parquet losslessly).
+    # The compact above was the last writer, so the recount, the two
+    # probes and the drift aggregate are independent tail reads
+    # (_tail_reads, guide §2.6).
     if _DRIVER_PROBE_CMP:
-        sm, smq = _probe_set(maint), _probe_set(maint_pq)
+        n_after_compact, sm, smq, max_drift = _tail_reads(
+            assigned2.count,
+            lambda: _probe_set(
+                SIM.ivf_topk_prebuilt(
+                    spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
+                )
+            ),
+            lambda: _probe_set(
+                SIM.ivfpq_topk_prebuilt(
+                    spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
+                )
+            ),
+            lambda: SIM.ann_index_drift(spark, path)
+            .agg(F.max("drift").alias("d"))
+            .collect()[0]["d"],
+        )
+        compact_preserved = int(n_after_compact == rows_before)
         sfr, sfq = fresh_fut.result()
         n_mismatch = len(sm | sfr) - len(sm)
         n_mismatch_pq = len(smq | sfq) - len(smq)
         probe_pairs = len(sm)
     else:
+        compact_preserved = int(assigned2.count() == rows_before)
+        maint = SIM.ivf_topk_prebuilt(
+            spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
+        )
+        maint_pq = SIM.ivfpq_topk_prebuilt(
+            spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
+        )
         fresh, fresh_pq = fresh_fut.result()
         n_mismatch = _n_mismatch_join(maint, fresh)
         n_mismatch_pq = _n_mismatch_join(maint_pq, fresh_pq)
         probe_pairs = maint.count()
-    max_drift = (
-        SIM.ann_index_drift(spark, path)
-        .agg(F.max("drift").alias("d"))
-        .collect()[0]["d"]
-    )
+        max_drift = (
+            SIM.ann_index_drift(spark, path)
+            .agg(F.max("drift").alias("d"))
+            .collect()[0]["d"]
+        )
     err_ratio = SIM.ann_index_pq_drift(spark, path).collect()[0]["err_ratio"]
     return local_table(
         spark,
@@ -12291,7 +12336,7 @@ def q_ann_index_maintain_e2e(spark, sf_dir):
     )
 
 
-def _clustered_embeddings(df_ids, salt: int, id_offset: int = 0):
+def _clustered_embeddings(df_ids, salt: int, id_offset: int = 0, spread: bool = True):
     """Deterministic clustered 64-dim corpus keyed by vec_id — the
     regime an IVF-PQ index exists for (8 orthonormal cluster
     directions + 5% noise; the fixture embeddings are too diffuse for
@@ -12299,7 +12344,20 @@ def _clustered_embeddings(df_ids, salt: int, id_offset: int = 0):
     test_pq_codebook_drift_gate_fires_where_centroid_gate_does_not).
     Pure function of (vec_id, salt): partition-layout invariant, built
     distributed (mapInPandas over only the id column), so the rig
-    scales with the table while staying bit-reproducible."""
+    scales with the table while staying bit-reproducible.
+
+    The id column is spread to the cluster's parallelism BEFORE the
+    generator (guide §2.5 input skew: the sf0.1 embeddings table is
+    ONE parquet split, so the per-row RandomState generation — the
+    dominant build-side cost of the maintenance rows, ~1.5 s/32k rows
+    single-core — otherwise runs as a single task while 31 cores
+    idle). Only vec_id longs cross the spread exchange; per-row output
+    is a pure function of (vec_id, salt), so results are unchanged.
+    ``spread=False`` skips it for driver-tiny id sets (e.g. the 5-row
+    probe-query frame: the prebuilt probes iterate queries with
+    toLocalIterator, which submits one job PER PARTITION — spreading 5
+    rows over 32 partitions costs 31 empty jobs)."""
+    from pippin_spark.operators.util import ensure_parallelism
 
     def gen(batches):
         import numpy as np
@@ -12318,9 +12376,10 @@ def _clustered_embeddings(df_ids, salt: int, id_offset: int = 0):
                 vecs.append([float(x) for x in v])
             yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
 
-    return df_ids.select("vec_id").mapInPandas(
-        gen, "vec_id long, embedding array<double>"
-    )
+    ids = df_ids.select("vec_id")
+    if spread and _SPREAD_GEN:
+        ids = ensure_parallelism(ids)
+    return ids.mapInPandas(gen, "vec_id long, embedding array<double>")
 
 
 def _retrain_shift_flood(spark, path: str, per_cell: int = 20):
@@ -12414,7 +12473,9 @@ def q_ann_index_retrain_e2e(spark, sf_dir):
         emb_ids.filter(F.col("vec_id") % 10 >= 8), salt=3,
         id_offset=20_000_000,
     )
-    qdf = _clustered_embeddings(emb_ids.filter(F.col("vec_id") < 5), salt=1)
+    qdf = _clustered_embeddings(
+        emb_ids.filter(F.col("vec_id") < 5), salt=1, spread=False
+    )
     fresh_path = f"{path}_fresharm"
 
     def _fresh_arm_run():
@@ -12459,22 +12520,36 @@ def q_ann_index_retrain_e2e(spark, sf_dir):
     SIM.ann_index_append(spark, path, batch3, "embedding", "vec_id")
     gate_after = SIM.ann_index_pq_drift(spark, path).collect()[0]
     n_post = gate_after["n_appended"]
-    n_final = spark.read.parquet(f"{path}/assigned").count()
     # 4. probe equality vs a from-scratch rebuild: same base-trained
-    # centroids, codebooks trained on the retrain-time contents
-    maint = SIM.ivf_topk_prebuilt(
-        spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
-    )
-    maint_pq = SIM.ivfpq_topk_prebuilt(
-        spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
-    )
+    # centroids, codebooks trained on the retrain-time contents. The
+    # index is final here (no writer remains), so the recount and the
+    # two probes are independent tail reads (_tail_reads, guide §2.6).
     if _DRIVER_PROBE_CMP:
-        sm, smq = _probe_set(maint), _probe_set(maint_pq)
+        n_final, sm, smq = _tail_reads(
+            lambda: spark.read.parquet(f"{path}/assigned").count(),
+            lambda: _probe_set(
+                SIM.ivf_topk_prebuilt(
+                    spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
+                )
+            ),
+            lambda: _probe_set(
+                SIM.ivfpq_topk_prebuilt(
+                    spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
+                )
+            ),
+        )
         sfr, sfq = fresh_fut.result()
         probe_pairs = len(sm)
         n_mismatch = len(sm | sfr) - len(sm)
         n_mismatch_pq = len(smq | sfq) - len(smq)
     else:
+        n_final = spark.read.parquet(f"{path}/assigned").count()
+        maint = SIM.ivf_topk_prebuilt(
+            spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
+        )
+        maint_pq = SIM.ivfpq_topk_prebuilt(
+            spark, path, qdf, "embedding", "vec_id", k=5, nprobe=4
+        )
         fresh, fresh_pq = fresh_fut.result()
         probe_pairs = maint.count()
         n_mismatch = _n_mismatch_join(maint, fresh)

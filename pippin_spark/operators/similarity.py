@@ -1032,7 +1032,48 @@ def _ann_index_write_body(
     pq_residual: bool,
     pq_train_on: DataFrame,
 ) -> None:
-    if train_on is not None:
+    # FUSED TRAINING COLLECT (guide §1.2 remove passes): when the
+    # centroid-training frame and the PQ-codebook-training frame are
+    # the SAME DataFrame (the common build: both default to `corpus`,
+    # and the rebuild arms pass train_on=pq_train_on=base), the
+    # kmeans local-path probe (all rows ≤ _KMEANS_LOCAL_MAX, raw cv)
+    # and pq_codebooks' _collect_sample (all rows ≤ train_cap, unit-
+    # normalized) pull the SAME rows to the driver twice. One collect
+    # of (id, cv, nrm) feeds both: _kmeans_local gets the raw rows
+    # (same set the unordered probe limit returns when everything
+    # fits), and the PQ sample is rebuilt driver-side as cv/nrm —
+    # nrm is the JVM-folded norm normalize_vectors computes, and the
+    # per-element IEEE division is the identical op, so the sample
+    # matrix is bit-identical (pytest-pinned). Any disqualifier
+    # (different frames, sample train_mode, residual books, corpus
+    # too big) falls back to the two original paths unchanged.
+    pq_sample = None
+    fused = None
+    if (
+        pq is not None
+        and not pq_residual
+        and train_iters > 0
+        and train_mode == "distributed"
+        and (train_on if train_on is not None else corpus)
+        is (pq_train_on if pq_train_on is not None else corpus)
+    ):
+        fused = _fused_train_rows(
+            train_on if train_on is not None else corpus, vec_col, id_col
+        )
+    if fused is not None:
+        spark = corpus.sparkSession
+        centroids = _kmeans_local(spark, fused, num_cells, train_iters, "cosine")
+        pq_sample = _fused_pq_sample(fused, cap=65536)
+        assigned = _assign_cells(
+            corpus.select(
+                F.col(id_col).alias("id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+                *[F.col(c) for c in extra_cols],
+            ),
+            centroids,
+            extra_cols=extra_cols,
+        )
+    elif train_on is not None:
         centroids, _ = ivf_build(
             train_on, vec_col, id_col, num_cells, train_iters,
             train_mode=train_mode,
@@ -1075,7 +1116,7 @@ def _ann_index_write_body(
         else:
             books = pq_codebooks(
                 pq_corpus, vec_col, id_col, m=pq_m, codebook_k=pq_k,
-                train_iters=pq_iters,
+                train_iters=pq_iters, _sample=pq_sample,
             )
             _write_codebooks(corpus.sparkSession, books, path)
             assigned = pq_encode_codes(assigned, books, with_error=True)
@@ -1144,6 +1185,43 @@ def _ann_index_write_body(
             f"{path}/pq_stats",
             _ledger_table([("base", row["n"], row["sum_qerr"])]),
         )
+
+
+def _fused_train_rows(frame, vec_col, id_col):
+    """One bounded collect serving BOTH trainings of a PQ build (see
+    the call site in _ann_index_write_body): (id, raw cv, JVM-folded
+    L2 norm) for every row when the frame fits the kmeans local
+    guard, else None (callers fall back to the original two paths —
+    the only cost of a miss is this one early-stopped bounded take)."""
+    v = _as_double(F.col(vec_col))
+    nrm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    rows = (
+        frame.select(F.col(id_col).alias("id"), v.alias("cv"), nrm.alias("nrm"))
+        .limit(_KMEANS_LOCAL_MAX + 1)
+        .collect()
+    )
+    if not rows or len(rows) > _KMEANS_LOCAL_MAX:
+        return None
+    return rows
+
+
+def _fused_pq_sample(rows, cap: int):
+    """_collect_sample(train_mod=1, normalize=True) replayed on the
+    driver from _fused_train_rows' output: ascending-id order, capped,
+    each vector divided by its JVM-computed norm (identical IEEE
+    division; zero-norm rows pass through raw, normalize_vectors'
+    guard)."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r["id"])[:cap]
+    out = np.empty((len(rows), len(rows[0]["cv"])), dtype=np.float64)
+    for i, r in enumerate(rows):
+        v = np.asarray(r["cv"], dtype=np.float64)
+        n = r["nrm"]
+        out[i] = v / n if n and n > 0.0 else v
+    return out
 
 
 def _sidecar_df(spark, dir_path: str) -> DataFrame:
@@ -2641,6 +2719,7 @@ def pq_codebooks(
     train_iters: int = 2,
     train_mod: int = 1,
     train_cap: int = 65536,
+    _sample=None,
 ):
     """Train product-quantization codebooks (Jégou, Douze, Schmid,
     TPAMI 2011): slice each vector into ``m`` equal subvectors and run
@@ -2672,7 +2751,16 @@ def pq_codebooks(
     one, silently degrading quantization on tiny corpora.)"""
     import numpy as np
 
-    V = _collect_sample(corpus, vec_col, id_col, train_mod, train_cap, normalize=True)
+    # _sample: a pre-collected normalized sample matrix (the fused
+    # training collect of _ann_index_write_body — bit-identical to
+    # what _collect_sample returns for the same frame); internal.
+    V = (
+        _sample
+        if _sample is not None
+        else _collect_sample(
+            corpus, vec_col, id_col, train_mod, train_cap, normalize=True
+        )
+    )
     dim = V.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
